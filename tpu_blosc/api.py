@@ -1,0 +1,197 @@
+"""Public API: compress / decompress / introspection (≙ blosc.go:247-434).
+
+Single-block frames produced here are bit-compatible with the reference's
+frame convention; multi-block frames (block_size > 0 or large inputs) are
+this library's extension and carry the FLAG_SPLIT bit plus an offset table
+(see chunk.py).  Decompress reads both.
+
+One deliberate divergence, required for cross-decoder interop (SURVEY §2.4):
+when the memcpy fallback stores raw bytes, we CLEAR the shuffle flags.  The
+reference keeps them set (blosc.go:348-356) while storing *pre-shuffle*
+bytes, so its own decoder would unshuffle raw bytes into garbage on that
+path (latent inconsistency, untested upstream); frames we emit decode
+correctly under both decoders.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import filters
+from .codecs.registry import get_codec
+from .errors import (
+    DataTooLargeError,
+    InvalidCodecError,
+    InvalidDataError,
+    InvalidHeaderError,
+    SizeMismatchError,
+)
+from .format import (
+    FLAG_BITSHUFFLE,
+    FLAG_MEMCPY,
+    FLAG_SHUFFLE,
+    FLAG_SPLIT,
+    FORMAT_VERSION,
+    HEADER_SIZE,
+    MAX_UINT32,
+    Codec,
+    Header,
+    Shuffle,
+    parse_header,
+)
+from .options import Options
+
+# imported for registration side effect
+from .codecs import standard as _standard  # noqa: F401
+
+# Inputs above this auto-switch to multi-block frames (chunk.py); the
+# reference has no such threshold (always single block, blosc.go:364).
+AUTO_BLOCK_THRESHOLD = 4 * 1024 * 1024
+
+
+def _coerce_bytes(data) -> bytes:
+    if isinstance(data, (bytes, bytearray, memoryview)):
+        return bytes(data)
+    if isinstance(data, np.ndarray):
+        return data.tobytes()
+    raise TypeError(f"expected bytes-like or ndarray, got {type(data)!r}")
+
+
+def compress(
+    data,
+    codec: Codec = Codec.LZ4,
+    level: int = 5,
+    shuffle: Shuffle = Shuffle.SHUFFLE,
+    type_size: int = 4,
+) -> bytes:
+    """Compress data into a Blosc frame (≙ Compress, blosc.go:257-265)."""
+    return compress_with_options(
+        data,
+        Options(codec=codec, level=level, shuffle=shuffle, type_size=type_size),
+    )
+
+
+def compress_with_options(data, opts: Options) -> bytes:
+    """≙ CompressWithOptions (blosc.go:268-286): reject empty, clamp, compress."""
+    raw = _coerce_bytes(data)
+    if len(raw) == 0:
+        raise InvalidDataError("blosc: invalid compressed data: empty input")
+    if len(raw) + HEADER_SIZE > MAX_UINT32:
+        raise DataTooLargeError(
+            f"blosc: data too large: {len(raw)} bytes exceeds uint32 frame limit"
+        )
+    opts = opts.clamped()
+    if opts.block_size > 0 or len(raw) > AUTO_BLOCK_THRESHOLD:
+        from . import chunk
+
+        return chunk.compress_chunked(raw, opts)
+    return _compress_single_block(raw, opts)
+
+
+def _compress_single_block(raw: bytes, opts: Options) -> bytes:
+    """Single-block pipeline (≙ compressBackend, blosc.go:319-374)."""
+    compressor = get_codec(opts.codec)
+    if compressor is None:
+        raise InvalidCodecError(f"blosc: unsupported codec: {opts.codec}")
+
+    shuffled = raw
+    if opts.shuffle == Shuffle.SHUFFLE and opts.type_size > 1:
+        shuffled = filters.shuffle_bytes(raw, opts.type_size).tobytes()
+    elif opts.shuffle == Shuffle.BITSHUFFLE and opts.type_size > 1:
+        shuffled = filters.bit_shuffle(raw, opts.type_size).tobytes()
+
+    compressed = compressor.compress(shuffled, opts.level)
+
+    use_memcpy = len(compressed) >= len(raw)
+    if use_memcpy:
+        compressed = raw  # store untouched input (blosc.go:342-345)
+
+    flags = 0
+    if use_memcpy:
+        # interop divergence: shuffle flags cleared (see module docstring)
+        flags |= FLAG_MEMCPY
+    elif opts.shuffle == Shuffle.SHUFFLE:
+        flags |= FLAG_SHUFFLE
+    elif opts.shuffle == Shuffle.BITSHUFFLE:
+        flags |= FLAG_BITSHUFFLE
+
+    header = Header(
+        version=FORMAT_VERSION,
+        version_lz=int(opts.codec),
+        flags=flags,
+        type_size=min(opts.type_size, 255),
+        nbytes_orig=len(raw),
+        block_size=len(raw),  # single block (blosc.go:364)
+        nbytes_comp=HEADER_SIZE + len(compressed),
+    )
+    return header.to_bytes() + compressed
+
+
+def decompress(data) -> bytes:
+    """Decompress a Blosc frame (≙ Decompress, blosc.go:291-293)."""
+    return decompress_with_size(data, 0)
+
+
+def decompress_with_size(data, type_size: int) -> bytes:
+    """≙ DecompressWithSize (blosc.go:296-303) + decompressBackend (377-434)."""
+    raw = _coerce_bytes(data)
+    if len(raw) < HEADER_SIZE:
+        raise InvalidHeaderError(
+            f"blosc: invalid header: need {HEADER_SIZE} bytes, got {len(raw)}"
+        )
+    header = parse_header(raw)
+
+    if header.nbytes_comp > len(raw):
+        raise InvalidDataError(
+            "blosc: invalid compressed data: header claims "
+            f"{header.nbytes_comp} bytes, only {len(raw)} present"
+        )
+    if header.nbytes_comp < HEADER_SIZE:
+        raise InvalidDataError(
+            "blosc: invalid compressed data: NBytesComp below header size"
+        )
+
+    if header.is_split:
+        from . import chunk
+
+        return chunk.decompress_chunked(raw, header, type_size)
+
+    payload = raw[HEADER_SIZE : header.nbytes_comp]
+
+    if header.is_memcpy:
+        decompressed = payload
+    else:
+        decompressor = get_codec(header.codec)
+        if decompressor is None:
+            raise InvalidCodecError(
+                f"blosc: unsupported codec: {Codec(header.codec) if header.codec < 6 else header.codec}"
+            )
+        decompressed = decompressor.decompress(payload, header.nbytes_orig)
+
+    if type_size <= 0:
+        type_size = header.type_size
+
+    # reference order: unshuffle runs even on memcpy frames (blosc.go:398-426)
+    if header.has_bitshuffle and type_size > 1:
+        decompressed = filters.bit_unshuffle(decompressed, type_size).tobytes()
+    elif header.has_shuffle and type_size > 1:
+        decompressed = filters.unshuffle_bytes(decompressed, type_size).tobytes()
+    elif not isinstance(decompressed, bytes):
+        decompressed = bytes(decompressed)
+
+    if len(decompressed) != header.nbytes_orig:
+        raise SizeMismatchError(
+            f"blosc: decompressed size mismatch: got {len(decompressed)}, "
+            f"expected {header.nbytes_orig}"
+        )
+    return decompressed
+
+
+def get_info(data) -> Header:
+    """≙ GetInfo (blosc.go:306-308): parse header without decompressing."""
+    return parse_header(_coerce_bytes(data))
+
+
+def get_decompressed_size(data) -> int:
+    """≙ GetDecompressedSize (blosc.go:311-317)."""
+    return parse_header(_coerce_bytes(data)).nbytes_orig

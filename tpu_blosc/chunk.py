@@ -1,0 +1,253 @@
+"""Multi-block chunked frames — this library's extension (FLAG_SPLIT).
+
+The reference always emits a single block ("Single block for simplicity",
+blosc.go:364) and defines but never sets the 0x8 split flag (blosc.go:114).
+We use that reserved bit for real multi-block framing — the parallelism
+unit for device batching and multi-chip sharding (SURVEY §5 "long-context"
+analogue).  Reference-produced single-block frames never set FLAG_SPLIT, so
+both formats coexist: decompress() routes on the flag.
+
+Multi-block frame layout (all little-endian):
+
+    bytes 0-15   standard 16-byte header, FLAG_SPLIT set
+                 BlockSize   = uncompressed bytes per block (last may be short)
+                 NBytesOrig  = total uncompressed size
+                 NBytesComp  = total frame size including header + table
+    bytes 16-19  num_blocks (uint32)
+    then         num_blocks × uint32 entries:
+                 bits 0-30 = compressed payload size of the block
+                 bit 31    = block stored memcpy (raw, unshuffled)
+    then         concatenated per-block payloads
+
+Each block is filtered (shuffle/bitshuffle) and compressed independently —
+blocks are decodable in isolation, so they shard data-parallel across
+devices and hosts with only an ordered gather at the end.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from . import filters
+from .codecs.registry import get_codec
+from .errors import (
+    DataTooLargeError,
+    InvalidCodecError,
+    InvalidDataError,
+    SizeMismatchError,
+)
+from .format import (
+    FLAG_BITSHUFFLE,
+    FLAG_MEMCPY,
+    FLAG_SHUFFLE,
+    FLAG_SPLIT,
+    FORMAT_VERSION,
+    HEADER_SIZE,
+    MAX_UINT32,
+    Header,
+    Shuffle,
+)
+from .options import Options
+
+_ENTRY_MEMCPY = 0x80000000
+_ENTRY_SIZE_MASK = 0x7FFFFFFF
+
+# auto block size: large enough to amortize per-block codec overhead and to
+# fill TPU (8,128) tiles, small enough to batch many blocks per chip
+DEFAULT_AUTO_BLOCK = 2 * 1024 * 1024
+MIN_BLOCK = 4096
+
+
+def choose_block_size(n: int, type_size: int, requested: int = 0) -> int:
+    """Pick the block size: requested (if >0) else auto, aligned to 8*ts."""
+    align = 8 * max(type_size, 1)
+    if requested > 0:
+        bs = max(requested, align)
+    else:
+        bs = DEFAULT_AUTO_BLOCK
+        bs = max(min(bs, n), MIN_BLOCK)
+    bs = (bs // align) * align
+    return max(bs, align)
+
+
+def split_blocks(raw: bytes, block_size: int) -> list[bytes]:
+    return [raw[i : i + block_size] for i in range(0, len(raw), block_size)]
+
+
+def _filter_block(block: bytes, opts: Options) -> bytes:
+    if opts.shuffle == Shuffle.SHUFFLE and opts.type_size > 1:
+        return filters.shuffle_bytes(block, opts.type_size).tobytes()
+    if opts.shuffle == Shuffle.BITSHUFFLE and opts.type_size > 1:
+        return filters.bit_shuffle(block, opts.type_size).tobytes()
+    return block
+
+
+def _unfilter_block(block: bytes, type_size: int, flags: int) -> bytes:
+    if flags & FLAG_BITSHUFFLE and type_size > 1:
+        return filters.bit_unshuffle(block, type_size).tobytes()
+    if flags & FLAG_SHUFFLE and type_size > 1:
+        return filters.unshuffle_bytes(block, type_size).tobytes()
+    return block
+
+
+def compress_chunked(raw: bytes, opts: Options) -> bytes:
+    """Compress into a multi-block FLAG_SPLIT frame."""
+    compressor = get_codec(opts.codec)
+    if compressor is None:
+        raise InvalidCodecError(f"blosc: unsupported codec: {opts.codec}")
+
+    n = len(raw)
+    block_size = choose_block_size(n, opts.type_size, opts.block_size)
+    blocks = split_blocks(raw, block_size)
+
+    # device-batched filter for the full-size blocks when eligible, else
+    # per-block host filtering
+    payloads: list[bytes] = []
+    entries: list[int] = []
+    shuffled_blocks = _filter_blocks_batched(blocks, opts)
+    for raw_block, shuf_block in zip(blocks, shuffled_blocks):
+        comp = compressor.compress(shuf_block, opts.level)
+        if len(comp) >= len(raw_block):
+            payloads.append(raw_block)  # memcpy: raw pre-shuffle bytes
+            entries.append(_ENTRY_MEMCPY | len(raw_block))
+        else:
+            payloads.append(comp)
+            entries.append(len(comp))
+
+    num_blocks = len(blocks)
+    table = struct.pack("<I", num_blocks) + struct.pack(
+        f"<{num_blocks}I", *entries
+    )
+    total = HEADER_SIZE + len(table) + sum(len(p) for p in payloads)
+    if total > MAX_UINT32:
+        raise DataTooLargeError(
+            f"blosc: data too large: frame of {total} bytes exceeds uint32 limit"
+        )
+
+    flags = FLAG_SPLIT
+    if opts.shuffle == Shuffle.SHUFFLE:
+        flags |= FLAG_SHUFFLE
+    elif opts.shuffle == Shuffle.BITSHUFFLE:
+        flags |= FLAG_BITSHUFFLE
+
+    header = Header(
+        version=FORMAT_VERSION,
+        version_lz=int(opts.codec),
+        flags=flags,
+        type_size=min(opts.type_size, 255),
+        nbytes_orig=n,
+        block_size=block_size,
+        nbytes_comp=total,
+    )
+    return header.to_bytes() + table + b"".join(payloads)
+
+
+def _filter_blocks_batched(blocks: list[bytes], opts: Options) -> list[bytes]:
+    """Filter blocks, batching equal-size blocks into one device call."""
+    if opts.shuffle == Shuffle.NOSHUFFLE or opts.type_size <= 1 or not blocks:
+        return list(blocks)
+    bs = len(blocks[0])
+    full = [b for b in blocks if len(b) == bs]
+    if (
+        len(full) > 1
+        and filters.device_eligible(bs * len(full), opts.type_size)
+        and bs % (8 * opts.type_size) == 0
+    ):
+        batched = _device_filter_batch(full, bs, opts)
+        if batched is not None:
+            out = batched
+            for b in blocks[len(full) :]:
+                out.append(_filter_block(b, opts))
+            return out
+    return [_filter_block(b, opts) for b in blocks]
+
+
+def _device_filter_batch(
+    full_blocks: list[bytes], bs: int, opts: Options
+) -> list[bytes] | None:
+    """One device call shuffling all full blocks as a (nb, bs) batch."""
+    try:
+        from .filters import batched as fb
+
+        arr = np.frombuffer(b"".join(full_blocks), dtype=np.uint8).reshape(
+            len(full_blocks), bs
+        )
+        if opts.shuffle == Shuffle.SHUFFLE:
+            out = fb.shuffle_batch(arr, opts.type_size)
+        else:
+            out = fb.bit_shuffle_batch(arr, opts.type_size)
+        return [out[i].tobytes() for i in range(out.shape[0])]
+    except Exception:
+        return None
+
+
+def parse_block_table(raw: bytes, header: Header) -> tuple[list[tuple[int, bool]], int]:
+    """Return [(payload_size, is_memcpy), ...] and the payload start offset."""
+    if len(raw) < HEADER_SIZE + 4:
+        raise InvalidDataError("blosc: invalid compressed data: truncated block table")
+    (num_blocks,) = struct.unpack_from("<I", raw, HEADER_SIZE)
+    table_end = HEADER_SIZE + 4 + 4 * num_blocks
+    if num_blocks == 0 or table_end > len(raw) or table_end > header.nbytes_comp:
+        raise InvalidDataError("blosc: invalid compressed data: bad block count")
+    entries = struct.unpack_from(f"<{num_blocks}I", raw, HEADER_SIZE + 4)
+    out = [(e & _ENTRY_SIZE_MASK, bool(e & _ENTRY_MEMCPY)) for e in entries]
+    return out, table_end
+
+
+def decompress_chunked(raw: bytes, header: Header, type_size: int) -> bytes:
+    """Decompress a FLAG_SPLIT frame."""
+    entries, offset = parse_block_table(raw, header)
+    if type_size <= 0:
+        type_size = header.type_size
+    block_size = header.block_size
+    if block_size == 0:
+        raise InvalidDataError("blosc: invalid compressed data: zero block size")
+
+    decompressor = None
+    if not all(m for _, m in entries):
+        decompressor = get_codec(header.codec)
+        if decompressor is None:
+            raise InvalidCodecError(f"blosc: unsupported codec: {header.codec}")
+
+    n = header.nbytes_orig
+    num_blocks = len(entries)
+    expected_blocks = -(-n // block_size) if n else 0
+    if num_blocks != expected_blocks:
+        raise InvalidDataError(
+            f"blosc: invalid compressed data: {num_blocks} blocks for "
+            f"{n} bytes at block size {block_size}"
+        )
+
+    out = bytearray(n)
+    pos = 0
+    for i, (psize, is_memcpy) in enumerate(entries):
+        if offset + psize > header.nbytes_comp or offset + psize > len(raw):
+            raise InvalidDataError(
+                "blosc: invalid compressed data: block payload overruns frame"
+            )
+        payload = raw[offset : offset + psize]
+        offset += psize
+        this_block = min(block_size, n - pos)
+        if is_memcpy:
+            if psize != this_block:
+                raise SizeMismatchError(
+                    f"blosc: decompressed size mismatch in memcpy block {i}"
+                )
+            out[pos : pos + this_block] = payload
+        else:
+            dec = decompressor.decompress(payload, this_block)
+            dec = _unfilter_block(dec, type_size, header.flags)
+            if len(dec) != this_block:
+                raise SizeMismatchError(
+                    f"blosc: decompressed size mismatch: block {i} got "
+                    f"{len(dec)}, expected {this_block}"
+                )
+            out[pos : pos + this_block] = dec
+        pos += this_block
+    if pos != n:
+        raise SizeMismatchError(
+            f"blosc: decompressed size mismatch: got {pos}, expected {n}"
+        )
+    return bytes(out)

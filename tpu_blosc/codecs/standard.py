@@ -1,0 +1,167 @@
+"""The five standard codecs, registered at import (≙ codec.go:27-33).
+
+Level-mapping parity with the reference:
+  LZ4    — level ignored (codec.go:63-75)
+  LZ4HC  — 1-3 / 4-5 / 6-7 / 8-9 effort tiers (codec.go:96-106)
+  ZLIB   — passthrough 1-9 (codec.go:138-152)
+  ZSTD   — 1-2 fastest / 3-4 default / 5-6 better / 7-9 best (codec.go:200-213)
+  Snappy — no levels (codec.go:232-235)
+
+LZ4/LZ4HC/Snappy streams come from our own from-scratch implementations
+(this environment has no lz4/snappy modules); each transparently uses the
+C++ native backend (native/tpublosc.cpp via ctypes) when available and the
+pure-Python reference otherwise — the same boolean-fallback contract the
+reference uses for its SIMD kernels (shuffle.go:31-57).
+"""
+
+from __future__ import annotations
+
+import zlib as _zlib
+
+from ..errors import CompressionFailedError, DecompressionFailedError
+from ..format import Codec
+from . import lz4_ref, snappy_ref
+from .registry import register_codec
+
+try:
+    import zstandard as _zstd
+except ImportError:  # pragma: no cover - zstandard is baked into this env
+    _zstd = None
+
+try:
+    from ..native import backend as _native
+except Exception:  # pragma: no cover - native build failure → pure Python
+    _native = None
+
+
+def _native_ok() -> bool:
+    return _native is not None and _native.available()
+
+
+class Lz4Codec:
+    """LZ4 block codec; level ignored (≙ lz4Codec, codec.go:59-84)."""
+
+    def name(self) -> str:
+        return "lz4"
+
+    def compress(self, data: bytes, level: int) -> bytes:
+        if _native_ok():
+            return _native.lz4_compress(data, depth=1)
+        return lz4_ref.compress_block(data, max_search_depth=1)
+
+    def decompress(self, data: bytes, expected_size: int) -> bytes:
+        if _native_ok():
+            return _native.lz4_decompress(data, expected_size)
+        return lz4_ref.decompress_block(data, expected_size)
+
+
+class Lz4HcCodec:
+    """LZ4 high-compression: deeper match search (≙ lz4hcCodec, codec.go:90-128)."""
+
+    def name(self) -> str:
+        return "lz4hc"
+
+    def compress(self, data: bytes, level: int) -> bytes:
+        depth = lz4_ref.hc_depth_for_level(level)
+        if _native_ok():
+            return _native.lz4_compress(data, depth=depth)
+        return lz4_ref.compress_block(data, max_search_depth=depth)
+
+    def decompress(self, data: bytes, expected_size: int) -> bytes:
+        # decompression is the same as standard LZ4 (codec.go:120-128)
+        if _native_ok():
+            return _native.lz4_decompress(data, expected_size)
+        return lz4_ref.decompress_block(data, expected_size)
+
+
+class SnappyCodec:
+    """Raw Snappy; no levels (≙ snappyCodec, codec.go:228-244)."""
+
+    def name(self) -> str:
+        return "snappy"
+
+    def compress(self, data: bytes, level: int) -> bytes:
+        if _native_ok():
+            return _native.snappy_compress(data)
+        return snappy_ref.compress(data)
+
+    def decompress(self, data: bytes, expected_size: int) -> bytes:
+        if _native_ok():
+            return _native.snappy_decompress(data, expected_size)
+        return snappy_ref.decompress(data, expected_size)
+
+
+class ZlibCodec:
+    """ZLIB/deflate via CPython zlib; levels pass through (≙ zlibCodec)."""
+
+    def name(self) -> str:
+        return "zlib"
+
+    def compress(self, data: bytes, level: int) -> bytes:
+        if not 1 <= level <= 9:
+            # parity with kzlib.NewWriterLevel rejecting invalid levels
+            # (exercised by reference codec_test.go:298-318)
+            raise CompressionFailedError(f"zlib: invalid compression level {level}")
+        return _zlib.compress(bytes(data), level)
+
+    def decompress(self, data: bytes, expected_size: int) -> bytes:
+        try:
+            return _zlib.decompress(bytes(data))
+        except _zlib.error as exc:
+            raise DecompressionFailedError(f"zlib: {exc}") from exc
+
+
+class ZstdCodec:
+    """Zstandard with persistent per-tier compressors (≙ zstdCodec, codec.go:173-222).
+
+    The reference keeps 4 shared encoders (SpeedFastest/Default/Better/Best)
+    and one shared decoder; we mirror that with cached ZstdCompressor
+    instances at zstd levels 1/3/9/19 (the zstd-library levels those Go
+    speed tiers correspond to).
+    """
+
+    _TIER_LEVELS = (1, 3, 9, 19)
+
+    def __init__(self) -> None:
+        if _zstd is None:  # pragma: no cover
+            raise RuntimeError("zstandard module unavailable")
+        self._encoders = [
+            _zstd.ZstdCompressor(level=lv) for lv in self._TIER_LEVELS
+        ]
+        self._decoder = _zstd.ZstdDecompressor()
+
+    def name(self) -> str:
+        return "zstd"
+
+    @staticmethod
+    def _tier(level: int) -> int:
+        if level <= 2:
+            return 0
+        if level <= 4:
+            return 1
+        if level <= 6:
+            return 2
+        return 3
+
+    def compress(self, data: bytes, level: int) -> bytes:
+        return self._encoders[self._tier(level)].compress(bytes(data))
+
+    def decompress(self, data: bytes, expected_size: int) -> bytes:
+        try:
+            return self._decoder.decompress(
+                bytes(data), max_output_size=max(expected_size, 1)
+            )
+        except _zstd.ZstdError as exc:
+            raise DecompressionFailedError(f"zstd: {exc}") from exc
+
+
+def register_standard_codecs() -> None:
+    register_codec(Codec.LZ4, Lz4Codec())
+    register_codec(Codec.LZ4HC, Lz4HcCodec())
+    register_codec(Codec.SNAPPY, SnappyCodec())
+    register_codec(Codec.ZLIB, ZlibCodec())
+    if _zstd is not None:
+        register_codec(Codec.ZSTD, ZstdCodec())
+
+
+register_standard_codecs()

@@ -1,0 +1,171 @@
+"""Filter dispatch: oracle-exact shuffle/bitshuffle with backend selection.
+
+Dispatch contract mirrors the reference's SIMD probe-and-fallback
+(shuffle.go:25-57, init at shuffle.go:3-5 / shuffle_amd64.go:12-14):
+
+  * at import we probe the platform once (``jax.devices()``) — TPU present
+    ⇒ the Pallas kernels are eligible, like ``useAVX2``;
+  * each call picks the fastest eligible path for its size, with the NumPy
+    reference implementation as the always-correct generic fallback;
+  * every path is byte-identical (tested against filters/reference.py).
+
+Engagement thresholds (the analogue of the reference's documented SIMD
+thresholds, shuffle.go:31-40, 156-158): device paths engage only above
+_DEVICE_MIN_BYTES, below which host↔device transfer dominates.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..format import Shuffle
+from . import reference
+
+_DEVICE_MIN_BYTES = int(os.environ.get("TPU_BLOSC_DEVICE_MIN_BYTES", 256 * 1024))
+
+_backend_name = "numpy"
+_jax = None
+_jaxops = None
+_pallas = None
+
+
+def _probe() -> None:
+    """One-time platform probe (≙ initSIMD, shuffle.go:3-5)."""
+    global _backend_name, _jax, _jaxops, _pallas
+    if os.environ.get("TPU_BLOSC_FORCE_NUMPY"):
+        return
+    try:
+        import jax
+
+        from . import jaxops
+    except Exception:  # pragma: no cover - jax is baked into this env
+        return
+    _jax = jax
+    _jaxops = jaxops
+    platform = jax.default_backend()
+    if platform in ("tpu", "axon"):
+        try:
+            from . import pallas_kernels
+
+            _pallas = pallas_kernels
+            _backend_name = "pallas"
+            return
+        except Exception:
+            pass
+    _backend_name = "jax" if platform != "cpu" else "numpy"
+
+
+_probe()
+
+
+def backend_name() -> str:
+    """Which accelerated path is active ('pallas', 'jax', or 'numpy')."""
+    return _backend_name
+
+
+def device_eligible(n: int, type_size: int) -> bool:
+    """Whether the device path engages for this host-call size."""
+    return (
+        _backend_name in ("pallas", "jax")
+        and n >= _DEVICE_MIN_BYTES
+        and type_size > 1
+        and n >= type_size
+    )
+
+
+def _device_shuffle(a: np.ndarray, type_size: int, fn_name: str) -> np.ndarray:
+    """Run the body on device, stitching the reference's verbatim tails."""
+    import jax.numpy as jnp
+
+    n = a.size
+    ops = _pallas if _pallas is not None else _jaxops
+    if fn_name in ("bit_shuffle", "bit_unshuffle"):
+        group = 8 * type_size
+        body = (n // group) * group
+    else:
+        body = (n // type_size) * type_size
+    fn = getattr(ops, {
+        "shuffle": "shuffle_bytes_body",
+        "unshuffle": "unshuffle_bytes_body",
+        "bit_shuffle": "bit_shuffle_body",
+        "bit_unshuffle": "bit_unshuffle_body",
+    }[fn_name])
+    out = np.empty(n, dtype=np.uint8)
+    if body:
+        dev = fn(jnp.asarray(a[:body]), type_size)
+        out[:body] = np.asarray(dev)
+    if fn_name in ("bit_shuffle", "bit_unshuffle"):
+        out[body:] = a[body:]
+    else:
+        # byte shuffle body covers all full elements; tail copied verbatim
+        out[body:] = a[body:]
+    return out
+
+
+def _dispatch(src, type_size: int, fn_name: str) -> np.ndarray:
+    a = reference._as_u8(src)
+    n = a.size
+    if type_size <= 1 or n < type_size:
+        return a.copy()
+    if device_eligible(n, type_size):
+        try:
+            return _device_shuffle(a, type_size, fn_name)
+        except Exception:
+            pass  # fall back to oracle (≙ usedSIMD=false path)
+    ref_fn = {
+        "shuffle": reference.shuffle_bytes,
+        "unshuffle": reference.unshuffle_bytes,
+        "bit_shuffle": reference.bit_shuffle,
+        "bit_unshuffle": reference.bit_unshuffle,
+    }[fn_name]
+    return ref_fn(a, type_size)
+
+
+def shuffle_bytes(src, type_size: int) -> np.ndarray:
+    return _dispatch(src, type_size, "shuffle")
+
+
+def unshuffle_bytes(src, type_size: int) -> np.ndarray:
+    return _dispatch(src, type_size, "unshuffle")
+
+
+def bit_shuffle(src, type_size: int) -> np.ndarray:
+    return _dispatch(src, type_size, "bit_shuffle")
+
+
+def bit_unshuffle(src, type_size: int) -> np.ndarray:
+    return _dispatch(src, type_size, "bit_unshuffle")
+
+
+def apply_filter(src, type_size: int, mode: Shuffle) -> np.ndarray:
+    if mode == Shuffle.SHUFFLE:
+        return shuffle_bytes(src, type_size)
+    if mode == Shuffle.BITSHUFFLE:
+        return bit_shuffle(src, type_size)
+    return reference._as_u8(src).copy()
+
+
+def remove_filter(src, type_size: int, mode: Shuffle) -> np.ndarray:
+    if mode == Shuffle.SHUFFLE:
+        return unshuffle_bytes(src, type_size)
+    if mode == Shuffle.BITSHUFFLE:
+        return bit_unshuffle(src, type_size)
+    return reference._as_u8(src).copy()
+
+
+def shuffle_buffer(data: bytearray | np.ndarray, type_size: int, mode: Shuffle) -> None:
+    """In-place shuffle (≙ ShuffleBuffer, shuffle.go:298-309)."""
+    if mode not in (Shuffle.SHUFFLE, Shuffle.BITSHUFFLE):
+        return
+    result = apply_filter(bytes(data), type_size, mode)
+    data[:] = result.tobytes() if isinstance(data, bytearray) else result
+
+
+def unshuffle_buffer(data: bytearray | np.ndarray, type_size: int, mode: Shuffle) -> None:
+    """In-place unshuffle (≙ UnshuffleBuffer, shuffle.go:312-323)."""
+    if mode not in (Shuffle.SHUFFLE, Shuffle.BITSHUFFLE):
+        return
+    result = remove_filter(bytes(data), type_size, mode)
+    data[:] = result.tobytes() if isinstance(data, bytearray) else result
