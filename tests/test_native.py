@@ -1,0 +1,215 @@
+"""Native C++ backend tests: oracle parity, pipelines, malformed streams.
+
+Mirrors the reference's SIMD-vs-oracle strategy (shuffle_amd64_test.go:152-174:
+direct kernel calls checked against the generic implementation) — here the
+"SIMD kernel" is libtpublosc.so and the oracle is filters/reference.py and
+the pure-Python codecs.
+"""
+
+import numpy as np
+import pytest
+
+import tpu_blosc as blosc
+from tpu_blosc.codecs import lz4_ref, snappy_ref
+from tpu_blosc.filters import reference as ref
+from tpu_blosc.native import backend as nb
+
+pytestmark = pytest.mark.skipif(
+    not nb.available(), reason="native backend unavailable"
+)
+
+SIZES = [1, 2, 7, 13, 28, 35, 64, 100, 257, 1003, 4096, 65537, 1 << 20]
+TYPE_SIZES = [1, 2, 3, 4, 5, 7, 8, 12, 16]
+
+
+def _data(n, kind, seed=0):
+    rng = np.random.default_rng(seed)
+    if kind == "rand":
+        return rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+    if kind == "ramp":
+        return (np.arange(n) % 256).astype(np.uint8).tobytes()
+    if kind == "period3":
+        return (np.arange(n) % 3).astype(np.uint8).tobytes()
+    return bytes(n)
+
+
+# ---------------------------------------------------------------------------
+# shuffle kernels vs oracle
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("ts", TYPE_SIZES)
+def test_shuffle_matches_oracle(ts):
+    for n in SIZES:
+        d = _data(n, "rand", seed=ts)
+        assert np.array_equal(nb.shuffle(d, ts), ref.shuffle_bytes(d, ts))
+        assert np.array_equal(nb.unshuffle(d, ts), ref.unshuffle_bytes(d, ts))
+
+
+@pytest.mark.parametrize("ts", TYPE_SIZES)
+def test_bitshuffle_matches_oracle(ts):
+    for n in SIZES:
+        d = _data(n, "rand", seed=100 + ts)
+        assert np.array_equal(nb.bitshuffle(d, ts), ref.bit_shuffle(d, ts))
+        assert np.array_equal(
+            nb.bitunshuffle(d, ts), ref.bit_unshuffle(d, ts)
+        )
+
+
+def test_shuffle_roundtrip_large():
+    d = np.arange(1 << 22, dtype=np.float32).tobytes()  # 16 MiB, OMP path
+    s = nb.shuffle(d, 4)
+    assert np.array_equal(s, ref.shuffle_bytes(d, 4))
+    assert nb.unshuffle(s, 4).tobytes() == d
+    b = nb.bitshuffle(d, 4)
+    assert np.array_equal(b, ref.bit_shuffle(d, 4))
+    assert nb.bitunshuffle(b, 4).tobytes() == d
+
+
+# ---------------------------------------------------------------------------
+# codecs: cross-implementation parity
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("kind", ["rand", "ramp", "zeros", "period3"])
+def test_lz4_cross_parity(kind):
+    for n in [0, 1, 5, 12, 13, 100, 1000, 65536]:
+        d = _data(n, kind)
+        for depth in (1, 16):
+            c = nb.lz4_compress(d, depth)
+            assert nb.lz4_decompress(c, n) == d
+            # native stream decodable by the pure-Python decoder
+            assert lz4_ref.decompress_block(c, n) == d
+        # pure-Python stream decodable by the native decoder
+        assert nb.lz4_decompress(lz4_ref.compress_block(d), n) == d
+
+
+@pytest.mark.parametrize("kind", ["rand", "ramp", "zeros", "period3"])
+def test_snappy_cross_parity(kind):
+    for n in [0, 1, 5, 15, 16, 100, 1000, 65536]:
+        d = _data(n, kind)
+        c = nb.snappy_compress(d)
+        assert nb.snappy_decompress(c, n) == d
+        assert snappy_ref.decompress(c, n) == d
+        assert nb.snappy_decompress(snappy_ref.compress(d), n) == d
+
+
+def test_lz4_hc_not_worse_much():
+    d = _data(1 << 16, "ramp")
+    fast = len(nb.lz4_compress(d, 1))
+    hc = len(nb.lz4_compress(d, 64))
+    assert hc <= fast  # deeper search never loses on this data
+
+
+def test_lz4_malformed_streams_rejected():
+    from tpu_blosc.errors import DecompressionFailedError
+
+    good = nb.lz4_compress(b"hello world, hello world, hello world", 1)
+    for bad in [
+        good[:1],
+        good[:-1],
+        b"\xff" * 10,
+        b"\x10",             # literal run of 1, no literal byte
+        b"\x00\x01\x00",     # match with offset into nothing
+    ]:
+        with pytest.raises(DecompressionFailedError):
+            nb.lz4_decompress(bad, 38)
+
+
+def test_snappy_malformed_streams_rejected():
+    from tpu_blosc.errors import DecompressionFailedError
+
+    for bad in [b"", b"\xff" * 11, b"\x05\x00", b"\x04\x01\x00"]:
+        with pytest.raises(DecompressionFailedError):
+            nb.snappy_decompress(bad, 5)
+
+
+# ---------------------------------------------------------------------------
+# whole-chunk pipelines
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("shuffle_mode", [0, 1, 2])
+@pytest.mark.parametrize(
+    "codec,depth",
+    [(nb.NATIVE_LZ4, 1), (nb.NATIVE_LZ4HC, 16), (nb.NATIVE_SNAPPY, 0)],
+)
+def test_pipeline_roundtrip(shuffle_mode, codec, depth):
+    n = 3 * 65536 + 12345  # ragged last block
+    d = (np.sin(np.arange((n + 3) // 4) * 0.01) * 1000).astype(
+        np.float32
+    ).tobytes()[:n]
+    bs = 65536
+    payloads, memf = nb.compress_blocks(d, bs, 4, shuffle_mode, codec, depth)
+    sizes = np.array([len(p) for p in payloads], dtype=np.int64)
+    offs = np.concatenate([[0], np.cumsum(sizes[:-1])]).astype(np.int64)
+    joined = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+    mem = np.array(memf, dtype=np.uint8)
+    out = nb.decompress_blocks(
+        joined, offs, sizes, mem, bs, n, 4, shuffle_mode, codec
+    )
+    assert out == d
+
+
+def test_pipeline_memcpy_fallback_on_random():
+    n = 4 * 8192
+    d = _data(n, "rand")
+    payloads, memf = nb.compress_blocks(d, 8192, 4, 1, nb.NATIVE_LZ4, 1)
+    assert all(memf)  # random data is incompressible → every block memcpy
+    assert all(len(p) == 8192 for p in payloads)
+    # raw bytes stored pre-shuffle
+    assert b"".join(payloads) == d
+
+
+# ---------------------------------------------------------------------------
+# end-to-end through the public API (native pipeline engaged via chunk.py)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("codec", [blosc.LZ4, blosc.LZ4HC, blosc.SNAPPY])
+@pytest.mark.parametrize("shuffle", [blosc.NOSHUFFLE, blosc.SHUFFLE, blosc.BITSHUFFLE])
+def test_chunked_api_native(codec, shuffle):
+    d = np.arange(200_000, dtype=np.float32).tobytes()
+    comp = blosc.compress_with_options(
+        d,
+        blosc.Options(
+            codec=codec, shuffle=shuffle, type_size=4, block_size=65536
+        ),
+    )
+    assert blosc.decompress(comp) == d
+
+
+def test_chunked_api_native_matches_python_frames():
+    """Frames built by the native pipeline decode via the pure-Python path
+    and vice versa (set TPU_BLOSC_NO_NATIVE to build the python frame)."""
+    d = np.arange(50_000, dtype=np.float32).tobytes()
+    comp_native = blosc.compress_with_options(
+        d, blosc.Options(block_size=32768)
+    )
+    # python decode of native frame: force the non-native branch by
+    # decoding a frame with a codec the native pipeline also covers, then
+    # compare against full python decode through internal entry points
+    from tpu_blosc import chunk
+    from tpu_blosc.format import parse_header
+
+    header = parse_header(comp_native)
+    entries, offset = chunk.parse_block_table(comp_native, header)
+    # python per-block decode
+    pos = 0
+    out = bytearray()
+    from tpu_blosc.codecs.registry import get_codec
+
+    dec = get_codec(header.codec)
+    o = offset
+    for psize, is_memcpy in entries:
+        this = min(header.block_size, len(d) - pos)
+        payload = comp_native[o : o + psize]
+        o += psize
+        if is_memcpy:
+            out += payload
+        else:
+            blockdata = dec.decompress(payload, this)
+            blockdata = chunk._unfilter_block(blockdata, header.type_size, header.flags)
+            out += blockdata
+        pos += this
+    assert bytes(out) == d

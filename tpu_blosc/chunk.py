@@ -32,6 +32,25 @@ import numpy as np
 
 from . import filters
 from .codecs.registry import get_codec
+from .codecs.lz4_ref import hc_depth_for_level
+
+try:
+    from .native import backend as _native
+except Exception:  # pragma: no cover - native build failure → pure Python
+    _native = None
+
+
+def _native_pipeline_codec(codec: int, level: int) -> tuple[int, int] | None:
+    """Map a frame codec ID to the native block-pipeline codec, if covered."""
+    if _native is None or not _native.available():
+        return None
+    if codec == Codec.LZ4:
+        return _native.NATIVE_LZ4, 1
+    if codec == Codec.LZ4HC:
+        return _native.NATIVE_LZ4HC, hc_depth_for_level(level)
+    if codec == Codec.SNAPPY:
+        return _native.NATIVE_SNAPPY, 0
+    return None
 from .errors import (
     DataTooLargeError,
     InvalidCodecError,
@@ -46,6 +65,7 @@ from .format import (
     FORMAT_VERSION,
     HEADER_SIZE,
     MAX_UINT32,
+    Codec,
     Header,
     Shuffle,
 )
@@ -100,23 +120,37 @@ def compress_chunked(raw: bytes, opts: Options) -> bytes:
 
     n = len(raw)
     block_size = choose_block_size(n, opts.type_size, opts.block_size)
-    blocks = split_blocks(raw, block_size)
 
-    # device-batched filter for the full-size blocks when eligible, else
-    # per-block host filtering
+    native = _native_pipeline_codec(opts.codec, opts.level)
     payloads: list[bytes] = []
     entries: list[int] = []
-    shuffled_blocks = _filter_blocks_batched(blocks, opts)
-    for raw_block, shuf_block in zip(blocks, shuffled_blocks):
-        comp = compressor.compress(shuf_block, opts.level)
-        if len(comp) >= len(raw_block):
-            payloads.append(raw_block)  # memcpy: raw pre-shuffle bytes
-            entries.append(_ENTRY_MEMCPY | len(raw_block))
-        else:
-            payloads.append(comp)
-            entries.append(len(comp))
+    if native is not None:
+        # whole-chunk native pipeline: filter + compress every block in one
+        # OpenMP-parallel call (memcpy fallback handled per block inside)
+        native_codec, depth = native
+        payloads, memcpy_flags = _native.compress_blocks(
+            raw, block_size, opts.type_size, int(opts.shuffle),
+            native_codec, depth,
+        )
+        entries = [
+            (_ENTRY_MEMCPY | len(p)) if m else len(p)
+            for p, m in zip(payloads, memcpy_flags)
+        ]
+    else:
+        blocks = split_blocks(raw, block_size)
+        # device-batched filter for the full-size blocks when eligible, else
+        # per-block host filtering
+        shuffled_blocks = _filter_blocks_batched(blocks, opts)
+        for raw_block, shuf_block in zip(blocks, shuffled_blocks):
+            comp = compressor.compress(shuf_block, opts.level)
+            if len(comp) >= len(raw_block):
+                payloads.append(raw_block)  # memcpy: raw pre-shuffle bytes
+                entries.append(_ENTRY_MEMCPY | len(raw_block))
+            else:
+                payloads.append(comp)
+                entries.append(len(comp))
 
-    num_blocks = len(blocks)
+    num_blocks = len(payloads)
     table = struct.pack("<I", num_blocks) + struct.pack(
         f"<{num_blocks}I", *entries
     )
@@ -196,6 +230,61 @@ def parse_block_table(raw: bytes, header: Header) -> tuple[list[tuple[int, bool]
     return out, table_end
 
 
+def _decompress_chunked_native(
+    raw: bytes,
+    header: Header,
+    entries: list[tuple[int, bool]],
+    offset: int,
+    type_size: int,
+    native_codec: int,
+) -> bytes | None:
+    """Whole-chunk native decode; None when bounds force the Python path."""
+    n = header.nbytes_orig
+    block_size = header.block_size
+    psizes = np.array([s for s, _ in entries], dtype=np.int64)
+    offsets = np.concatenate(
+        [[0], np.cumsum(psizes[:-1])]
+    ).astype(np.int64) + offset
+    is_memcpy = np.array([m for _, m in entries], dtype=np.uint8)
+    end = int(offsets[-1] + psizes[-1])
+    if end > header.nbytes_comp or end > len(raw):
+        raise InvalidDataError(
+            "blosc: invalid compressed data: block payload overruns frame"
+        )
+    # memcpy blocks must be exactly block-sized (parity with Python path)
+    pos = 0
+    for i, (psz, m) in enumerate(entries):
+        bs = min(block_size, n - pos)
+        if m and psz != bs:
+            raise SizeMismatchError(
+                f"blosc: decompressed size mismatch in memcpy block {i}"
+            )
+        pos += bs
+    shuffle_mode = 0
+    if header.has_bitshuffle:
+        shuffle_mode = 2
+    elif header.has_shuffle:
+        shuffle_mode = 1
+    try:
+        return _native.decompress_blocks(
+            np.frombuffer(raw, dtype=np.uint8),
+            offsets,
+            psizes,
+            is_memcpy,
+            block_size,
+            n,
+            type_size,
+            shuffle_mode,
+            native_codec,
+        )
+    except Exception:
+        from .errors import DecompressionFailedError
+
+        raise DecompressionFailedError(
+            "blosc: decompression failed: malformed block payload"
+        ) from None
+
+
 def decompress_chunked(raw: bytes, header: Header, type_size: int) -> bytes:
     """Decompress a FLAG_SPLIT frame."""
     entries, offset = parse_block_table(raw, header)
@@ -219,6 +308,14 @@ def decompress_chunked(raw: bytes, header: Header, type_size: int) -> bytes:
             f"blosc: invalid compressed data: {num_blocks} blocks for "
             f"{n} bytes at block size {block_size}"
         )
+
+    native = _native_pipeline_codec(header.codec, 1)
+    if native is not None:
+        result = _decompress_chunked_native(
+            raw, header, entries, offset, type_size, native[0]
+        )
+        if result is not None:
+            return result
 
     out = bytearray(n)
     pos = 0

@@ -29,13 +29,29 @@ _backend_name = "numpy"
 _jax = None
 _jaxops = None
 _pallas = None
+_native = None
 
 
 def _probe() -> None:
-    """One-time platform probe (≙ initSIMD, shuffle.go:3-5)."""
-    global _backend_name, _jax, _jaxops, _pallas
+    """One-time platform probe (≙ initSIMD, shuffle.go:3-5).
+
+    Two independent capabilities are probed:
+      * the native C++ host kernels (≙ hasAVX2/NEON probe) — fastest path
+        for host-resident buffers;
+      * the JAX device path (Pallas on TPU) — engages above
+        _DEVICE_MIN_BYTES where transfer costs amortize.
+    """
+    global _backend_name, _jax, _jaxops, _pallas, _native
     if os.environ.get("TPU_BLOSC_FORCE_NUMPY"):
         return
+    try:
+        from ..native import backend as native
+
+        if native.available():
+            _native = native
+            _backend_name = "native"
+    except Exception:  # pragma: no cover - toolchain missing → numpy
+        pass
     try:
         import jax
 
@@ -54,7 +70,8 @@ def _probe() -> None:
             return
         except Exception:
             pass
-    _backend_name = "jax" if platform != "cpu" else "numpy"
+    if _native is None:
+        _backend_name = "jax" if platform != "cpu" else "numpy"
 
 
 _probe()
@@ -113,7 +130,18 @@ def _dispatch(src, type_size: int, fn_name: str) -> np.ndarray:
         try:
             return _device_shuffle(a, type_size, fn_name)
         except Exception:
-            pass  # fall back to oracle (≙ usedSIMD=false path)
+            pass  # fall back to host paths (≙ usedSIMD=false path)
+    if _native is not None:
+        nat_fn = {
+            "shuffle": _native.shuffle,
+            "unshuffle": _native.unshuffle,
+            "bit_shuffle": _native.bitshuffle,
+            "bit_unshuffle": _native.bitunshuffle,
+        }[fn_name]
+        try:
+            return nat_fn(a, type_size)
+        except Exception:
+            pass
     ref_fn = {
         "shuffle": reference.shuffle_bytes,
         "unshuffle": reference.unshuffle_bytes,

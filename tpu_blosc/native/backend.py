@@ -1,11 +1,17 @@
 """ctypes binding to the C++ host backend (libtpublosc.so).
 
 Build contract: the shared library is compiled on demand from
-``tpublosc.cpp`` next to this file (g++ -O3 -march=native -shared -fPIC)
+``tpublosc.cpp`` next to this file (g++ -O3 -march=native -fopenmp -shared)
 and cached; if the toolchain or source is missing, ``available()`` returns
 False and callers fall back to the pure-Python/NumPy paths — the same
 boolean-degradation contract as the reference's SIMD dispatch
 (shuffle.go:31-57).
+
+Beyond the single-buffer entry points (mirroring the reference's per-call
+API), this exposes the whole-chunk block pipelines
+(``compress_blocks``/``decompress_blocks``) that filter+compress every
+block of a chunked frame in one call with OpenMP across blocks — the
+host-side analogue of sharding blocks across TPU chips (SURVEY §5).
 """
 
 from __future__ import annotations
@@ -15,6 +21,8 @@ import os
 import subprocess
 import threading
 
+import numpy as np
+
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "tpublosc.cpp")
 _LIB_PATH = os.path.join(_HERE, "libtpublosc.so")
@@ -22,6 +30,9 @@ _LIB_PATH = os.path.join(_HERE, "libtpublosc.so")
 _lib = None
 _lock = threading.Lock()
 _tried = False
+
+_i64 = ctypes.c_int64
+_p = ctypes.c_void_p
 
 
 def _build() -> bool:
@@ -32,6 +43,7 @@ def _build() -> bool:
         "-O3",
         "-march=native",
         "-funroll-loops",
+        "-fopenmp",
         "-shared",
         "-fPIC",
         "-std=c++17",
@@ -40,7 +52,7 @@ def _build() -> bool:
         _LIB_PATH,
     ]
     try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        subprocess.run(cmd, check=True, capture_output=True, timeout=180)
         return True
     except Exception:
         return False
@@ -64,37 +76,18 @@ def _load() -> None:
             lib = ctypes.CDLL(_LIB_PATH)
         except OSError:
             return
-        # int64 tpb_lz4_compress(const uint8_t*, int64 n, uint8_t* out,
-        #                        int64 out_cap, int depth)
-        lib.tpb_lz4_compress.restype = ctypes.c_int64
-        lib.tpb_lz4_compress.argtypes = [
-            ctypes.c_char_p,
-            ctypes.c_int64,
-            ctypes.c_char_p,
-            ctypes.c_int64,
-            ctypes.c_int,
-        ]
-        lib.tpb_lz4_decompress.restype = ctypes.c_int64
-        lib.tpb_lz4_decompress.argtypes = [
-            ctypes.c_char_p,
-            ctypes.c_int64,
-            ctypes.c_char_p,
-            ctypes.c_int64,
-        ]
-        lib.tpb_snappy_compress.restype = ctypes.c_int64
-        lib.tpb_snappy_compress.argtypes = [
-            ctypes.c_char_p,
-            ctypes.c_int64,
-            ctypes.c_char_p,
-            ctypes.c_int64,
-        ]
-        lib.tpb_snappy_decompress.restype = ctypes.c_int64
-        lib.tpb_snappy_decompress.argtypes = [
-            ctypes.c_char_p,
-            ctypes.c_int64,
-            ctypes.c_char_p,
-            ctypes.c_int64,
-        ]
+        for name in ("tpb_lz4_compress",):
+            fn = getattr(lib, name)
+            fn.restype = _i64
+            fn.argtypes = [_p, _i64, _p, _i64, ctypes.c_int]
+        for name in (
+            "tpb_lz4_decompress",
+            "tpb_snappy_compress",
+            "tpb_snappy_decompress",
+        ):
+            fn = getattr(lib, name)
+            fn.restype = _i64
+            fn.argtypes = [_p, _i64, _p, _i64]
         for name in (
             "tpb_shuffle",
             "tpb_unshuffle",
@@ -103,12 +96,26 @@ def _load() -> None:
         ):
             fn = getattr(lib, name)
             fn.restype = None
-            fn.argtypes = [
-                ctypes.c_char_p,
-                ctypes.c_char_p,
-                ctypes.c_int64,
-                ctypes.c_int,
-            ]
+            fn.argtypes = [_p, _p, _i64, ctypes.c_int]
+        lib.tpb_compress_blocks.restype = _i64
+        lib.tpb_compress_blocks.argtypes = [
+            _p, _i64, _i64,                       # src, n, block_size
+            ctypes.c_int, ctypes.c_int,           # ts, shuffle_mode
+            ctypes.c_int, ctypes.c_int,           # codec, depth
+            _p, _i64,                             # out, slot_stride
+            _p, _p,                               # out_sizes, out_memcpy
+        ]
+        lib.tpb_decompress_blocks.restype = _i64
+        lib.tpb_decompress_blocks.argtypes = [
+            _p, _p, _p, _p,                       # payloads, offsets, psizes, is_memcpy
+            _i64, _i64, _i64,                     # nb, block_size, total_n
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,  # ts, shuffle_mode, codec
+            _p,                                   # out
+        ]
+        lib.tpb_compress_bound.restype = _i64
+        lib.tpb_compress_bound.argtypes = [_i64, ctypes.c_int]
+        lib.tpb_num_threads.restype = ctypes.c_int
+        lib.tpb_num_threads.argtypes = []
         _lib = lib
 
 
@@ -118,63 +125,182 @@ def available() -> bool:
     return _lib is not None
 
 
-def lz4_compress(data: bytes, depth: int = 1) -> bytes:
-    n = len(data)
-    cap = n + n // 255 + 64
-    out = ctypes.create_string_buffer(cap)
-    written = _lib.tpb_lz4_compress(data, n, out, cap, depth)
+def num_threads() -> int:
+    return _lib.tpb_num_threads() if available() else 1
+
+
+def _ensure() -> None:
+    if not available():
+        raise RuntimeError("native backend unavailable")
+
+
+def _as_u8(data) -> np.ndarray:
+    if isinstance(data, np.ndarray):
+        a = data.reshape(-1).view(np.uint8)
+        return a if a.flags.c_contiguous else np.ascontiguousarray(a)
+    return np.frombuffer(data, dtype=np.uint8)
+
+
+def _ptr(arr: np.ndarray):
+    return arr.ctypes.data_as(_p)
+
+
+# ---------------------------------------------------------------------------
+# single-buffer codec entry points
+# ---------------------------------------------------------------------------
+
+
+def lz4_compress(data, depth: int = 1) -> bytes:
+    _ensure()
+    a = _as_u8(data)
+    n = a.size
+    cap = n + n // 255 + 16
+    out = np.empty(cap, dtype=np.uint8)
+    written = _lib.tpb_lz4_compress(_ptr(a), n, _ptr(out), cap, depth)
     if written < 0:
         raise RuntimeError(f"native lz4 compress failed ({written})")
-    return out.raw[:written]
+    return out[:written].tobytes()
 
 
-def lz4_decompress(data: bytes, expected_size: int) -> bytes:
+def lz4_decompress(data, expected_size: int) -> bytes:
+    _ensure()
     from ..errors import DecompressionFailedError
 
-    out = ctypes.create_string_buffer(max(expected_size, 1))
-    written = _lib.tpb_lz4_decompress(data, len(data), out, expected_size)
+    a = _as_u8(data)
+    out = np.empty(max(expected_size, 1), dtype=np.uint8)
+    written = _lib.tpb_lz4_decompress(_ptr(a), a.size, _ptr(out), expected_size)
     if written < 0:
         raise DecompressionFailedError(f"lz4: malformed stream (code {written})")
-    return out.raw[:written]
+    return out[:written].tobytes()
 
 
-def snappy_compress(data: bytes) -> bytes:
-    n = len(data)
+def snappy_compress(data) -> bytes:
+    _ensure()
+    a = _as_u8(data)
+    n = a.size
     cap = 32 + n + n // 6
-    out = ctypes.create_string_buffer(cap)
-    written = _lib.tpb_snappy_compress(data, n, out, cap)
+    out = np.empty(cap, dtype=np.uint8)
+    written = _lib.tpb_snappy_compress(_ptr(a), n, _ptr(out), cap)
     if written < 0:
         raise RuntimeError(f"native snappy compress failed ({written})")
-    return out.raw[:written]
+    return out[:written].tobytes()
 
 
-def snappy_decompress(data: bytes, expected_size: int) -> bytes:
+def snappy_decompress(data, expected_size: int) -> bytes:
+    _ensure()
     from ..errors import DecompressionFailedError
 
-    out = ctypes.create_string_buffer(max(expected_size, 1))
-    written = _lib.tpb_snappy_decompress(data, len(data), out, expected_size)
+    a = _as_u8(data)
+    out = np.empty(max(expected_size, 1), dtype=np.uint8)
+    written = _lib.tpb_snappy_decompress(
+        _ptr(a), a.size, _ptr(out), expected_size
+    )
     if written < 0:
-        raise DecompressionFailedError(f"snappy: malformed stream (code {written})")
-    return out.raw[:written]
+        raise DecompressionFailedError(
+            f"snappy: malformed stream (code {written})"
+        )
+    return out[:written].tobytes()
 
 
-def _shuffle_call(name: str, data: bytes, type_size: int) -> bytes:
-    out = ctypes.create_string_buffer(len(data))
-    getattr(_lib, name)(data, out, len(data), type_size)
-    return out.raw
+# ---------------------------------------------------------------------------
+# shuffle filter entry points
+# ---------------------------------------------------------------------------
 
 
-def shuffle(data: bytes, type_size: int) -> bytes:
+def _shuffle_call(name: str, data, type_size: int) -> np.ndarray:
+    _ensure()
+    a = _as_u8(data)
+    out = np.empty(a.size, dtype=np.uint8)
+    getattr(_lib, name)(_ptr(a), _ptr(out), a.size, type_size)
+    return out
+
+
+def shuffle(data, type_size: int) -> np.ndarray:
     return _shuffle_call("tpb_shuffle", data, type_size)
 
 
-def unshuffle(data: bytes, type_size: int) -> bytes:
+def unshuffle(data, type_size: int) -> np.ndarray:
     return _shuffle_call("tpb_unshuffle", data, type_size)
 
 
-def bitshuffle(data: bytes, type_size: int) -> bytes:
+def bitshuffle(data, type_size: int) -> np.ndarray:
     return _shuffle_call("tpb_bitshuffle", data, type_size)
 
 
-def bitunshuffle(data: bytes, type_size: int) -> bytes:
+def bitunshuffle(data, type_size: int) -> np.ndarray:
     return _shuffle_call("tpb_bitunshuffle", data, type_size)
+
+
+# ---------------------------------------------------------------------------
+# whole-chunk block pipelines
+# ---------------------------------------------------------------------------
+
+# codec IDs of the native pipeline (NOT the frame codec byte; mapping is in
+# chunk.py): 1 = LZ4 (depth 1), 2 = LZ4HC (depth>1), 3 = Snappy
+NATIVE_LZ4 = 1
+NATIVE_LZ4HC = 2
+NATIVE_SNAPPY = 3
+
+
+def compress_blocks(
+    data,
+    block_size: int,
+    type_size: int,
+    shuffle_mode: int,
+    native_codec: int,
+    depth: int,
+) -> tuple[list[bytes], list[bool]]:
+    """Filter+compress every block of ``data`` in one parallel native call.
+
+    Returns (payloads, is_memcpy) per block, mirroring the per-block logic
+    of chunk.compress_chunked.
+    """
+    _ensure()
+    a = _as_u8(data)
+    n = a.size
+    nb = -(-n // block_size)
+    slot = int(_lib.tpb_compress_bound(block_size, native_codec))
+    out = np.empty(nb * slot, dtype=np.uint8)
+    sizes = np.empty(nb, dtype=np.int64)
+    memcpy_flags = np.empty(nb, dtype=np.uint8)
+    rc = _lib.tpb_compress_blocks(
+        _ptr(a), n, block_size,
+        type_size, shuffle_mode, native_codec, depth,
+        _ptr(out), slot, _ptr(sizes), _ptr(memcpy_flags),
+    )
+    if rc != 0:
+        raise RuntimeError(f"native compress_blocks failed ({rc})")
+    payloads = [
+        out[i * slot : i * slot + sizes[i]].tobytes() for i in range(nb)
+    ]
+    return payloads, [bool(f) for f in memcpy_flags]
+
+
+def decompress_blocks(
+    payloads: np.ndarray,
+    offsets: np.ndarray,
+    psizes: np.ndarray,
+    is_memcpy: np.ndarray,
+    block_size: int,
+    total_n: int,
+    type_size: int,
+    shuffle_mode: int,
+    native_codec: int,
+) -> bytes:
+    """Decompress+unfilter every block in one parallel native call."""
+    _ensure()
+    from ..errors import DecompressionFailedError
+
+    nb = offsets.size
+    out = np.empty(total_n, dtype=np.uint8)
+    got = _lib.tpb_decompress_blocks(
+        _ptr(payloads), _ptr(offsets), _ptr(psizes), _ptr(is_memcpy),
+        nb, block_size, total_n,
+        type_size, shuffle_mode, native_codec,
+        _ptr(out),
+    )
+    if got != total_n:
+        raise DecompressionFailedError(
+            f"native decompress_blocks failed (code {got})"
+        )
+    return out.tobytes()

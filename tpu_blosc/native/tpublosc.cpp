@@ -1,0 +1,973 @@
+// tpublosc — native host backend for the tpu_blosc framework.
+//
+// This is the TPU-native framework's host runtime: the role the reference
+// fills with Plan9 assembly (shuffle_amd64.s / shuffle_arm64.s) and
+// third-party Go codec libraries (pierrec/lz4, klauspost/compress).  It is
+// a from-scratch C++17 implementation of:
+//
+//   * LZ4 block format encode (greedy + hash-chain HC) / safe decode
+//     (stream-compatible with lz4.CompressBlock/UncompressBlock used at
+//     reference codec.go:63-128)
+//   * raw Snappy encode / safe decode (≙ klauspost snappy, codec.go:228-244)
+//   * byte shuffle / unshuffle with AVX2 specializations for typeSize
+//     2/4/8 (≙ shuffle_amd64.s:138-330, generalized) and a blocked
+//     generic path (≙ shuffle.go:60-72)
+//   * bit shuffle / unshuffle via 8x8 bit anti-transpose on uint64 planes
+//     (≙ the scalar GPR transpose at shuffle_amd64.s:346-1394, but using
+//     the mask-shift trick instead of per-bit moves)
+//   * OpenMP-parallel whole-chunk block pipelines (shuffle+compress /
+//     decompress+unshuffle of every block of a chunk in one call) — the
+//     host-side analogue of sharding blocks across TPU chips.
+//
+// Exported C ABI consumed by native/backend.py via ctypes.  All functions
+// are thread-safe and allocation-free on the hot path (callers provide
+// bounded output buffers; per-thread scratch is stack/heap local).
+
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+#include <algorithm>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+#if defined(__GLIBC__)
+#include <malloc.h>
+// Large allocations normally go through mmap and are munmap'd on free, so
+// every buffer pays full page-fault cost again — pathological on
+// virtualized hosts with slow fault handling (measured ~50us/page on the
+// target VM: a fresh 64 MB buffer costs ~1 s before a single byte of real
+// work).  Keeping large blocks on the brk heap lets glibc reuse
+// already-faulted pages across the allocate/free churn of a compression
+// pipeline.  Opt out with TPU_BLOSC_NO_MALLOC_TUNE=1.
+__attribute__((constructor)) static void tpb_tune_malloc() {
+  if (!std::getenv("TPU_BLOSC_NO_MALLOC_TUNE")) {
+    mallopt(M_MMAP_MAX, 0);
+    mallopt(M_TRIM_THRESHOLD, -1);
+  }
+}
+#endif
+
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// small helpers
+// ---------------------------------------------------------------------------
+
+static inline uint32_t read32(const uint8_t *p) {
+  uint32_t v;
+  std::memcpy(&v, p, 4);
+  return v;
+}
+
+static inline uint64_t read64(const uint8_t *p) {
+  uint64_t v;
+  std::memcpy(&v, p, 8);
+  return v;
+}
+
+static inline void write64(uint8_t *p, uint64_t v) { std::memcpy(p, &v, 8); }
+
+// Copy an LZ match dst[k] = dst[k - offset] for k in [0, len).  Handles the
+// self-overlapping case (offset < len) in O(len) with pattern doubling
+// instead of byte-by-byte — critical for the long small-offset runs that
+// shuffled ramp data produces.
+static inline void match_copy(uint8_t *d, int64_t offset, int64_t len) {
+  const uint8_t *s = d - offset;
+  if (offset >= len) {
+    std::memmove(d, s, (size_t)len);
+    return;
+  }
+  // seed one period, then double: each memcpy source [d-offset, …) is
+  // fully written and p stays a multiple of offset
+  for (int64_t k = 0; k < offset; k++) d[k] = s[k];
+  int64_t p = offset;
+  while (p < len) {
+    int64_t chunk = std::min(p, len - p);
+    std::memcpy(d + p, d, (size_t)chunk);
+    p += chunk;
+  }
+}
+
+// ---------------------------------------------------------------------------
+// LZ4 block format
+// ---------------------------------------------------------------------------
+
+constexpr int kMinMatch = 4;
+constexpr int kMfLimit = 12;       // no match starts within last 12 bytes
+constexpr int kLastLiterals = 5;   // last 5 bytes are always literals
+constexpr int kMaxOffset = 65535;
+constexpr int kHashLog = 16;
+constexpr uint32_t kHashMult = 2654435761u;
+
+static inline uint32_t lz4_hash(uint32_t v) {
+  return (v * kHashMult) >> (32 - kHashLog);
+}
+
+// Worst case size (mirror of lz4_ref.compress_bound).
+static inline int64_t lz4_bound(int64_t n) { return n + n / 255 + 16; }
+
+// Emit literal run + optional match; returns new output pos or -1 on overflow.
+static inline int64_t lz4_emit(uint8_t *dst, int64_t di, int64_t cap,
+                               const uint8_t *lit, int64_t lit_len,
+                               int offset, int64_t match_len) {
+  const int64_t ml = match_len > 0 ? match_len - kMinMatch : 0;
+  // worst-case bytes for this sequence
+  int64_t need = 1 + lit_len + lit_len / 255 + 1 + 2 + ml / 255 + 1;
+  if (di + need > cap) return -1;
+  uint8_t *op = dst + di;
+  uint8_t token_lit = lit_len >= 15 ? 15 : (uint8_t)lit_len;
+  uint8_t token_ml =
+      match_len > 0 ? (ml >= 15 ? 15 : (uint8_t)ml) : 0;
+  *op++ = (uint8_t)((token_lit << 4) | token_ml);
+  if (lit_len >= 15) {
+    int64_t rem = lit_len - 15;
+    while (rem >= 255) { *op++ = 255; rem -= 255; }
+    *op++ = (uint8_t)rem;
+  }
+  std::memcpy(op, lit, (size_t)lit_len);
+  op += lit_len;
+  if (match_len > 0) {
+    *op++ = (uint8_t)(offset & 0xFF);
+    *op++ = (uint8_t)(offset >> 8);
+    if (ml >= 15) {
+      int64_t rem = ml - 15;
+      while (rem >= 255) { *op++ = 255; rem -= 255; }
+      *op++ = (uint8_t)rem;
+    }
+  }
+  return op - dst;
+}
+
+// Greedy/HC LZ4 block encoder.  depth==1: greedy, single hash probe
+// (≙ lz4.CompressBlock); depth>1: hash-chain search of that many candidates
+// (≙ lz4.CompressBlockHC effort tiers, see codecs/lz4_ref.hc_depth_for_level).
+static int64_t lz4_compress(const uint8_t *src, int64_t n, uint8_t *dst,
+                            int64_t cap, int depth) {
+  if (n == 0) return 0;
+  int64_t di = 0;
+  if (n < kMfLimit + 1) {
+    return lz4_emit(dst, di, cap, src, n, 0, 0);
+  }
+
+  // head[h] = last position + 1 with hash h (0 = empty).
+  // chain[pos & 0xFFFF] = previous position + 1 in the same bucket; the
+  // 64K window matches the LZ4 offset range.
+  int64_t head_sz = (int64_t)1 << kHashLog;
+  int64_t *head = (int64_t *)std::calloc((size_t)head_sz, sizeof(int64_t));
+  int64_t *chain = nullptr;
+  if (depth > 1)
+    chain = (int64_t *)std::calloc(65536, sizeof(int64_t));
+  if (!head || (depth > 1 && !chain)) {
+    std::free(head);
+    std::free(chain);
+    return -2;
+  }
+
+  const int64_t limit = n - kMfLimit;        // last valid match start
+  const int64_t match_limit = n - kLastLiterals;
+  int64_t anchor = 0, i = 0;
+  int64_t search_count = 0;
+
+  while (i <= limit) {
+    uint32_t seq = read32(src + i);
+    uint32_t h = lz4_hash(seq);
+    int64_t best_ref = -1, best_len = 0;
+
+    int64_t cand = head[h] - 1;
+    int d = depth;
+    while (cand >= 0 && d > 0 && i - cand <= kMaxOffset) {
+      if (read32(src + cand) == seq) {
+        int64_t mlen = kMinMatch;
+        // fast extension by 8-byte compares
+        while (i + mlen + 8 <= match_limit &&
+               read64(src + cand + mlen) == read64(src + i + mlen))
+          mlen += 8;
+        if (i + mlen + 8 > match_limit) {
+          while (i + mlen < match_limit && src[cand + mlen] == src[i + mlen])
+            mlen++;
+        } else {
+          uint64_t diff = read64(src + cand + mlen) ^ read64(src + i + mlen);
+          mlen += __builtin_ctzll(diff) >> 3;
+        }
+        if (mlen > best_len) {
+          best_len = mlen;
+          best_ref = cand;
+          if (!chain) break;
+        }
+      }
+      if (!chain) break;
+      d--;
+      cand = chain[cand & 0xFFFF] - 1;
+    }
+
+    if (chain) chain[i & 0xFFFF] = head[h];
+    head[h] = i + 1;
+
+    if (best_len >= kMinMatch) {
+      int64_t ref = best_ref;
+      while (i > anchor && ref > 0 && src[i - 1] == src[ref - 1]) {
+        i--;
+        ref--;
+        best_len++;
+      }
+      di = lz4_emit(dst, di, cap, src + anchor, i - anchor,
+                    (int)(i - ref), best_len);
+      if (di < 0) break;
+      // insert a few positions inside the match so future matches can
+      // reference it (greedy LZ4 inserts i+2; do the same cheaply)
+      if (i + 2 <= limit) {
+        uint32_t h2 = lz4_hash(read32(src + i + 2));
+        if (chain) chain[(i + 2) & 0xFFFF] = head[h2];
+        head[h2] = i + 3;
+      }
+      i += best_len;
+      anchor = i;
+      search_count = 0;
+    } else {
+      // acceleration through incompressible regions (like LZ4 searchMatchNb)
+      search_count++;
+      i += 1 + (depth == 1 ? (search_count >> 6) : 0);
+    }
+  }
+
+  std::free(head);
+  std::free(chain);
+  if (di < 0) return -1;
+  return lz4_emit(dst, di, cap, src + anchor, n - anchor, 0, 0);
+}
+
+// Safe LZ4 block decoder.  Returns bytes written or negative error.
+static int64_t lz4_decompress(const uint8_t *src, int64_t n, uint8_t *dst,
+                              int64_t cap) {
+  int64_t si = 0, di = 0;
+  while (si < n) {
+    uint8_t token = src[si++];
+    int64_t lit = token >> 4;
+    if (lit == 15) {
+      uint8_t b;
+      do {
+        if (si >= n) return -1;  // truncated literal length
+        b = src[si++];
+        lit += b;
+      } while (b == 255);
+    }
+    if (si + lit > n) return -2;   // literal overruns input
+    if (di + lit > cap) return -3; // output overflow
+    // wild copy when margins allow, exact copy otherwise
+    if (lit && si + lit + 16 <= n && di + lit + 16 <= cap) {
+      const uint8_t *s = src + si;
+      uint8_t *d = dst + di;
+      for (int64_t k = 0; k < lit; k += 16) {
+        std::memcpy(d + k, s + k, 16);
+      }
+    } else {
+      std::memcpy(dst + di, src + si, (size_t)lit);
+    }
+    si += lit;
+    di += lit;
+    if (si >= n) break;  // last sequence: literals only
+    if (si + 2 > n) return -4;  // truncated offset
+    int64_t offset = src[si] | ((int64_t)src[si + 1] << 8);
+    si += 2;
+    if (offset == 0 || offset > di) return -5;  // invalid offset
+    int64_t mlen = (token & 0xF) + kMinMatch;
+    if ((token & 0xF) == 15) {
+      uint8_t b;
+      do {
+        if (si >= n) return -6;  // truncated match length
+        b = src[si++];
+        mlen += b;
+      } while (b == 255);
+    }
+    if (di + mlen > cap) return -7;  // output overflow
+    uint8_t *d = dst + di;
+    const uint8_t *s = d - offset;
+    if (offset >= 8 && di + mlen + 16 <= cap) {
+      for (int64_t k = 0; k < mlen; k += 8) write64(d + k, read64(s + k));
+    } else {
+      match_copy(d, offset, mlen);
+    }
+    di += mlen;
+  }
+  return di;
+}
+
+// ---------------------------------------------------------------------------
+// raw Snappy
+// ---------------------------------------------------------------------------
+
+static inline int64_t snappy_bound(int64_t n) { return 32 + n + n / 6; }
+
+static inline int64_t snappy_emit_literal(uint8_t *dst, int64_t di,
+                                          const uint8_t *lit, int64_t len) {
+  int64_t n = len - 1;
+  if (n < 60) {
+    dst[di++] = (uint8_t)(n << 2);
+  } else if (n < (1 << 8)) {
+    dst[di++] = 60 << 2;
+    dst[di++] = (uint8_t)n;
+  } else if (n < (1 << 16)) {
+    dst[di++] = 61 << 2;
+    dst[di++] = (uint8_t)n;
+    dst[di++] = (uint8_t)(n >> 8);
+  } else if (n < (1 << 24)) {
+    dst[di++] = 62 << 2;
+    dst[di++] = (uint8_t)n;
+    dst[di++] = (uint8_t)(n >> 8);
+    dst[di++] = (uint8_t)(n >> 16);
+  } else {
+    dst[di++] = 63 << 2;
+    dst[di++] = (uint8_t)n;
+    dst[di++] = (uint8_t)(n >> 8);
+    dst[di++] = (uint8_t)(n >> 16);
+    dst[di++] = (uint8_t)(n >> 24);
+  }
+  std::memcpy(dst + di, lit, (size_t)len);
+  return di + len;
+}
+
+static inline int64_t snappy_emit_copy(uint8_t *dst, int64_t di,
+                                       int64_t offset, int64_t length) {
+  while (length > 0) {
+    int64_t chunk;
+    if (length > 64)
+      chunk = length < 68 ? 60 : 64;  // never leave a tail < 4
+    else
+      chunk = length;
+    if (chunk >= 4 && chunk <= 11 && offset < 2048) {
+      dst[di++] = (uint8_t)(((offset >> 8) << 5) | ((chunk - 4) << 2) | 0x01);
+      dst[di++] = (uint8_t)(offset & 0xFF);
+    } else {
+      dst[di++] = (uint8_t)(((chunk - 1) << 2) | 0x02);
+      dst[di++] = (uint8_t)(offset & 0xFF);
+      dst[di++] = (uint8_t)(offset >> 8);
+    }
+    length -= chunk;
+  }
+  return di;
+}
+
+static int64_t snappy_compress(const uint8_t *src, int64_t n, uint8_t *dst,
+                               int64_t cap) {
+  if (cap < snappy_bound(n)) return -1;
+  int64_t di = 0;
+  // uvarint preamble
+  uint64_t x = (uint64_t)n;
+  while (x >= 0x80) {
+    dst[di++] = (uint8_t)(x & 0x7F) | 0x80;
+    x >>= 7;
+  }
+  dst[di++] = (uint8_t)x;
+  if (n == 0) return di;
+  if (n < 16) return snappy_emit_literal(dst, di, src, n);
+
+  constexpr uint32_t kSnappyMult = 0x1E35A7BD;
+  constexpr int kTableBits = 14;
+  int32_t table[1 << kTableBits];
+  std::memset(table, -1, sizeof(table));
+
+  int64_t anchor = 0, i = 0;
+  const int64_t limit = n - 4;
+  int64_t skip = 32;
+  while (i <= limit) {
+    uint32_t seq = read32(src + i);
+    uint32_t h = (seq * kSnappyMult) >> (32 - kTableBits);
+    int64_t cand = table[h];
+    table[h] = (int32_t)i;
+    if (cand >= 0 && i - cand <= 0xFFFF && read32(src + cand) == seq) {
+      int64_t mlen = 4;
+      while (i + mlen < n && src[cand + mlen] == src[i + mlen]) mlen++;
+      if (i > anchor) di = snappy_emit_literal(dst, di, src + anchor, i - anchor);
+      di = snappy_emit_copy(dst, di, i - cand, mlen);
+      i += mlen;
+      anchor = i;
+      skip = 32;
+    } else {
+      i += skip >> 5;
+      skip++;
+    }
+  }
+  if (anchor < n) di = snappy_emit_literal(dst, di, src + anchor, n - anchor);
+  return di;
+}
+
+static int64_t snappy_decompress(const uint8_t *src, int64_t n, uint8_t *dst,
+                                 int64_t cap) {
+  // uvarint preamble
+  uint64_t total = 0;
+  int shift = 0;
+  int64_t pos = 0;
+  for (;;) {
+    if (pos >= n || shift > 63) return -1;
+    uint8_t b = src[pos++];
+    total |= (uint64_t)(b & 0x7F) << shift;
+    if (b < 0x80) break;
+    shift += 7;
+  }
+  if ((int64_t)total > cap) return -2;
+  int64_t di = 0;
+  while (pos < n) {
+    uint8_t tag = src[pos++];
+    int kind = tag & 0x03;
+    if (kind == 0x00) {  // literal
+      int64_t len = tag >> 2;
+      if (len >= 60) {
+        int extra = (int)(len - 59);
+        if (pos + extra > n) return -3;
+        len = 0;
+        for (int k = 0; k < extra; k++) len |= (int64_t)src[pos + k] << (8 * k);
+        pos += extra;
+      }
+      len += 1;
+      if (pos + len > n || di + len > (int64_t)total) return -4;
+      std::memcpy(dst + di, src + pos, (size_t)len);
+      pos += len;
+      di += len;
+      continue;
+    }
+    int64_t length, offset;
+    if (kind == 0x01) {
+      if (pos >= n) return -5;
+      length = ((tag >> 2) & 0x7) + 4;
+      offset = ((int64_t)(tag >> 5) << 8) | src[pos++];
+    } else if (kind == 0x02) {
+      if (pos + 2 > n) return -6;
+      length = (tag >> 2) + 1;
+      offset = src[pos] | ((int64_t)src[pos + 1] << 8);
+      pos += 2;
+    } else {
+      if (pos + 4 > n) return -7;
+      length = (tag >> 2) + 1;
+      offset = (int64_t)read32(src + pos);
+      pos += 4;
+    }
+    if (offset == 0 || offset > di || di + length > (int64_t)total) return -8;
+    match_copy(dst + di, offset, length);
+    di += length;
+  }
+  if (di != (int64_t)total) return -9;
+  return di;
+}
+
+// ---------------------------------------------------------------------------
+// byte shuffle / unshuffle
+// (semantics: SURVEY §2.5 — dst[j*ne + i] = src[i*ts + j]; tail verbatim)
+// ---------------------------------------------------------------------------
+
+// scalar fallback over an element range [e0, e1)
+static void shuffle_scalar(const uint8_t *src, uint8_t *dst, int64_t ne,
+                           int ts, int64_t e0, int64_t e1) {
+  for (int j = 0; j < ts; j++) {
+    uint8_t *d = dst + (int64_t)j * ne;
+    const uint8_t *s = src + j;
+    for (int64_t i = e0; i < e1; i++) d[i] = s[(int64_t)i * ts];
+  }
+}
+
+static void unshuffle_scalar(const uint8_t *src, uint8_t *dst, int64_t ne,
+                             int ts, int64_t e0, int64_t e1) {
+  for (int j = 0; j < ts; j++) {
+    const uint8_t *s = src + (int64_t)j * ne;
+    uint8_t *d = dst + j;
+    for (int64_t i = e0; i < e1; i++) d[(int64_t)i * ts] = s[i];
+  }
+}
+
+#if defined(__AVX2__)
+
+// ts == 4: 8 elements (32 B) per iteration — VPSHUFB lane grouping +
+// VPERMD cross-lane merge, the intrinsics form of shuffle_amd64.s:138-243.
+static void shuffle4_avx2(const uint8_t *src, uint8_t *dst, int64_t ne,
+                          int64_t e0, int64_t e1) {
+  const __m256i mask = _mm256_setr_epi8(
+      0, 4, 8, 12, 1, 5, 9, 13, 2, 6, 10, 14, 3, 7, 11, 15,
+      0, 4, 8, 12, 1, 5, 9, 13, 2, 6, 10, 14, 3, 7, 11, 15);
+  const __m256i perm = _mm256_setr_epi32(0, 4, 1, 5, 2, 6, 3, 7);
+  int64_t i = e0;
+  for (; i + 8 <= e1; i += 8) {
+    __m256i v = _mm256_loadu_si256((const __m256i *)(src + i * 4));
+    v = _mm256_shuffle_epi8(v, mask);
+    v = _mm256_permutevar8x32_epi32(v, perm);
+    alignas(32) uint8_t tmp[32];
+    _mm256_store_si256((__m256i *)tmp, v);
+    std::memcpy(dst + i, tmp, 8);
+    std::memcpy(dst + ne + i, tmp + 8, 8);
+    std::memcpy(dst + 2 * ne + i, tmp + 16, 8);
+    std::memcpy(dst + 3 * ne + i, tmp + 24, 8);
+  }
+  if (i < e1) shuffle_scalar(src, dst, ne, 4, i, e1);
+}
+
+static void unshuffle4_avx2(const uint8_t *src, uint8_t *dst, int64_t ne,
+                            int64_t e0, int64_t e1) {
+  const __m256i mask = _mm256_setr_epi8(
+      0, 4, 8, 12, 1, 5, 9, 13, 2, 6, 10, 14, 3, 7, 11, 15,
+      0, 4, 8, 12, 1, 5, 9, 13, 2, 6, 10, 14, 3, 7, 11, 15);
+  const __m256i perm = _mm256_setr_epi32(0, 2, 4, 6, 1, 3, 5, 7);
+  int64_t i = e0;
+  for (; i + 8 <= e1; i += 8) {
+    alignas(32) uint8_t tmp[32];
+    std::memcpy(tmp, src + i, 8);
+    std::memcpy(tmp + 8, src + ne + i, 8);
+    std::memcpy(tmp + 16, src + 2 * ne + i, 8);
+    std::memcpy(tmp + 24, src + 3 * ne + i, 8);
+    __m256i v = _mm256_load_si256((const __m256i *)tmp);
+    v = _mm256_permutevar8x32_epi32(v, perm);
+    v = _mm256_shuffle_epi8(v, mask);
+    _mm256_storeu_si256((__m256i *)(dst + i * 4), v);
+  }
+  if (i < e1) unshuffle_scalar(src, dst, ne, 4, i, e1);
+}
+
+// ts == 2: 16 elements (32 B) per iteration.
+static void shuffle2_avx2(const uint8_t *src, uint8_t *dst, int64_t ne,
+                          int64_t e0, int64_t e1) {
+  const __m256i mask = _mm256_setr_epi8(
+      0, 2, 4, 6, 8, 10, 12, 14, 1, 3, 5, 7, 9, 11, 13, 15,
+      0, 2, 4, 6, 8, 10, 12, 14, 1, 3, 5, 7, 9, 11, 13, 15);
+  int64_t i = e0;
+  for (; i + 16 <= e1; i += 16) {
+    __m256i v = _mm256_loadu_si256((const __m256i *)(src + i * 2));
+    v = _mm256_shuffle_epi8(v, mask);
+    v = _mm256_permute4x64_epi64(v, 0xD8);  // 0,2,1,3
+    __m128i lo = _mm256_castsi256_si128(v);
+    __m128i hi = _mm256_extracti128_si256(v, 1);
+    _mm_storeu_si128((__m128i *)(dst + i), lo);
+    _mm_storeu_si128((__m128i *)(dst + ne + i), hi);
+  }
+  if (i < e1) shuffle_scalar(src, dst, ne, 2, i, e1);
+}
+
+static void unshuffle2_avx2(const uint8_t *src, uint8_t *dst, int64_t ne,
+                            int64_t e0, int64_t e1) {
+  const __m256i mask = _mm256_setr_epi8(
+      0, 8, 1, 9, 2, 10, 3, 11, 4, 12, 5, 13, 6, 14, 7, 15,
+      0, 8, 1, 9, 2, 10, 3, 11, 4, 12, 5, 13, 6, 14, 7, 15);
+  int64_t i = e0;
+  for (; i + 16 <= e1; i += 16) {
+    __m128i lo = _mm_loadu_si128((const __m128i *)(src + i));
+    __m128i hi = _mm_loadu_si128((const __m128i *)(src + ne + i));
+    __m256i v = _mm256_set_m128i(hi, lo);
+    v = _mm256_permute4x64_epi64(v, 0xD8);
+    v = _mm256_shuffle_epi8(v, mask);
+    _mm256_storeu_si256((__m256i *)(dst + i * 2), v);
+  }
+  if (i < e1) unshuffle_scalar(src, dst, ne, 2, i, e1);
+}
+
+// ts == 8: 8x8 byte transpose per 8 elements via SSE unpack ladders.
+static void shuffle8_sse(const uint8_t *src, uint8_t *dst, int64_t ne,
+                         int64_t e0, int64_t e1) {
+  int64_t i = e0;
+  for (; i + 8 <= e1; i += 8) {
+    const uint8_t *s = src + i * 8;
+    __m128i r0 = _mm_loadl_epi64((const __m128i *)(s));
+    __m128i r1 = _mm_loadl_epi64((const __m128i *)(s + 8));
+    __m128i r2 = _mm_loadl_epi64((const __m128i *)(s + 16));
+    __m128i r3 = _mm_loadl_epi64((const __m128i *)(s + 24));
+    __m128i r4 = _mm_loadl_epi64((const __m128i *)(s + 32));
+    __m128i r5 = _mm_loadl_epi64((const __m128i *)(s + 40));
+    __m128i r6 = _mm_loadl_epi64((const __m128i *)(s + 48));
+    __m128i r7 = _mm_loadl_epi64((const __m128i *)(s + 56));
+    __m128i t0 = _mm_unpacklo_epi8(r0, r1);
+    __m128i t1 = _mm_unpacklo_epi8(r2, r3);
+    __m128i t2 = _mm_unpacklo_epi8(r4, r5);
+    __m128i t3 = _mm_unpacklo_epi8(r6, r7);
+    __m128i u0 = _mm_unpacklo_epi16(t0, t1);
+    __m128i u1 = _mm_unpackhi_epi16(t0, t1);
+    __m128i u2 = _mm_unpacklo_epi16(t2, t3);
+    __m128i u3 = _mm_unpackhi_epi16(t2, t3);
+    __m128i v0 = _mm_unpacklo_epi32(u0, u2);  // planes 0,1
+    __m128i v1 = _mm_unpackhi_epi32(u0, u2);  // planes 2,3
+    __m128i v2 = _mm_unpacklo_epi32(u1, u3);  // planes 4,5
+    __m128i v3 = _mm_unpackhi_epi32(u1, u3);  // planes 6,7
+    _mm_storel_epi64((__m128i *)(dst + i), v0);
+    _mm_storel_epi64((__m128i *)(dst + ne + i), _mm_srli_si128(v0, 8));
+    _mm_storel_epi64((__m128i *)(dst + 2 * ne + i), v1);
+    _mm_storel_epi64((__m128i *)(dst + 3 * ne + i), _mm_srli_si128(v1, 8));
+    _mm_storel_epi64((__m128i *)(dst + 4 * ne + i), v2);
+    _mm_storel_epi64((__m128i *)(dst + 5 * ne + i), _mm_srli_si128(v2, 8));
+    _mm_storel_epi64((__m128i *)(dst + 6 * ne + i), v3);
+    _mm_storel_epi64((__m128i *)(dst + 7 * ne + i), _mm_srli_si128(v3, 8));
+  }
+  if (i < e1) shuffle_scalar(src, dst, ne, 8, i, e1);
+}
+
+static void unshuffle8_sse(const uint8_t *src, uint8_t *dst, int64_t ne,
+                           int64_t e0, int64_t e1) {
+  int64_t i = e0;
+  for (; i + 8 <= e1; i += 8) {
+    __m128i r0 = _mm_loadl_epi64((const __m128i *)(src + i));
+    __m128i r1 = _mm_loadl_epi64((const __m128i *)(src + ne + i));
+    __m128i r2 = _mm_loadl_epi64((const __m128i *)(src + 2 * ne + i));
+    __m128i r3 = _mm_loadl_epi64((const __m128i *)(src + 3 * ne + i));
+    __m128i r4 = _mm_loadl_epi64((const __m128i *)(src + 4 * ne + i));
+    __m128i r5 = _mm_loadl_epi64((const __m128i *)(src + 5 * ne + i));
+    __m128i r6 = _mm_loadl_epi64((const __m128i *)(src + 6 * ne + i));
+    __m128i r7 = _mm_loadl_epi64((const __m128i *)(src + 7 * ne + i));
+    __m128i t0 = _mm_unpacklo_epi8(r0, r1);
+    __m128i t1 = _mm_unpacklo_epi8(r2, r3);
+    __m128i t2 = _mm_unpacklo_epi8(r4, r5);
+    __m128i t3 = _mm_unpacklo_epi8(r6, r7);
+    __m128i u0 = _mm_unpacklo_epi16(t0, t1);
+    __m128i u1 = _mm_unpackhi_epi16(t0, t1);
+    __m128i u2 = _mm_unpacklo_epi16(t2, t3);
+    __m128i u3 = _mm_unpackhi_epi16(t2, t3);
+    uint8_t *d = dst + i * 8;
+    _mm_storeu_si128((__m128i *)(d), _mm_unpacklo_epi32(u0, u2));
+    _mm_storeu_si128((__m128i *)(d + 16), _mm_unpackhi_epi32(u0, u2));
+    _mm_storeu_si128((__m128i *)(d + 32), _mm_unpacklo_epi32(u1, u3));
+    _mm_storeu_si128((__m128i *)(d + 48), _mm_unpackhi_epi32(u1, u3));
+  }
+  if (i < e1) unshuffle_scalar(src, dst, ne, 8, i, e1);
+}
+
+#endif  // __AVX2__
+
+static void shuffle_range(const uint8_t *src, uint8_t *dst, int64_t ne,
+                          int ts, int64_t e0, int64_t e1) {
+#if defined(__AVX2__)
+  switch (ts) {
+    case 2: shuffle2_avx2(src, dst, ne, e0, e1); return;
+    case 4: shuffle4_avx2(src, dst, ne, e0, e1); return;
+    case 8: shuffle8_sse(src, dst, ne, e0, e1); return;
+  }
+#endif
+  shuffle_scalar(src, dst, ne, ts, e0, e1);
+}
+
+static void unshuffle_range(const uint8_t *src, uint8_t *dst, int64_t ne,
+                            int ts, int64_t e0, int64_t e1) {
+#if defined(__AVX2__)
+  switch (ts) {
+    case 2: unshuffle2_avx2(src, dst, ne, e0, e1); return;
+    case 4: unshuffle4_avx2(src, dst, ne, e0, e1); return;
+    case 8: unshuffle8_sse(src, dst, ne, e0, e1); return;
+  }
+#endif
+  unshuffle_scalar(src, dst, ne, ts, e0, e1);
+}
+
+constexpr int64_t kParallelCutoff = 1 << 20;  // 1 MiB
+
+static void shuffle_full(const uint8_t *src, uint8_t *dst, int64_t n, int ts) {
+  if (ts <= 1 || n < ts) {
+    std::memcpy(dst, src, (size_t)n);
+    return;
+  }
+  int64_t ne = n / ts;
+  int64_t body = ne * ts;
+#ifdef _OPENMP
+  if (n >= kParallelCutoff) {
+    int nt = omp_get_max_threads();
+    int64_t per = (ne + nt - 1) / nt;
+#pragma omp parallel for schedule(static)
+    for (int t = 0; t < nt; t++) {
+      int64_t a = t * per, b = std::min(ne, a + per);
+      if (a < b) shuffle_range(src, dst, ne, ts, a, b);
+    }
+  } else
+#endif
+  {
+    shuffle_range(src, dst, ne, ts, 0, ne);
+  }
+  std::memcpy(dst + body, src + body, (size_t)(n - body));
+}
+
+static void unshuffle_full(const uint8_t *src, uint8_t *dst, int64_t n,
+                           int ts) {
+  if (ts <= 1 || n < ts) {
+    std::memcpy(dst, src, (size_t)n);
+    return;
+  }
+  int64_t ne = n / ts;
+  int64_t body = ne * ts;
+#ifdef _OPENMP
+  if (n >= kParallelCutoff) {
+    int nt = omp_get_max_threads();
+    int64_t per = (ne + nt - 1) / nt;
+#pragma omp parallel for schedule(static)
+    for (int t = 0; t < nt; t++) {
+      int64_t a = t * per, b = std::min(ne, a + per);
+      if (a < b) unshuffle_range(src, dst, ne, ts, a, b);
+    }
+  } else
+#endif
+  {
+    unshuffle_range(src, dst, ne, ts, 0, ne);
+  }
+  std::memcpy(dst + body, src + body, (size_t)(n - body));
+}
+
+// ---------------------------------------------------------------------------
+// bit shuffle / unshuffle
+// (semantics: SURVEY §2.6 — per 8-element group, per byte position, an 8x8
+//  bit ANTI-transpose: out byte o bit (7-e) = in byte e bit (7-o).
+//  anti_transpose(x) = bswap(transpose(bswap(x))) on a uint64 holding the
+//  8 gathered bytes little-endian; it is an involution.)
+// ---------------------------------------------------------------------------
+
+static inline uint64_t bit_transpose8(uint64_t x) {
+  // standard 8x8 bit transpose: byte r (little-endian) = row r, bit b = col
+  // b; result byte c bit r = input byte r bit c.  Mask-shift ladder.
+  uint64_t t;
+  t = (x ^ (x >> 7)) & 0x00AA00AA00AA00AAULL;
+  x = x ^ t ^ (t << 7);
+  t = (x ^ (x >> 14)) & 0x0000CCCC0000CCCCULL;
+  x = x ^ t ^ (t << 14);
+  t = (x ^ (x >> 28)) & 0x00000000F0F0F0F0ULL;
+  x = x ^ t ^ (t << 28);
+  return x;
+}
+
+static inline uint64_t bit_anti_transpose8(uint64_t x) {
+  return __builtin_bswap64(bit_transpose8(__builtin_bswap64(x)));
+}
+
+static void bitshuffle_groups(const uint8_t *src, uint8_t *dst, int ts,
+                              int64_t g0, int64_t g1) {
+  const int64_t group = 8 * (int64_t)ts;
+  for (int64_t g = g0; g < g1; g++) {
+    const uint8_t *s = src + g * group;
+    uint8_t *d = dst + g * group;
+    for (int b = 0; b < ts; b++) {
+      uint64_t x = 0;
+      for (int e = 0; e < 8; e++)
+        x |= (uint64_t)s[e * ts + b] << (8 * e);
+      write64(d + b * 8, bit_anti_transpose8(x));
+    }
+  }
+}
+
+static void bitunshuffle_groups(const uint8_t *src, uint8_t *dst, int ts,
+                                int64_t g0, int64_t g1) {
+  const int64_t group = 8 * (int64_t)ts;
+  for (int64_t g = g0; g < g1; g++) {
+    const uint8_t *s = src + g * group;
+    uint8_t *d = dst + g * group;
+    for (int b = 0; b < ts; b++) {
+      uint64_t x = bit_anti_transpose8(read64(s + b * 8));
+      for (int e = 0; e < 8; e++)
+        d[e * ts + b] = (uint8_t)(x >> (8 * e));
+    }
+  }
+}
+
+static void bitshuffle_full(const uint8_t *src, uint8_t *dst, int64_t n,
+                            int ts, bool inverse) {
+  if (ts <= 1 || n < ts) {
+    std::memcpy(dst, src, (size_t)n);
+    return;
+  }
+  int64_t ne = n / ts;
+  int64_t groups = ne / 8;
+  int64_t grouped = groups * 8 * ts;
+  auto fn = inverse ? bitunshuffle_groups : bitshuffle_groups;
+#ifdef _OPENMP
+  if (n >= kParallelCutoff) {
+    int nt = omp_get_max_threads();
+    int64_t per = (groups + nt - 1) / nt;
+#pragma omp parallel for schedule(static)
+    for (int t = 0; t < nt; t++) {
+      int64_t a = t * per, b = std::min(groups, a + per);
+      if (a < b) fn(src, dst, ts, a, b);
+    }
+  } else
+#endif
+  {
+    fn(src, dst, ts, 0, groups);
+  }
+  // partial group + typesize tail copied verbatim (shuffle.go:204-218)
+  std::memcpy(dst + grouped, src + grouped, (size_t)(n - grouped));
+}
+
+// ---------------------------------------------------------------------------
+// whole-chunk block pipelines (OpenMP across blocks)
+// ---------------------------------------------------------------------------
+
+enum CodecId { kCodecLz4 = 1, kCodecLz4Hc = 2, kCodecSnappy = 3 };
+enum ShuffleMode { kNoShuffle = 0, kByteShuffle = 1, kBitShuffle = 2 };
+
+struct BlockScratch {
+  uint8_t *buf = nullptr;
+  int64_t cap = 0;
+  ~BlockScratch() { std::free(buf); }
+  uint8_t *get(int64_t need) {
+    if (need > cap) {
+      std::free(buf);
+      buf = (uint8_t *)std::malloc((size_t)need);
+      cap = buf ? need : 0;
+    }
+    return buf;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// ---- single-buffer entry points (ctypes ABI used by native/backend.py) ----
+
+int64_t tpb_lz4_compress(const uint8_t *src, int64_t n, uint8_t *dst,
+                         int64_t cap, int depth) {
+  return lz4_compress(src, n, dst, cap, depth < 1 ? 1 : depth);
+}
+
+int64_t tpb_lz4_decompress(const uint8_t *src, int64_t n, uint8_t *dst,
+                           int64_t cap) {
+  return lz4_decompress(src, n, dst, cap);
+}
+
+int64_t tpb_snappy_compress(const uint8_t *src, int64_t n, uint8_t *dst,
+                            int64_t cap) {
+  return snappy_compress(src, n, dst, cap);
+}
+
+int64_t tpb_snappy_decompress(const uint8_t *src, int64_t n, uint8_t *dst,
+                              int64_t cap) {
+  return snappy_decompress(src, n, dst, cap);
+}
+
+void tpb_shuffle(const uint8_t *src, uint8_t *dst, int64_t n, int ts) {
+  shuffle_full(src, dst, n, ts);
+}
+
+void tpb_unshuffle(const uint8_t *src, uint8_t *dst, int64_t n, int ts) {
+  unshuffle_full(src, dst, n, ts);
+}
+
+void tpb_bitshuffle(const uint8_t *src, uint8_t *dst, int64_t n, int ts) {
+  bitshuffle_full(src, dst, n, ts, false);
+}
+
+void tpb_bitunshuffle(const uint8_t *src, uint8_t *dst, int64_t n, int ts) {
+  bitshuffle_full(src, dst, n, ts, true);
+}
+
+// ---- chunk pipeline: filter + compress every block in parallel ----
+//
+// Block i covers src[i*block_size : min((i+1)*block_size, n)).
+// Output slot i is out[i*slot_stride : ...]; out_sizes[i] receives the
+// payload size; out_memcpy[i] is 1 when the block stored raw pre-filter
+// bytes (memcpy fallback, ≙ blosc.go:341-345 per block).
+// Returns 0 on success, negative on error.
+int64_t tpb_compress_blocks(const uint8_t *src, int64_t n, int64_t block_size,
+                            int ts, int shuffle_mode, int codec, int depth,
+                            uint8_t *out, int64_t slot_stride,
+                            int64_t *out_sizes, uint8_t *out_memcpy) {
+  if (n <= 0 || block_size <= 0) return -1;
+  int64_t nb = (n + block_size - 1) / block_size;
+  volatile int64_t err = 0;
+#pragma omp parallel
+  {
+    BlockScratch scratch;
+#pragma omp for schedule(dynamic)
+    for (int64_t i = 0; i < nb; i++) {
+      if (err) continue;
+      int64_t off = i * block_size;
+      int64_t bs = std::min(block_size, n - off);
+      const uint8_t *block = src + off;
+      const uint8_t *to_compress = block;
+      if (shuffle_mode != kNoShuffle && ts > 1 && bs >= ts) {
+        uint8_t *sb = scratch.get(block_size);
+        if (!sb) { err = -2; continue; }
+        if (shuffle_mode == kByteShuffle)
+          shuffle_full(block, sb, bs, ts);
+        else
+          bitshuffle_full(block, sb, bs, ts, false);
+        to_compress = sb;
+      }
+      uint8_t *slot = out + i * slot_stride;
+      int64_t written;
+      if (codec == kCodecSnappy)
+        written = snappy_compress(to_compress, bs, slot, slot_stride);
+      else
+        written = lz4_compress(to_compress, bs, slot, slot_stride, depth);
+      if (written < 0) { err = written; continue; }
+      if (written >= bs) {
+        // memcpy fallback per block: raw pre-filter bytes
+        std::memcpy(slot, block, (size_t)bs);
+        out_sizes[i] = bs;
+        out_memcpy[i] = 1;
+      } else {
+        out_sizes[i] = written;
+        out_memcpy[i] = 0;
+      }
+    }
+  }
+  return err;
+}
+
+// ---- chunk pipeline: decompress + unfilter every block in parallel ----
+//
+// payload offsets/sizes index into `payloads`; block i decodes to
+// out[i*block_size : ...].  Returns total bytes written or negative error.
+int64_t tpb_decompress_blocks(const uint8_t *payloads, const int64_t *offsets,
+                              const int64_t *psizes, const uint8_t *is_memcpy,
+                              int64_t nb, int64_t block_size, int64_t total_n,
+                              int ts, int shuffle_mode, int codec,
+                              uint8_t *out) {
+  if (nb <= 0 || block_size <= 0) return -1;
+  volatile int64_t err = 0;
+#pragma omp parallel
+  {
+    BlockScratch scratch;
+#pragma omp for schedule(dynamic)
+    for (int64_t i = 0; i < nb; i++) {
+      if (err) continue;
+      int64_t off = i * block_size;
+      int64_t bs = std::min(block_size, total_n - off);
+      if (bs <= 0) { err = -2; continue; }
+      const uint8_t *p = payloads + offsets[i];
+      int64_t psz = psizes[i];
+      uint8_t *dst = out + off;
+      if (is_memcpy[i]) {
+        if (psz != bs) { err = -3; continue; }
+        std::memcpy(dst, p, (size_t)bs);
+        continue;
+      }
+      bool filtered = shuffle_mode != kNoShuffle && ts > 1 && bs >= ts;
+      uint8_t *dec = dst;
+      if (filtered) {
+        dec = scratch.get(block_size);
+        if (!dec) { err = -4; continue; }
+      }
+      int64_t got;
+      if (codec == kCodecSnappy)
+        got = snappy_decompress(p, psz, dec, bs);
+      else
+        got = lz4_decompress(p, psz, dec, bs);
+      if (got != bs) { err = got < 0 ? got : -5; continue; }
+      if (filtered) {
+        if (shuffle_mode == kByteShuffle)
+          unshuffle_full(dec, dst, bs, ts);
+        else
+          bitshuffle_full(dec, dst, bs, ts, true);
+      }
+    }
+  }
+  if (err) return err;
+  return total_n;
+}
+
+// worst-case per-block slot size for tpb_compress_blocks
+int64_t tpb_compress_bound(int64_t block_size, int codec) {
+  return codec == kCodecSnappy ? snappy_bound(block_size)
+                               : lz4_bound(block_size);
+}
+
+int tpb_num_threads(void) {
+#ifdef _OPENMP
+  return omp_get_max_threads();
+#else
+  return 1;
+#endif
+}
+
+}  // extern "C"
