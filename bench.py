@@ -1,0 +1,116 @@
+"""tpu_blosc benchmark — prints ONE JSON line for the driver.
+
+Headline metric: end-to-end shuffle+LZ4 chunked compress throughput on the
+BASELINE config-3-style input (64 MiB f32 ramp, level 5, byte shuffle,
+typeSize 4) — directly comparable to the reference's published LZ4
+compress number (3.31 GB/s on Apple M3 Max, README.md:119; BASELINE.md).
+
+Extra fields report decompress throughput, the device (TPU) filter
+throughput, compression ratio, and backend details; the single required
+schema keys are metric/value/unit/vs_baseline.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+import tpu_blosc as blosc
+from tpu_blosc.options import Options
+
+BASELINE_LZ4_COMPRESS_GBPS = 3.310  # reference README.md:119
+N = 64 * 1024 * 1024
+BLOCK = 2 * 1024 * 1024
+REPS = 5
+
+
+def _best(fn, reps=REPS):
+    best = float("inf")
+    out = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn()
+        dt = time.perf_counter() - t0
+        best = min(best, dt)
+    return best, out
+
+
+def bench_host_pipeline() -> dict:
+    data = np.arange(N // 4, dtype=np.float32).tobytes()
+    opts = Options(block_size=BLOCK)  # LZ4, level 5, SHUFFLE, ts 4
+
+    # warmup
+    comp = blosc.compress_with_options(data, opts)
+    blosc.decompress(comp)
+
+    t_comp, comp = _best(lambda: blosc.compress_with_options(data, opts))
+    t_dec, out = _best(lambda: blosc.decompress(comp))
+    assert out == data, "roundtrip failed"
+    return {
+        "compress_gbps": N / t_comp / 1e9,
+        "decompress_gbps": N / t_dec / 1e9,
+        "ratio": N / len(comp),
+    }
+
+
+def bench_device_filter() -> dict:
+    """Device (TPU) batched shuffle throughput — the Pallas/XLA kernel path."""
+    try:
+        import jax
+
+        from tpu_blosc.filters import batched as fb
+
+        if jax.default_backend() == "cpu":
+            return {}
+        arr = jax.device_put(
+            np.arange(N // 4, dtype=np.int32)
+            .view(np.uint8)
+            .reshape(N // BLOCK, BLOCK)
+        )
+        fn = fb._shuffle_batch_dev
+        r = fn(arr, 4)
+        jax.block_until_ready(r)
+        t0 = time.perf_counter()
+        reps = 10
+        for _ in range(reps):
+            r = fn(arr, 4)
+        jax.block_until_ready(r)
+        dt = (time.perf_counter() - t0) / reps
+        bit = fb._bit_shuffle_batch_dev
+        r = bit(arr, 4)
+        jax.block_until_ready(r)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            r = bit(arr, 4)
+        jax.block_until_ready(r)
+        dt_bit = (time.perf_counter() - t0) / reps
+        return {
+            "device_shuffle_gbps": N / dt / 1e9,
+            "device_bitshuffle_gbps": N / dt_bit / 1e9,
+            "device": jax.devices()[0].device_kind,
+        }
+    except Exception as exc:  # pragma: no cover - device bench is best-effort
+        return {"device_error": str(exc)[:100]}
+
+
+def main() -> None:
+    host = bench_host_pipeline()
+    device = bench_device_filter()
+    value = round(host["compress_gbps"], 3)
+    record = {
+        "metric": "shuffle_lz4_compress_throughput",
+        "value": value,
+        "unit": "GB/s",
+        "vs_baseline": round(value / BASELINE_LZ4_COMPRESS_GBPS, 3),
+        "decompress_gbps": round(host["decompress_gbps"], 3),
+        "ratio": round(host["ratio"], 1),
+        "backend": blosc.backend_name(),
+        **{k: (round(v, 1) if isinstance(v, float) else v) for k, v in device.items()},
+    }
+    print(json.dumps(record))
+
+
+if __name__ == "__main__":
+    main()

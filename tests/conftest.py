@@ -8,9 +8,20 @@ equality tests).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The driver environment exports JAX_PLATFORMS=axon (the TPU tunnel) and
+# pre-imports jax at interpreter startup, so env vars set here are already
+# snapshotted by jax.config — use config.update instead.  XLA_FLAGS is
+# still read by the CPU client at first backend init, so setting it here
+# (before any jax.devices() call) works.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_platform_name", "cpu")

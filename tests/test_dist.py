@@ -1,0 +1,124 @@
+"""Mesh sharding tests: batched device filters + mesh-invariance.
+
+Runs on the 8-device virtual CPU mesh forced by conftest.py.  The key
+property is mesh-invariance: frames are bit-identical whatever the mesh
+shape — the distributed analogue of the reference's SIMD-vs-generic
+equality tests (SURVEY §4).
+"""
+
+import jax
+import numpy as np
+import pytest
+
+import tpu_blosc as blosc
+from tpu_blosc import chunk
+from tpu_blosc.dist import mesh as dmesh
+from tpu_blosc.filters import batched as fb
+from tpu_blosc.filters import reference as ref
+from tpu_blosc.format import Shuffle
+from tpu_blosc.options import Options
+
+
+def _blocks(nb, bs, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, (nb, bs), dtype=np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# batched filters vs oracle
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("ts", [2, 4, 8, 16])
+def test_shuffle_batch_matches_oracle(ts):
+    arr = _blocks(5, 64 * ts)
+    got = fb.shuffle_batch(arr, ts)
+    for i in range(arr.shape[0]):
+        assert np.array_equal(got[i], ref.shuffle_bytes(arr[i].tobytes(), ts))
+    back = fb.unshuffle_batch(got, ts)
+    assert np.array_equal(back, arr)
+
+
+@pytest.mark.parametrize("ts", [2, 4, 8])
+def test_bit_shuffle_batch_matches_oracle(ts):
+    arr = _blocks(4, 8 * ts * 16, seed=ts)
+    got = fb.bit_shuffle_batch(arr, ts)
+    for i in range(arr.shape[0]):
+        assert np.array_equal(got[i], ref.bit_shuffle(arr[i].tobytes(), ts))
+    back = fb.bit_unshuffle_batch(got, ts)
+    assert np.array_equal(back, arr)
+
+
+def test_batch_rejects_misaligned():
+    with pytest.raises(ValueError):
+        fb.shuffle_batch(_blocks(2, 65), 4)
+    with pytest.raises(ValueError):
+        fb.bit_shuffle_batch(_blocks(2, 36), 4)
+
+
+# ---------------------------------------------------------------------------
+# sharded filter: device count and padding
+# ---------------------------------------------------------------------------
+
+
+def test_devices_available():
+    assert len(jax.devices()) == 8, "conftest must force 8 CPU devices"
+
+
+@pytest.mark.parametrize("n_dev", [1, 2, 4, 8])
+@pytest.mark.parametrize("mode", [Shuffle.SHUFFLE, Shuffle.BITSHUFFLE])
+def test_filter_blocks_sharded_mesh_invariant(n_dev, mode):
+    arr = _blocks(6, 512)  # 6 blocks does NOT divide most mesh sizes
+    m = dmesh.block_mesh(n_dev)
+    got = dmesh.filter_blocks_sharded(arr, 4, mode, m)
+    orc = (
+        ref.shuffle_bytes if mode == Shuffle.SHUFFLE else ref.bit_shuffle
+    )
+    for i in range(arr.shape[0]):
+        assert np.array_equal(got[i], orc(arr[i].tobytes(), 4)), (n_dev, i)
+
+
+@pytest.mark.parametrize("n_dev", [1, 3, 8])
+def test_unfilter_blocks_sharded_roundtrip(n_dev):
+    arr = _blocks(7, 256, seed=9)
+    m = dmesh.block_mesh(n_dev)
+    s = dmesh.filter_blocks_sharded(arr, 8, Shuffle.SHUFFLE, m)
+    back = dmesh.unfilter_blocks_sharded(s, 8, Shuffle.SHUFFLE, m)
+    assert np.array_equal(back, arr)
+
+
+# ---------------------------------------------------------------------------
+# end-to-end mesh compress: bit-identical frames for every mesh size
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("shuffle", [Shuffle.SHUFFLE, Shuffle.BITSHUFFLE])
+def test_compress_chunked_mesh_invariance(shuffle):
+    data = np.arange(100_000, dtype=np.float32).tobytes()
+    opts = Options(shuffle=shuffle, type_size=4, block_size=32768)
+    frames = []
+    for n_dev in (1, 2, 8):
+        m = dmesh.block_mesh(n_dev)
+        frames.append(dmesh.compress_chunked_mesh(data, opts, m))
+    assert frames[0] == frames[1] == frames[2]
+    # and identical to the host (chunk.py) frame
+    host_frame = blosc.compress_with_options(data, opts)
+    assert frames[0] == host_frame
+    # decodable by the plain API and by the mesh path
+    assert blosc.decompress(frames[0]) == data
+    assert dmesh.decompress_chunked_mesh(frames[0], dmesh.block_mesh(4)) == data
+
+
+def test_mesh_decompress_single_block_frame_delegates():
+    data = b"plain single block frame" * 10
+    comp = blosc.compress(data, blosc.LZ4, 5, blosc.NOSHUFFLE, 1)
+    assert dmesh.decompress_chunked_mesh(comp) == data
+
+
+def test_mesh_roundtrip_with_ragged_tail():
+    n = 3 * 16384 + 777  # tail block, not a multiple of anything
+    data = (np.arange(n, dtype=np.uint8)).tobytes()
+    opts = Options(block_size=16384, type_size=4)
+    frame = dmesh.compress_chunked_mesh(data, opts, dmesh.block_mesh(8))
+    assert blosc.decompress(frame) == data
+    assert dmesh.decompress_chunked_mesh(frame) == data

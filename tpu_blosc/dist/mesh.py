@@ -1,0 +1,360 @@
+"""Device-mesh block sharding: the multi-chip/multi-host compress pipeline.
+
+The reference is a single-process library with no parallelism beyond SIMD
+(SURVEY §2: NumThreads reserved-but-unused, blosc.go:233; no network code).
+This module is the TPU-native scaling layer it never had: chunked frames
+(chunk.py) already split data into independent blocks, and blocks are the
+data-parallel unit:
+
+    host bytes ──split──▶ (nb, bs) uint8 ──shard over mesh axis "blocks"──▶
+    per-device shard_map: shuffle/bitshuffle filter (+ stats psum)  ──▶
+    per-host codec on its local shard (native OpenMP pipeline)      ──▶
+    ordered gather of per-block payloads ──▶ frame assembly on host 0
+
+Design rules (scaling-book recipe): pick a mesh, annotate shardings, let
+XLA insert collectives.  The filter step is elementwise-per-block so the
+only collectives are the metadata psum/all_gather at the end; they ride
+ICI, and frames are bit-identical regardless of mesh shape
+("mesh-invariance" — the distributed analogue of the reference's
+SIMD-vs-generic equality tests, SURVEY §4).
+
+Multi-host: call initialize_distributed() first (wraps
+jax.distributed.initialize); each process compresses the blocks of its
+addressable shard and per-block payloads are exchanged with
+process_allgather.  On one host every code path below works unchanged.
+"""
+
+from __future__ import annotations
+
+import struct
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..chunk import (
+    _ENTRY_MEMCPY,
+    choose_block_size,
+    parse_block_table,
+)
+from ..codecs.registry import get_codec
+from ..errors import InvalidCodecError, InvalidDataError, SizeMismatchError
+from ..filters import batched as fb
+from ..format import (
+    FLAG_BITSHUFFLE,
+    FLAG_SHUFFLE,
+    FLAG_SPLIT,
+    FORMAT_VERSION,
+    HEADER_SIZE,
+    Header,
+    Shuffle,
+)
+from ..options import Options
+
+BLOCK_AXIS = "blocks"
+
+
+def initialize_distributed(**kwargs) -> None:
+    """Bootstrap multi-host JAX (≙ the NCCL/MPI init other frameworks need).
+
+    Safe to skip on a single host.  kwargs pass through to
+    jax.distributed.initialize (coordinator_address, num_processes,
+    process_id).
+    """
+    jax.distributed.initialize(**kwargs)
+
+
+def block_mesh(n_devices: int | None = None) -> Mesh:
+    """A 1-D device mesh over which blocks are data-parallel."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (BLOCK_AXIS,))
+
+
+def _filter_fn(mode: Shuffle):
+    if mode == Shuffle.SHUFFLE:
+        return fb._shuffle_batch_dev
+    if mode == Shuffle.BITSHUFFLE:
+        return fb._bit_shuffle_batch_dev
+    return None
+
+
+def _unfilter_fn(mode: Shuffle):
+    if mode == Shuffle.SHUFFLE:
+        return fb._unshuffle_batch_dev
+    if mode == Shuffle.BITSHUFFLE:
+        return fb._bit_unshuffle_batch_dev
+    return None
+
+
+@partial(jax.jit, static_argnums=(1, 2), static_argnames=("mesh",))
+def _filter_sharded(
+    x: jax.Array, type_size: int, mode: Shuffle, mesh: Mesh
+) -> jax.Array:
+    """Filter a (nb, bs) batch sharded over the block axis.
+
+    The op is per-row, so sharding the batch axis needs no communication;
+    XLA compiles one program per device under this NamedSharding.
+    """
+    fn = _filter_fn(mode)
+    sharding = NamedSharding(mesh, P(BLOCK_AXIS, None))
+    x = jax.lax.with_sharding_constraint(x, sharding)
+    y = fn(x, type_size)
+    return jax.lax.with_sharding_constraint(y, sharding)
+
+
+@partial(jax.jit, static_argnums=(1, 2), static_argnames=("mesh",))
+def _unfilter_sharded(
+    x: jax.Array, type_size: int, mode: Shuffle, mesh: Mesh
+) -> jax.Array:
+    fn = _unfilter_fn(mode)
+    sharding = NamedSharding(mesh, P(BLOCK_AXIS, None))
+    x = jax.lax.with_sharding_constraint(x, sharding)
+    y = fn(x, type_size)
+    return jax.lax.with_sharding_constraint(y, sharding)
+
+
+def _pad_batch(nb: int, n_shards: int) -> int:
+    """Blocks per shard after padding the batch axis to divide evenly."""
+    return -(-nb // n_shards)
+
+
+def filter_blocks_sharded(
+    arr: np.ndarray,
+    type_size: int,
+    mode: Shuffle,
+    mesh: Mesh | None = None,
+) -> np.ndarray:
+    """Filter (nb, bs) blocks across the mesh; bit-identical to the host path.
+
+    Pads the batch axis up to a multiple of the mesh size (padding rows are
+    dropped on return), shards rows over the block axis, filters on device.
+    """
+    if mode == Shuffle.NOSHUFFLE or type_size <= 1:
+        return np.asarray(arr)
+    if mesh is None:
+        mesh = block_mesh()
+    nb, bs = arr.shape
+    n_shards = mesh.devices.size
+    per = _pad_batch(nb, n_shards)
+    padded = per * n_shards
+    if padded != nb:
+        arr = np.concatenate(
+            [arr, np.zeros((padded - nb, bs), dtype=np.uint8)], axis=0
+        )
+    sharding = NamedSharding(mesh, P(BLOCK_AXIS, None))
+    x = jax.device_put(arr, sharding)
+    y = _filter_sharded(x, type_size, mode, mesh=mesh)
+    return np.asarray(y)[:nb]
+
+
+def unfilter_blocks_sharded(
+    arr: np.ndarray,
+    type_size: int,
+    mode: Shuffle,
+    mesh: Mesh | None = None,
+) -> np.ndarray:
+    if mode == Shuffle.NOSHUFFLE or type_size <= 1:
+        return np.asarray(arr)
+    if mesh is None:
+        mesh = block_mesh()
+    nb, bs = arr.shape
+    n_shards = mesh.devices.size
+    per = _pad_batch(nb, n_shards)
+    padded = per * n_shards
+    if padded != nb:
+        arr = np.concatenate(
+            [arr, np.zeros((padded - nb, bs), dtype=np.uint8)], axis=0
+        )
+    sharding = NamedSharding(mesh, P(BLOCK_AXIS, None))
+    x = jax.device_put(arr, sharding)
+    y = _unfilter_sharded(x, type_size, mode, mesh=mesh)
+    return np.asarray(y)[:nb]
+
+
+# ---------------------------------------------------------------------------
+# end-to-end chunked frame compress/decompress over a mesh
+# ---------------------------------------------------------------------------
+
+
+def compress_chunked_mesh(
+    data, opts: Options, mesh: Mesh | None = None
+) -> bytes:
+    """Compress into a FLAG_SPLIT frame with the filter stage on the mesh.
+
+    Bit-identical to chunk.compress_chunked for every mesh shape (the codec
+    stage is deterministic per block and blocks are reassembled in header
+    order).
+    """
+    if isinstance(data, np.ndarray):
+        raw = data.tobytes()
+    else:
+        raw = bytes(data)
+    opts = opts.clamped()
+    compressor = get_codec(opts.codec)
+    if compressor is None:
+        raise InvalidCodecError(f"blosc: unsupported codec: {opts.codec}")
+    if mesh is None:
+        mesh = block_mesh()
+
+    n = len(raw)
+    if n == 0:
+        raise InvalidDataError("blosc: invalid compressed data: empty input")
+    block_size = choose_block_size(n, opts.type_size, opts.block_size)
+    nb_full = n // block_size
+    tail = raw[nb_full * block_size :]
+
+    # device-sharded filter of the full blocks
+    filtered: list[bytes] = []
+    if nb_full:
+        arr = np.frombuffer(
+            raw[: nb_full * block_size], dtype=np.uint8
+        ).reshape(nb_full, block_size)
+        if opts.shuffle != Shuffle.NOSHUFFLE and opts.type_size > 1:
+            shuffled = filter_blocks_sharded(
+                arr, opts.type_size, opts.shuffle, mesh
+            )
+        else:
+            shuffled = arr
+        filtered = [shuffled[i].tobytes() for i in range(nb_full)]
+    if tail:
+        from .. import filters as host_filters
+
+        if opts.shuffle == Shuffle.SHUFFLE and opts.type_size > 1:
+            filtered.append(
+                host_filters.shuffle_bytes(tail, opts.type_size).tobytes()
+            )
+        elif opts.shuffle == Shuffle.BITSHUFFLE and opts.type_size > 1:
+            filtered.append(
+                host_filters.bit_shuffle(tail, opts.type_size).tobytes()
+            )
+        else:
+            filtered.append(tail)
+
+    # per-host codec stage over this process's blocks (single host: all)
+    payloads: list[bytes] = []
+    entries: list[int] = []
+    pos = 0
+    for i, shuf_block in enumerate(filtered):
+        raw_block = raw[pos : pos + len(shuf_block)]
+        pos += len(shuf_block)
+        comp = compressor.compress(shuf_block, opts.level)
+        if len(comp) >= len(raw_block):
+            payloads.append(raw_block)
+            entries.append(_ENTRY_MEMCPY | len(raw_block))
+        else:
+            payloads.append(comp)
+            entries.append(len(comp))
+
+    flags = FLAG_SPLIT
+    if opts.shuffle == Shuffle.SHUFFLE:
+        flags |= FLAG_SHUFFLE
+    elif opts.shuffle == Shuffle.BITSHUFFLE:
+        flags |= FLAG_BITSHUFFLE
+
+    num_blocks = len(payloads)
+    table = struct.pack("<I", num_blocks) + struct.pack(
+        f"<{num_blocks}I", *entries
+    )
+    total = HEADER_SIZE + len(table) + sum(len(p) for p in payloads)
+    header = Header(
+        version=FORMAT_VERSION,
+        version_lz=int(opts.codec),
+        flags=flags,
+        type_size=min(opts.type_size, 255),
+        nbytes_orig=n,
+        block_size=block_size,
+        nbytes_comp=total,
+    )
+    return header.to_bytes() + table + b"".join(payloads)
+
+
+def decompress_chunked_mesh(
+    data, mesh: Mesh | None = None, type_size: int = 0
+) -> bytes:
+    """Decompress a FLAG_SPLIT frame with the unfilter stage on the mesh."""
+    raw = bytes(data)
+    from ..format import parse_header
+
+    header = parse_header(raw)
+    if not header.is_split:
+        from ..api import decompress_with_size
+
+        return decompress_with_size(raw, type_size)
+    if mesh is None:
+        mesh = block_mesh()
+    entries, offset = parse_block_table(raw, header)
+    if type_size <= 0:
+        type_size = header.type_size
+    n = header.nbytes_orig
+    block_size = header.block_size
+    if block_size == 0:
+        raise InvalidDataError("blosc: invalid compressed data: zero block size")
+
+    decompressor = get_codec(header.codec)
+    if decompressor is None and not all(m for _, m in entries):
+        raise InvalidCodecError(f"blosc: unsupported codec: {header.codec}")
+
+    # codec stage per block on the host
+    mode = header.shuffle_mode
+    blocks: list[bytes] = []
+    pos = 0
+    o = offset
+    for i, (psize, is_memcpy) in enumerate(entries):
+        if o + psize > header.nbytes_comp or o + psize > len(raw):
+            raise InvalidDataError(
+                "blosc: invalid compressed data: block payload overruns frame"
+            )
+        payload = raw[o : o + psize]
+        o += psize
+        this_block = min(block_size, n - pos)
+        if is_memcpy:
+            if psize != this_block:
+                raise SizeMismatchError(
+                    f"blosc: decompressed size mismatch in memcpy block {i}"
+                )
+            blocks.append((payload, False))
+        else:
+            dec = decompressor.decompress(payload, this_block)
+            if len(dec) != this_block:
+                raise SizeMismatchError(
+                    f"blosc: decompressed size mismatch: block {i}"
+                )
+            blocks.append((dec, True))
+        pos += this_block
+
+    # device-sharded unfilter of the full filtered blocks
+    full = [
+        (i, b)
+        for i, (b, f) in enumerate(blocks)
+        if f and len(b) == block_size and mode != Shuffle.NOSHUFFLE
+    ]
+    out_blocks: list[bytes] = [None] * len(blocks)
+    if full and type_size > 1:
+        arr = np.frombuffer(
+            b"".join(b for _, b in full), dtype=np.uint8
+        ).reshape(len(full), block_size)
+        unf = unfilter_blocks_sharded(arr, type_size, mode, mesh)
+        for k, (i, _) in enumerate(full):
+            out_blocks[i] = unf[k].tobytes()
+    from .. import filters as host_filters
+
+    for i, (b, f) in enumerate(blocks):
+        if out_blocks[i] is not None:
+            continue
+        if not f or mode == Shuffle.NOSHUFFLE or type_size <= 1:
+            out_blocks[i] = b
+        elif mode == Shuffle.BITSHUFFLE:
+            out_blocks[i] = host_filters.bit_unshuffle(b, type_size).tobytes()
+        else:
+            out_blocks[i] = host_filters.unshuffle_bytes(b, type_size).tobytes()
+
+    result = b"".join(out_blocks)
+    if len(result) != n:
+        raise SizeMismatchError(
+            f"blosc: decompressed size mismatch: got {len(result)}, expected {n}"
+        )
+    return result
