@@ -121,34 +121,67 @@ def compress_chunked(raw: bytes, opts: Options) -> bytes:
     n = len(raw)
     block_size = choose_block_size(n, opts.type_size, opts.block_size)
 
+    flags = FLAG_SPLIT
+    if opts.shuffle == Shuffle.SHUFFLE:
+        flags |= FLAG_SHUFFLE
+    elif opts.shuffle == Shuffle.BITSHUFFLE:
+        flags |= FLAG_BITSHUFFLE
+
     native = _native_pipeline_codec(opts.codec, opts.level)
+    if native is not None:
+        # whole-chunk native pipeline: filter + compress every block AND
+        # gather the frame in one pass (memcpy fallback handled per block)
+        native_codec, depth = native
+
+        def build_prefix(sizes, memcpy_flags):
+            nb = len(sizes)
+            entries = [
+                int(s) | (_ENTRY_MEMCPY if m else 0)
+                for s, m in zip(sizes, memcpy_flags)
+            ]
+            total = (
+                HEADER_SIZE + 4 + 4 * nb + int(sizes.sum())
+            )
+            if total > MAX_UINT32:
+                raise DataTooLargeError(
+                    f"blosc: data too large: frame of {total} bytes "
+                    "exceeds uint32 limit"
+                )
+            header = Header(
+                version=FORMAT_VERSION,
+                version_lz=int(opts.codec),
+                flags=flags,
+                type_size=min(opts.type_size, 255),
+                nbytes_orig=n,
+                block_size=block_size,
+                nbytes_comp=total,
+            )
+            return (
+                header.to_bytes()
+                + struct.pack("<I", nb)
+                + struct.pack(f"<{nb}I", *entries)
+            )
+
+        return _native.compress_blocks_frame(
+            raw, block_size, opts.type_size, int(opts.shuffle),
+            native_codec, depth, build_prefix,
+        )
+
+    # host/device fallback path (non-native codecs: ZLIB, ZSTD, custom)
     payloads: list[bytes] = []
     entries: list[int] = []
-    if native is not None:
-        # whole-chunk native pipeline: filter + compress every block in one
-        # OpenMP-parallel call (memcpy fallback handled per block inside)
-        native_codec, depth = native
-        payloads, memcpy_flags = _native.compress_blocks(
-            raw, block_size, opts.type_size, int(opts.shuffle),
-            native_codec, depth,
-        )
-        entries = [
-            (_ENTRY_MEMCPY | len(p)) if m else len(p)
-            for p, m in zip(payloads, memcpy_flags)
-        ]
-    else:
-        blocks = split_blocks(raw, block_size)
-        # device-batched filter for the full-size blocks when eligible, else
-        # per-block host filtering
-        shuffled_blocks = _filter_blocks_batched(blocks, opts)
-        for raw_block, shuf_block in zip(blocks, shuffled_blocks):
-            comp = compressor.compress(shuf_block, opts.level)
-            if len(comp) >= len(raw_block):
-                payloads.append(raw_block)  # memcpy: raw pre-shuffle bytes
-                entries.append(_ENTRY_MEMCPY | len(raw_block))
-            else:
-                payloads.append(comp)
-                entries.append(len(comp))
+    blocks = split_blocks(raw, block_size)
+    # device-batched filter for the full-size blocks when eligible, else
+    # per-block host filtering
+    shuffled_blocks = _filter_blocks_batched(blocks, opts)
+    for raw_block, shuf_block in zip(blocks, shuffled_blocks):
+        comp = compressor.compress(shuf_block, opts.level)
+        if len(comp) >= len(raw_block):
+            payloads.append(raw_block)  # memcpy: raw pre-shuffle bytes
+            entries.append(_ENTRY_MEMCPY | len(raw_block))
+        else:
+            payloads.append(comp)
+            entries.append(len(comp))
 
     num_blocks = len(payloads)
     table = struct.pack("<I", num_blocks) + struct.pack(
@@ -159,12 +192,6 @@ def compress_chunked(raw: bytes, opts: Options) -> bytes:
         raise DataTooLargeError(
             f"blosc: data too large: frame of {total} bytes exceeds uint32 limit"
         )
-
-    flags = FLAG_SPLIT
-    if opts.shuffle == Shuffle.SHUFFLE:
-        flags |= FLAG_SHUFFLE
-    elif opts.shuffle == Shuffle.BITSHUFFLE:
-        flags |= FLAG_BITSHUFFLE
 
     header = Header(
         version=FORMAT_VERSION,

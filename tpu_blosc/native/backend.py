@@ -116,6 +116,10 @@ def _load() -> None:
         lib.tpb_compress_bound.argtypes = [_i64, ctypes.c_int]
         lib.tpb_num_threads.restype = ctypes.c_int
         lib.tpb_num_threads.argtypes = []
+        lib.tpb_gather.restype = None
+        lib.tpb_gather.argtypes = [_p, _p, _i64, _i64, _p]
+        lib.tpb_set_num_threads.restype = None
+        lib.tpb_set_num_threads.argtypes = [ctypes.c_int]
         _lib = lib
 
 
@@ -132,6 +136,31 @@ def num_threads() -> int:
 def _ensure() -> None:
     if not available():
         raise RuntimeError("native backend unavailable")
+
+
+# Uninitialized-bytes allocation via the CPython C API: native kernels
+# write straight into the result object's buffer (the pattern C extensions
+# use with PyBytes_FromStringAndSize(NULL, n)), eliminating the extra
+# n-byte copy a numpy->tobytes round trip would cost.  The object is
+# exclusively owned until returned, so the write-before-expose is safe.
+_pybytes_new = ctypes.pythonapi.PyBytes_FromStringAndSize
+_pybytes_new.restype = ctypes.py_object
+_pybytes_new.argtypes = [ctypes.c_char_p, ctypes.c_ssize_t]
+_pybytes_addr = ctypes.pythonapi.PyBytes_AsString
+_pybytes_addr.restype = _p
+_pybytes_addr.argtypes = [ctypes.py_object]
+
+
+def alloc_bytes(n: int) -> tuple[bytes, int]:
+    """Return (uninitialized bytes object of length n, writable address)."""
+    b = _pybytes_new(None, n)
+    return b, _pybytes_addr(b)
+
+
+def set_num_threads(n: int) -> None:
+    """Cap the OpenMP team (≙ Options.NumThreads, reference blosc.go:233)."""
+    if available() and n > 0:
+        _lib.tpb_set_num_threads(n)
 
 
 def _as_u8(data) -> np.ndarray:
@@ -167,11 +196,11 @@ def lz4_decompress(data, expected_size: int) -> bytes:
     from ..errors import DecompressionFailedError
 
     a = _as_u8(data)
-    out = np.empty(max(expected_size, 1), dtype=np.uint8)
-    written = _lib.tpb_lz4_decompress(_ptr(a), a.size, _ptr(out), expected_size)
+    out, addr = alloc_bytes(expected_size)
+    written = _lib.tpb_lz4_decompress(_ptr(a), a.size, addr, expected_size)
     if written < 0:
         raise DecompressionFailedError(f"lz4: malformed stream (code {written})")
-    return out[:written].tobytes()
+    return out if written == expected_size else out[:written]
 
 
 def snappy_compress(data) -> bytes:
@@ -191,15 +220,13 @@ def snappy_decompress(data, expected_size: int) -> bytes:
     from ..errors import DecompressionFailedError
 
     a = _as_u8(data)
-    out = np.empty(max(expected_size, 1), dtype=np.uint8)
-    written = _lib.tpb_snappy_decompress(
-        _ptr(a), a.size, _ptr(out), expected_size
-    )
+    out, addr = alloc_bytes(expected_size)
+    written = _lib.tpb_snappy_decompress(_ptr(a), a.size, addr, expected_size)
     if written < 0:
         raise DecompressionFailedError(
             f"snappy: malformed stream (code {written})"
         )
-    return out[:written].tobytes()
+    return out if written == expected_size else out[:written]
 
 
 # ---------------------------------------------------------------------------
@@ -276,6 +303,44 @@ def compress_blocks(
     return payloads, [bool(f) for f in memcpy_flags]
 
 
+def compress_blocks_frame(
+    data,
+    block_size: int,
+    type_size: int,
+    shuffle_mode: int,
+    native_codec: int,
+    depth: int,
+    header_table_builder,
+) -> bytes:
+    """Filter+compress all blocks AND assemble the frame with one payload copy.
+
+    ``header_table_builder(sizes, memcpy_flags) -> bytes`` produces the
+    16-byte header + block table; payloads are gathered natively straight
+    into the result bytes object.
+    """
+    _ensure()
+    a = _as_u8(data)
+    n = a.size
+    nb = -(-n // block_size)
+    slot = int(_lib.tpb_compress_bound(block_size, native_codec))
+    out = np.empty(nb * slot, dtype=np.uint8)
+    sizes = np.empty(nb, dtype=np.int64)
+    memcpy_flags = np.empty(nb, dtype=np.uint8)
+    rc = _lib.tpb_compress_blocks(
+        _ptr(a), n, block_size,
+        type_size, shuffle_mode, native_codec, depth,
+        _ptr(out), slot, _ptr(sizes), _ptr(memcpy_flags),
+    )
+    if rc != 0:
+        raise RuntimeError(f"native compress_blocks failed ({rc})")
+    prefix = header_table_builder(sizes, memcpy_flags)
+    total = len(prefix) + int(sizes.sum())
+    frame, addr = alloc_bytes(total)
+    ctypes.memmove(addr, prefix, len(prefix))
+    _lib.tpb_gather(_ptr(out), _ptr(sizes), nb, slot, addr + len(prefix))
+    return frame
+
+
 def decompress_blocks(
     payloads: np.ndarray,
     offsets: np.ndarray,
@@ -287,20 +352,23 @@ def decompress_blocks(
     shuffle_mode: int,
     native_codec: int,
 ) -> bytes:
-    """Decompress+unfilter every block in one parallel native call."""
+    """Decompress+unfilter every block in one parallel native call.
+
+    Writes straight into the returned bytes object — no intermediate copy.
+    """
     _ensure()
     from ..errors import DecompressionFailedError
 
     nb = offsets.size
-    out = np.empty(total_n, dtype=np.uint8)
+    out, addr = alloc_bytes(total_n)
     got = _lib.tpb_decompress_blocks(
         _ptr(payloads), _ptr(offsets), _ptr(psizes), _ptr(is_memcpy),
         nb, block_size, total_n,
         type_size, shuffle_mode, native_codec,
-        _ptr(out),
+        addr,
     )
     if got != total_n:
         raise DecompressionFailedError(
             f"native decompress_blocks failed (code {got})"
         )
-    return out.tobytes()
+    return out

@@ -962,6 +962,32 @@ int64_t tpb_compress_bound(int64_t block_size, int codec) {
                                : lz4_bound(block_size);
 }
 
+// Compact per-block slots into a contiguous destination (frame payload
+// area) — parallel memcpy, the last copy of frame assembly.
+void tpb_gather(const uint8_t *slots, const int64_t *sizes, int64_t nb,
+                int64_t slot_stride, uint8_t *dst) {
+  int64_t *offs = (int64_t *)std::malloc((size_t)nb * sizeof(int64_t));
+  if (!offs) return;
+  int64_t acc = 0;
+  for (int64_t i = 0; i < nb; i++) {
+    offs[i] = acc;
+    acc += sizes[i];
+  }
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < nb; i++) {
+    std::memcpy(dst + offs[i], slots + i * slot_stride, (size_t)sizes[i]);
+  }
+  std::free(offs);
+}
+
+void tpb_set_num_threads(int n) {
+#ifdef _OPENMP
+  if (n > 0) omp_set_num_threads(n);
+#else
+  (void)n;
+#endif
+}
+
 int tpb_num_threads(void) {
 #ifdef _OPENMP
   return omp_get_max_threads();
