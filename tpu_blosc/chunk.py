@@ -41,7 +41,13 @@ except Exception:  # pragma: no cover - native build failure → pure Python
 
 
 def _native_pipeline_codec(codec: int, level: int) -> tuple[int, int] | None:
-    """Map a frame codec ID to the native block-pipeline codec, if covered."""
+    """Map a frame codec ID to the native block-pipeline codec + level/depth.
+
+    Level parity with the registered codec wrappers (codecs/standard.py):
+    LZ4 ignores level, LZ4HC maps 1-9 to chain depth, ZLIB passes 1-9
+    through, ZSTD maps to the reference's four speed tiers
+    (codec.go:200-213 → zstd levels 1/3/9/19).
+    """
     if _native is None or not _native.available():
         return None
     if codec == Codec.LZ4:
@@ -50,6 +56,11 @@ def _native_pipeline_codec(codec: int, level: int) -> tuple[int, int] | None:
         return _native.NATIVE_LZ4HC, hc_depth_for_level(level)
     if codec == Codec.SNAPPY:
         return _native.NATIVE_SNAPPY, 0
+    if codec == Codec.ZLIB:
+        return _native.NATIVE_ZLIB, level
+    if codec == Codec.ZSTD:
+        zstd_level = 1 if level <= 2 else 3 if level <= 4 else 9 if level <= 6 else 19
+        return _native.NATIVE_ZSTD, zstd_level
     return None
 from .errors import (
     DataTooLargeError,

@@ -50,6 +50,8 @@ def _build() -> bool:
         _SRC,
         "-o",
         _LIB_PATH,
+        "-lz",
+        "-lzstd",
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=180)
@@ -267,6 +269,8 @@ def bitunshuffle(data, type_size: int) -> np.ndarray:
 NATIVE_LZ4 = 1
 NATIVE_LZ4HC = 2
 NATIVE_SNAPPY = 3
+NATIVE_ZLIB = 4
+NATIVE_ZSTD = 5
 
 
 def compress_blocks(

@@ -53,6 +53,12 @@ __attribute__((constructor)) static void tpb_tune_malloc() {
 #include <immintrin.h>
 #endif
 
+// System compression libraries for the ZLIB/ZSTD block pipelines (the
+// reference uses klauspost/compress for both, codec.go:134-222; the
+// formats are standard so any conformant implementation interoperates).
+#include <zlib.h>
+#include <zstd.h>
+
 namespace {
 
 // ---------------------------------------------------------------------------
@@ -791,8 +797,72 @@ static void bitshuffle_full(const uint8_t *src, uint8_t *dst, int64_t n,
 // whole-chunk block pipelines (OpenMP across blocks)
 // ---------------------------------------------------------------------------
 
-enum CodecId { kCodecLz4 = 1, kCodecLz4Hc = 2, kCodecSnappy = 3 };
+enum CodecId {
+  kCodecLz4 = 1,
+  kCodecLz4Hc = 2,
+  kCodecSnappy = 3,
+  kCodecZlib = 4,
+  kCodecZstd = 5,
+};
 enum ShuffleMode { kNoShuffle = 0, kByteShuffle = 1, kBitShuffle = 2 };
+
+// level_or_depth carries the LZ4HC chain depth for kCodecLz4Hc, the
+// 1-9 zlib level for kCodecZlib, and the mapped zstd level for kCodecZstd.
+static int64_t codec_compress(int codec, int level_or_depth,
+                              const uint8_t *src, int64_t n, uint8_t *dst,
+                              int64_t cap) {
+  switch (codec) {
+    case kCodecSnappy:
+      return snappy_compress(src, n, dst, cap);
+    case kCodecZlib: {
+      uLongf out_len = (uLongf)cap;
+      int rc = compress2((Bytef *)dst, &out_len, (const Bytef *)src,
+                         (uLong)n, level_or_depth);
+      return rc == Z_OK ? (int64_t)out_len : -100 - rc;
+    }
+    case kCodecZstd: {
+      size_t w = ZSTD_compress(dst, (size_t)cap, src, (size_t)n,
+                               level_or_depth);
+      return ZSTD_isError(w) ? -200 : (int64_t)w;
+    }
+    default:
+      return lz4_compress(src, n, dst, cap,
+                          codec == kCodecLz4Hc ? level_or_depth : 1);
+  }
+}
+
+static int64_t codec_decompress(int codec, const uint8_t *src, int64_t n,
+                                uint8_t *dst, int64_t cap) {
+  switch (codec) {
+    case kCodecSnappy:
+      return snappy_decompress(src, n, dst, cap);
+    case kCodecZlib: {
+      uLongf out_len = (uLongf)cap;
+      int rc = uncompress((Bytef *)dst, &out_len, (const Bytef *)src,
+                          (uLong)n);
+      return rc == Z_OK ? (int64_t)out_len : -100 - rc;
+    }
+    case kCodecZstd: {
+      size_t w = ZSTD_decompress(dst, (size_t)cap, src, (size_t)n);
+      return ZSTD_isError(w) ? -200 : (int64_t)w;
+    }
+    default:
+      return lz4_decompress(src, n, dst, cap);
+  }
+}
+
+static int64_t codec_bound(int codec, int64_t n) {
+  switch (codec) {
+    case kCodecSnappy:
+      return snappy_bound(n);
+    case kCodecZlib:
+      return (int64_t)compressBound((uLong)n) + 16;
+    case kCodecZstd:
+      return (int64_t)ZSTD_compressBound((size_t)n) + 16;
+    default:
+      return lz4_bound(n);
+  }
+}
 
 struct BlockScratch {
   uint8_t *buf = nullptr;
@@ -884,11 +954,8 @@ int64_t tpb_compress_blocks(const uint8_t *src, int64_t n, int64_t block_size,
         to_compress = sb;
       }
       uint8_t *slot = out + i * slot_stride;
-      int64_t written;
-      if (codec == kCodecSnappy)
-        written = snappy_compress(to_compress, bs, slot, slot_stride);
-      else
-        written = lz4_compress(to_compress, bs, slot, slot_stride, depth);
+      int64_t written =
+          codec_compress(codec, depth, to_compress, bs, slot, slot_stride);
       if (written < 0) { err = written; continue; }
       if (written >= bs) {
         // memcpy fallback per block: raw pre-filter bytes
@@ -938,11 +1005,7 @@ int64_t tpb_decompress_blocks(const uint8_t *payloads, const int64_t *offsets,
         dec = scratch.get(block_size);
         if (!dec) { err = -4; continue; }
       }
-      int64_t got;
-      if (codec == kCodecSnappy)
-        got = snappy_decompress(p, psz, dec, bs);
-      else
-        got = lz4_decompress(p, psz, dec, bs);
+      int64_t got = codec_decompress(codec, p, psz, dec, bs);
       if (got != bs) { err = got < 0 ? got : -5; continue; }
       if (filtered) {
         if (shuffle_mode == kByteShuffle)
@@ -958,8 +1021,7 @@ int64_t tpb_decompress_blocks(const uint8_t *payloads, const int64_t *offsets,
 
 // worst-case per-block slot size for tpb_compress_blocks
 int64_t tpb_compress_bound(int64_t block_size, int codec) {
-  return codec == kCodecSnappy ? snappy_bound(block_size)
-                               : lz4_bound(block_size);
+  return codec_bound(codec, block_size);
 }
 
 // Compact per-block slots into a contiguous destination (frame payload
