@@ -1,0 +1,131 @@
+"""Executable documentation examples (≙ example_test.go:13-231).
+
+Each test is a self-contained usage example with asserted output, covering
+the same nine scenarios the reference documents: basic roundtrip, options,
+codec choice, shuffle modes, introspection, error handling, custom codecs,
+in-place buffer filters, and chunked frames.
+"""
+
+import numpy as np
+import pytest
+
+import tpu_blosc as blosc
+
+
+def test_example_basic_roundtrip():
+    data = b"Hello, Blosc! " * 100
+    compressed = blosc.compress(data, blosc.LZ4, 5, blosc.SHUFFLE, 4)
+    assert blosc.decompress(compressed) == data
+    assert len(compressed) < len(data)
+
+
+def test_example_compress_with_options():
+    data = np.linspace(0, 1, 25_000, dtype=np.float64).tobytes()
+    opts = blosc.Options(
+        codec=blosc.ZSTD, level=7, shuffle=blosc.SHUFFLE, type_size=8
+    )
+    frame = blosc.compress_with_options(data, opts)
+    assert blosc.decompress(frame) == data
+
+
+def test_example_codec_comparison():
+    data = np.arange(50_000, dtype=np.float32).tobytes()
+    sizes = {}
+    for codec in (blosc.LZ4, blosc.LZ4HC, blosc.SNAPPY, blosc.ZLIB, blosc.ZSTD):
+        frame = blosc.compress(data, codec, 5, blosc.SHUFFLE, 4)
+        assert blosc.decompress(frame) == data
+        sizes[str(codec)] = len(frame)
+    # every codec beats raw on this ramp
+    assert all(s < len(data) for s in sizes.values())
+
+
+def test_example_shuffle_improves_ratio():
+    """Shuffle property from the reference (shuffle_test.go:186-211):
+    byte-shuffling float-like ramps improves the LZ4 ratio."""
+    data = np.arange(25_000, dtype=np.float32)
+    data = (data * 1.5 + 0.25).tobytes()
+    plain = blosc.compress(data, blosc.LZ4, 5, blosc.NOSHUFFLE, 4)
+    shuffled = blosc.compress(data, blosc.LZ4, 5, blosc.SHUFFLE, 4)
+    assert len(shuffled) < len(plain)
+
+
+def test_example_bitshuffle_low_entropy():
+    """Bitshuffle wins on data whose entropy lives in few bits."""
+    data = (np.arange(65536, dtype=np.int16) & 0x3).tobytes()
+    bit = blosc.compress(data, blosc.LZ4, 5, blosc.BITSHUFFLE, 2)
+    assert blosc.decompress(bit) == data
+
+
+def test_example_get_info():
+    data = b"introspection example" * 50
+    frame = blosc.compress(data, blosc.ZSTD, 5, blosc.SHUFFLE, 4)
+    info = blosc.get_info(frame)
+    assert info.codec == int(blosc.ZSTD)
+    assert info.nbytes_orig == len(data)
+    assert info.shuffle_mode == blosc.SHUFFLE
+    assert blosc.get_decompressed_size(frame) == len(data)
+
+
+def test_example_error_handling():
+    with pytest.raises(blosc.InvalidDataError):
+        blosc.compress(b"", blosc.LZ4, 5, blosc.NOSHUFFLE, 1)
+    with pytest.raises(blosc.InvalidHeaderError):
+        blosc.decompress(b"too short")
+    with pytest.raises(blosc.InvalidVersionError):
+        blosc.decompress(b"\x07" + b"\x00" * 32)
+    try:
+        blosc.decompress(b"\x07" + b"\x00" * 32)
+    except blosc.BloscError:
+        pass  # all errors share the BloscError base (≙ errors.Is)
+
+
+def test_example_custom_codec():
+    class XorCodec:
+        """Toy codec: XOR with a constant (identity-size)."""
+
+        def compress(self, data, level):
+            return bytes(b ^ 0x5A for b in data)
+
+        def decompress(self, data, expected_size):
+            return bytes(b ^ 0x5A for b in data)
+
+        def name(self):
+            return "xor"
+
+    blosc.register_codec(42, XorCodec())
+    try:
+        assert 42 in [int(c) for c in blosc.list_codecs()]
+        assert blosc.get_codec(42).name() == "xor"
+        frame = blosc.compress_with_options(
+            b"custom codec payload",
+            blosc.Options(codec=42, shuffle=blosc.NOSHUFFLE),
+        )
+        # xor output is same-size -> stored as memcpy fallback; roundtrips
+        assert blosc.decompress(frame) == b"custom codec payload"
+    finally:
+        # registry is global; leave no trace for other tests
+        from tpu_blosc.codecs.registry import _codecs
+
+        _codecs.pop(42, None)
+
+
+def test_example_buffer_filters_in_place():
+    data = bytearray(np.arange(256, dtype=np.float32).tobytes())
+    original = bytes(data)
+    blosc.shuffle_buffer(data, 4, blosc.SHUFFLE)
+    assert bytes(data) != original
+    blosc.unshuffle_buffer(data, 4, blosc.SHUFFLE)
+    assert bytes(data) == original
+
+
+def test_example_chunked_frame():
+    data = np.random.default_rng(7).normal(size=100_000).astype(np.float32)
+    frame = blosc.compress_with_options(
+        data.tobytes(),
+        blosc.Options(codec=blosc.ZSTD, block_size=65536, type_size=4),
+    )
+    info = blosc.get_info(frame)
+    assert info.is_split  # multi-block frame
+    assert info.block_size == 65536
+    restored = np.frombuffer(blosc.decompress(frame), dtype=np.float32)
+    assert np.array_equal(restored, data)

@@ -71,16 +71,36 @@ def compress(
     )
 
 
+# Inputs above this are split into a 64-bit super-frame container of
+# independent sub-frames (container.py); leaves headroom under the uint32
+# frame cap for the block table and incompressible payloads.
+FRAME_SAFE_LIMIT = MAX_UINT32 - (64 << 20)
+
+
 def compress_with_options(data, opts: Options) -> bytes:
-    """≙ CompressWithOptions (blosc.go:268-286): reject empty, clamp, compress."""
+    """≙ CompressWithOptions (blosc.go:268-286): reject empty, clamp, compress.
+
+    Inputs past the uint32 frame cap (which the reference silently
+    truncates through, blosc.go:362-365) route to the 64-bit super-frame
+    container — see container.py.
+    """
     raw = _coerce_bytes(data)
     if len(raw) == 0:
         raise InvalidDataError("blosc: invalid compressed data: empty input")
+    opts = opts.clamped()
+    if len(raw) + HEADER_SIZE > FRAME_SAFE_LIMIT:
+        from . import container
+
+        return container.compress_container(raw, opts)
+    return _compress_frame_sized(raw, opts)
+
+
+def _compress_frame_sized(raw: bytes, opts: Options) -> bytes:
+    """Compress data already known to fit a single uint32-framed chunk."""
     if len(raw) + HEADER_SIZE > MAX_UINT32:
         raise DataTooLargeError(
             f"blosc: data too large: {len(raw)} bytes exceeds uint32 frame limit"
         )
-    opts = opts.clamped()
     if opts.block_size > 0 or len(raw) > AUTO_BLOCK_THRESHOLD:
         from . import chunk
 
@@ -135,6 +155,10 @@ def decompress(data) -> bytes:
 def decompress_with_size(data, type_size: int) -> bytes:
     """≙ DecompressWithSize (blosc.go:296-303) + decompressBackend (377-434)."""
     raw = _coerce_bytes(data)
+    if len(raw) >= 4 and raw[:4] == b"TPB2":
+        from . import container
+
+        return container.decompress_container(raw, type_size)
     if len(raw) < HEADER_SIZE:
         raise InvalidHeaderError(
             f"blosc: invalid header: need {HEADER_SIZE} bytes, got {len(raw)}"
@@ -187,11 +211,25 @@ def decompress_with_size(data, type_size: int) -> bytes:
     return decompressed
 
 
-def get_info(data) -> Header:
-    """≙ GetInfo (blosc.go:306-308): parse header without decompressing."""
-    return parse_header(_coerce_bytes(data))
+def get_info(data):
+    """≙ GetInfo (blosc.go:306-308): parse header without decompressing.
+
+    Returns a Header for Blosc frames; for super-frame containers returns
+    a container.ContainerInfo (codec/flags/type_size/total/frame count).
+    """
+    raw = _coerce_bytes(data)
+    if len(raw) >= 4 and raw[:4] == b"TPB2":
+        from . import container
+
+        return container.get_container_info(raw)
+    return parse_header(raw)
 
 
 def get_decompressed_size(data) -> int:
-    """≙ GetDecompressedSize (blosc.go:311-317)."""
-    return parse_header(_coerce_bytes(data)).nbytes_orig
+    """≙ GetDecompressedSize (blosc.go:311-317); container-aware."""
+    raw = _coerce_bytes(data)
+    if len(raw) >= 4 and raw[:4] == b"TPB2":
+        from . import container
+
+        return container.parse_container(raw)[4]
+    return parse_header(raw).nbytes_orig
