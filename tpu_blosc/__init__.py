@@ -23,6 +23,7 @@ from .api import (
     compress,
     compress_with_options,
     decompress,
+    decompress_into,
     decompress_with_size,
     get_decompressed_size,
     get_info,
@@ -113,6 +114,7 @@ __all__ = [
     "compress",
     "compress_with_options",
     "decompress",
+    "decompress_into",
     "decompress_with_size",
     "default_options",
     "get_codec",

@@ -211,6 +211,64 @@ def decompress_with_size(data, type_size: int) -> bytes:
     return decompressed
 
 
+def _writable_u8_view(out) -> np.ndarray:
+    """A writable flat uint8 view over a caller buffer (no copy)."""
+    if isinstance(out, np.ndarray):
+        if not out.flags.writeable or not out.flags.c_contiguous:
+            raise TypeError("out array must be writable and contiguous")
+        return out.reshape(-1).view(np.uint8)
+    view = np.frombuffer(out, dtype=np.uint8)  # bytearray/writable memoryview
+    if not view.flags.writeable:
+        raise TypeError("out buffer must be writable")
+    return view
+
+
+def decompress_into(data, out) -> int:
+    """Decompress into a caller-provided buffer; returns bytes written.
+
+    ``out`` is a bytearray, writable memoryview, or contiguous ndarray.
+    For chunked frames with natively-covered codecs the blocks decode
+    straight into ``out`` (no intermediate allocation) — the zero-copy
+    analogue of pre-allocating with GetDecompressedSize (blosc.go:311-317).
+    """
+    raw = _coerce_bytes(data)
+    n = get_decompressed_size(raw)
+    view = _writable_u8_view(out)
+    if view.size < n:
+        raise InvalidDataError(
+            f"blosc: output buffer too small: need {n}, have {view.size}"
+        )
+
+    if len(raw) >= 4 and raw[:4] == b"TPB2":
+        from . import container
+
+        pos = 0
+        _, _, _, _, total, sizes, offset = container.parse_container(raw)
+        fpos = offset
+        for fs in sizes:
+            pos += decompress_into(raw[fpos : fpos + fs], view[pos:])
+            fpos += fs
+        return pos
+
+    header = parse_header(raw)
+    if header.is_split:
+        from . import chunk
+
+        native = chunk._native_pipeline_codec(header.codec, 1)
+        if native is not None:
+            entries, offset = chunk.parse_block_table(raw, header)
+            result = chunk._decompress_chunked_native(
+                raw, header, entries, offset, header.type_size, native[0],
+                out_addr=int(view.ctypes.data),
+            )
+            if result is None:  # fell back; decode via bytes path below
+                view[:n] = np.frombuffer(decompress_with_size(raw, 0), np.uint8)
+            return n
+
+    view[:n] = np.frombuffer(decompress_with_size(raw, 0), dtype=np.uint8)
+    return n
+
+
 def get_info(data):
     """≙ GetInfo (blosc.go:306-308): parse header without decompressing.
 

@@ -275,6 +275,7 @@ def _decompress_chunked_native(
     offset: int,
     type_size: int,
     native_codec: int,
+    out_addr: int | None = None,
 ) -> bytes | None:
     """Whole-chunk native decode; None when bounds force the Python path."""
     n = header.nbytes_orig
@@ -314,6 +315,7 @@ def _decompress_chunked_native(
             type_size,
             shuffle_mode,
             native_codec,
+            out_addr=out_addr,
         )
     except Exception:
         from .errors import DecompressionFailedError

@@ -355,16 +355,22 @@ def decompress_blocks(
     type_size: int,
     shuffle_mode: int,
     native_codec: int,
-) -> bytes:
+    out_addr: int | None = None,
+) -> bytes | None:
     """Decompress+unfilter every block in one parallel native call.
 
     Writes straight into the returned bytes object — no intermediate copy.
+    With ``out_addr`` set, writes to the caller's buffer instead and
+    returns None (the decompress_into path).
     """
     _ensure()
     from ..errors import DecompressionFailedError
 
     nb = offsets.size
-    out, addr = alloc_bytes(total_n)
+    if out_addr is None:
+        out, addr = alloc_bytes(total_n)
+    else:
+        out, addr = None, out_addr
     got = _lib.tpb_decompress_blocks(
         _ptr(payloads), _ptr(offsets), _ptr(psizes), _ptr(is_memcpy),
         nb, block_size, total_n,
