@@ -1,0 +1,78 @@
+"""Pallas stream-probe kernels (interpret mode on CPU) + suggest_codec."""
+
+import numpy as np
+import pytest
+
+import tpu_blosc as blosc
+from tpu_blosc.filters import pallas_kernels as pk
+
+
+def _runs_within_words(a: np.ndarray) -> int:
+    b = a.reshape(-1, 4)
+    return sum(int(np.count_nonzero(b[:, j] == b[:, j + 1])) for j in range(3))
+
+
+def test_stream_probe_matches_numpy():
+    rng = np.random.default_rng(0)
+    data = np.concatenate(
+        [
+            np.zeros(30_000, np.uint8),
+            rng.integers(0, 256, 30_000, dtype=np.uint8),
+            (np.arange(30_000) % 7).astype(np.uint8),
+        ]
+    ).tobytes()
+    stats = pk.stream_probe(data)
+    a = np.frombuffer(data, np.uint8)
+    tile = pk._TILE_ROWS * pk._LANES * 4
+    padded = np.zeros(-(-a.size // tile) * tile, np.uint8)
+    padded[: a.size] = a
+    want_runs = _runs_within_words(padded) - 3 * ((padded.size - a.size) // 4)
+    assert stats["n"] == a.size
+    assert abs(stats["run_fraction"] - want_runs / (3 * (a.size // 4))) < 1e-9
+    assert abs(stats["mean_byte"] - float(a.astype(np.int64).sum()) / a.size) < 1e-9
+
+
+def test_stream_probe_extremes():
+    zeros = pk.stream_probe(bytes(100_000))
+    assert zeros["run_fraction"] == 1.0
+    assert zeros["mean_byte"] == 0.0
+    rng = np.random.default_rng(1)
+    rand = pk.stream_probe(rng.integers(0, 256, 200_000, dtype=np.uint8).tobytes())
+    assert rand["run_fraction"] < 0.02  # ~1/256
+    assert 120 < rand["mean_byte"] < 135
+
+
+def test_probe_ready_device_layout():
+    x = pk.probe_ready(b"\x01\x02\x03\x04" * 1000)
+    assert x.ndim == 2 and x.shape[1] == pk._LANES
+    stats = pk.stream_probe(x)
+    assert stats["n"] == x.shape[0] * pk._LANES * 4  # device path: padded size
+
+
+def test_suggest_codec_run_dominated():
+    # f32 ramp shuffles into long byte runs -> LZ4
+    data = np.arange(100_000, dtype=np.float32).tobytes()
+    assert blosc.suggest_codec(data, type_size=4) == blosc.LZ4
+
+
+def test_suggest_codec_random():
+    rng = np.random.default_rng(2)
+    data = rng.integers(0, 256, 100_000, dtype=np.uint8).tobytes()
+    assert blosc.suggest_codec(data, type_size=1) == blosc.LZ4  # fast fallback
+
+
+def test_suggest_codec_structured():
+    # text-like data: few runs but a skewed distribution
+    rng = np.random.default_rng(3)
+    words = [b"the", b"quick", b"brown", b"fox", b"jumps", b"compression"]
+    data = b" ".join(rng.choice(words) for _ in range(20_000))
+    codec = blosc.suggest_codec(data, type_size=1)
+    assert codec in (blosc.ZSTD, blosc.LZ4)
+    # whatever the suggestion, it must roundtrip
+    comp = blosc.compress(data, codec, 5, blosc.NOSHUFFLE, 1)
+    assert blosc.decompress(comp) == data
+
+
+def test_suggest_codec_empty_rejected():
+    with pytest.raises(blosc.InvalidDataError):
+        blosc.suggest_codec(b"")

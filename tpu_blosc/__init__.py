@@ -27,6 +27,7 @@ from .api import (
     decompress_with_size,
     get_decompressed_size,
     get_info,
+    suggest_codec,
 )
 from .codecs.registry import get_codec, list_codecs, register_codec
 from .errors import (
@@ -124,6 +125,7 @@ __all__ = [
     "parse_header",
     "register_codec",
     "shuffle_buffer",
+    "suggest_codec",
     "shuffle_bytes",
     "unshuffle_buffer",
     "unshuffle_bytes",

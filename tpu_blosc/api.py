@@ -269,6 +269,49 @@ def decompress_into(data, out) -> int:
     return n
 
 
+def suggest_codec(data, type_size: int = 4, sample_bytes: int = 1 << 22) -> Codec:
+    """Recommend a codec from a one-pass compressibility probe.
+
+    Probes a prefix sample *after* byte-shuffling (what the codec will
+    actually see): run-dominated data → LZ4 (speed wins, matches are
+    cheap), moderate structure → ZSTD (entropy coding pays off),
+    near-random → LZ4 (fast path; its memcpy fallback makes the cost of
+    being wrong one cheap pass).  On a TPU backend the probe runs on
+    device (Pallas kernels, filters/pallas_kernels.py); otherwise NumPy.
+    """
+    raw = _coerce_bytes(data)[:sample_bytes]
+    if len(raw) == 0:
+        raise InvalidDataError("blosc: invalid compressed data: empty input")
+    if type_size > 1 and len(raw) >= type_size:
+        raw = filters.shuffle_bytes(raw, type_size).tobytes()
+
+    stats = None
+    try:
+        import jax
+
+        if jax.default_backend() == "tpu":
+            from .filters import pallas_kernels as pk
+
+            stats = pk.stream_probe(raw)
+    except Exception:
+        stats = None
+    if stats is None:
+        a = np.frombuffer(raw, dtype=np.uint8)
+        pairs = max(a.size - 1, 1)
+        stats = {
+            "run_fraction": float(np.count_nonzero(a[1:] == a[:-1])) / pairs,
+            "mean_byte": float(a.mean()) if a.size else 0.0,
+            "n": a.size,
+        }
+
+    rf = stats["run_fraction"]
+    if rf >= 0.30:
+        return Codec.LZ4  # run-dominated: match copies at memory speed
+    if rf >= 0.02:
+        return Codec.ZSTD  # structured but not run-heavy: entropy coding
+    return Codec.LZ4  # near-random: fastest attempt, memcpy fallback
+
+
 def get_info(data):
     """≙ GetInfo (blosc.go:306-308): parse header without decompressing.
 

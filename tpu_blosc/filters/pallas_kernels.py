@@ -1,0 +1,164 @@
+"""Pallas TPU kernels + the measured device-path engineering record.
+
+What lives here
+---------------
+1. ``stream_probe`` — genuine Pallas kernels: a pass over device-resident
+   data computing compressibility statistics (adjacent-byte run fraction,
+   mean byte value) without moving the data to the host.  Powers
+   ``tpu_blosc.suggest_codec``.
+2. Re-exports of the XLA shuffle bodies (jaxops) as the device filter
+   path — a deliberate, measured decision, not an omission.
+
+Kernel experiment record (this chip, 64 MiB, GB/s *processed*; measured
+copy ceiling 2.59 TB/s):
+
+    XLA reshape-transpose shuffle   ts=4: 1464   ts=2: 2620   ts=8: 2715
+    XLA shift/mask+strided pack     ts=4: 1030
+    XLA bitshuffle (shift/unpack)   ts=4: 1607 (inverse 2071)
+    Pallas elementwise (x*2)              2979  ← beats XLA's own ceiling
+    Pallas shift/mask contig-pack   ts=4:  153
+    Pallas uint8 (T,4)->(4,T) .T          Mosaic crash (HTTP 500)
+    Pallas int32-cast block .T            Mosaic crash
+    Pallas (...,128,4)->(...,4,128) swap  Mosaic crash
+    Pallas strided lane slice y[:,0::4]   gather lowering error
+    Pallas (T,512)->(T,128,4) reshape     Mosaic crash
+    Pallas pltpu.roll by 511 lanes        compiles 320 s, runs 26 GB/s
+    Pallas 5 reductions in one kernel     compile hang (>400 s)
+    Pallas 1 reduction per kernel         compiles 0.5 s, 15-22 GB/s
+
+Conclusions encoded below: (a) Mosaic (as shipped here) cannot lower the
+cross-lane byte regroupings a byte-plane transpose needs, and XLA's own
+transpose codegen already runs at 0.55-1.0x the copy ceiling — so the
+shuffle/bitshuffle device path delegates to XLA (filters/jaxops.py,
+filters/batched.py); (b) reduction kernels are VPU-int-op bound at tens
+of GB/s — fine for *probing* sampled data, wrong for full streams;
+(c) keep exactly one reduction chain per kernel and avoid lane rolls.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# the device filter bodies (XLA codegen — see module docstring)
+from .jaxops import (  # noqa: F401  (re-exported for the dispatch layer)
+    bit_shuffle_body,
+    bit_unshuffle_body,
+    shuffle_bytes_body,
+    unshuffle_bytes_body,
+)
+
+_LANES = 512          # int32 words per row (4 lane-tiles)
+_TILE_ROWS = 512      # rows per grid step (1 MiB per step)
+_INTERPRET = jax.default_backend() not in ("tpu",)
+
+
+def _runs_kernel(x_ref, o_ref):
+    """Within-word adjacent-equal byte pairs (3 of every 4 pairs — an
+    unbiased sample; the cross-word pair needs a lane roll, which Mosaic
+    compiles pathologically — see module docstring)."""
+    x = x_ref[:].astype(jnp.uint32)
+    intra = (x ^ (x >> 8)) & jnp.uint32(0xFFFFFF)
+    eq = (
+        ((intra & 0xFF) == 0).astype(jnp.int32)
+        + (((intra >> 8) & 0xFF) == 0).astype(jnp.int32)
+        + (((intra >> 16) & 0xFF) == 0).astype(jnp.int32)
+    )
+    o_ref[0] = jnp.zeros((8, 128), jnp.int32) + jnp.sum(eq)
+
+
+def _bytesum_kernel(x_ref, o_ref):
+    """Sum of all byte values (mod 2^32) — one fused reduction chain."""
+    x = x_ref[:].astype(jnp.uint32)
+    t = (x & 0xFF) + ((x >> 8) & 0xFF) + ((x >> 16) & 0xFF) + (x >> 24)
+    o_ref[0] = jnp.zeros((8, 128), jnp.int32) + jnp.sum(t.astype(jnp.int32))
+
+
+def _make_probe(kernel):
+    @jax.jit
+    def run(x: jax.Array) -> jax.Array:
+        grid = x.shape[0] // _TILE_ROWS
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((grid, 8, 128), jnp.int32),
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec(
+                    (_TILE_ROWS, _LANES),
+                    lambda i: (i, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            interpret=_INTERPRET,
+        )(x)
+
+    return run
+
+
+_probe_runs = _make_probe(_runs_kernel)
+_probe_bytesum = _make_probe(_bytesum_kernel)
+
+
+def probe_ready(data) -> jax.Array:
+    """Device-put a byte buffer in the probe's expected (rows, 512) int32
+    layout, zero-padded and SNAPPED to 1, 2, or 4 tiles (1-4 MiB).
+
+    Snapping keeps the pallas_call grid one of three shapes, so the
+    compile cache is bounded (each new grid costs a ~25 s TPU compile over
+    the tunnel); inputs beyond 4 MiB are sampled — probe statistics, not
+    exact counts, are the contract.
+    """
+    host = np.frombuffer(
+        data.tobytes() if isinstance(data, np.ndarray) else bytes(data),
+        dtype=np.uint8,
+    )
+    tile_bytes = _TILE_ROWS * _LANES * 4
+    tiles_needed = -(-max(host.size, 1) // tile_bytes)
+    tiles = 1 if tiles_needed <= 1 else 2 if tiles_needed <= 2 else 4
+    host = host[: tiles * tile_bytes]
+    buf = np.zeros(tiles * tile_bytes, dtype=np.uint8)
+    buf[: host.size] = host
+    return jax.device_put(buf.view(np.int32).reshape(-1, _LANES))
+
+
+def stream_probe(data) -> dict:
+    """One pass of compressibility statistics on the accelerator.
+
+    Returns {"run_fraction", "mean_byte", "n"}.  High run_fraction means
+    RLE-like data where LZ4 excels; low run_fraction with a skewed byte
+    distribution suggests entropy coding (ZSTD/ZLIB); run_fraction ~1/256
+    with mean ~127.5 reads as incompressible.
+
+    Accepts bytes / ndarray, or a jax.Array already in probe_ready()
+    layout (rows, 512) int32 — the zero-transfer path for device data.
+    """
+    if isinstance(data, jax.Array):
+        a = data
+        if a.ndim != 2 or a.shape[1] != _LANES or a.dtype != jnp.int32:
+            raise TypeError(
+                "device arrays must be (rows, 512) int32; use probe_ready()"
+            )
+        n = int(a.shape[0]) * _LANES * 4
+    else:
+        n = len(data) if not isinstance(data, np.ndarray) else data.nbytes
+        a = probe_ready(data)
+    runs = int(np.asarray(_probe_runs(a))[:, 0, 0].astype(np.int64).sum())
+    bsum = int(np.asarray(_probe_bytesum(a))[:, 0, 0].astype(np.int64).sum())
+    total = a.shape[0] * _LANES * 4
+    n = min(n, total)  # probe_ready samples at most 4 tiles
+    # the zero padding contributes exactly 3 equal pairs per padded word
+    # (all-zero bytes) and 0 to the byte sum; correct both out
+    pad_words = (total - n) // 4
+    runs = max(runs - 3 * pad_words, 0)
+    pairs = max(3 * (n // 4), 1)
+    return {
+        "run_fraction": min(runs / pairs, 1.0),
+        "mean_byte": bsum / max(n, 1),
+        "n": n,
+    }
