@@ -190,7 +190,22 @@ static int64_t lz4_compress(const uint8_t *src, int64_t n, uint8_t *dst,
     while (cand >= 0 && d > 0 && i - cand <= kMaxOffset) {
       if (read32(src + cand) == seq) {
         int64_t mlen = kMinMatch;
-        // fast extension by 8-byte compares
+        // fast extension: 32-byte AVX2 compares (long matches dominate on
+        // shuffled numeric data — ratios >100x mean multi-KB matches),
+        // then 8-byte, then the ctz on the differing word
+#if defined(__AVX2__)
+        while (i + mlen + 32 <= match_limit) {
+          __m256i va = _mm256_loadu_si256((const __m256i *)(src + cand + mlen));
+          __m256i vb = _mm256_loadu_si256((const __m256i *)(src + i + mlen));
+          uint32_t eq = (uint32_t)_mm256_movemask_epi8(
+              _mm256_cmpeq_epi8(va, vb));
+          if (eq != 0xFFFFFFFFu) {
+            mlen += __builtin_ctz(~eq);
+            goto match_done;
+          }
+          mlen += 32;
+        }
+#endif
         while (i + mlen + 8 <= match_limit &&
                read64(src + cand + mlen) == read64(src + i + mlen))
           mlen += 8;
@@ -201,6 +216,9 @@ static int64_t lz4_compress(const uint8_t *src, int64_t n, uint8_t *dst,
           uint64_t diff = read64(src + cand + mlen) ^ read64(src + i + mlen);
           mlen += __builtin_ctzll(diff) >> 3;
         }
+#if defined(__AVX2__)
+      match_done:;
+#endif
         if (mlen > best_len) {
           best_len = mlen;
           best_ref = cand;
@@ -294,6 +312,14 @@ static int64_t lz4_decompress(const uint8_t *src, int64_t n, uint8_t *dst,
     if (di + mlen > cap) return -7;  // output overflow
     uint8_t *d = dst + di;
     const uint8_t *s = d - offset;
+#if defined(__AVX2__)
+    if (offset >= 32 && di + mlen + 32 <= cap) {
+      for (int64_t k = 0; k < mlen; k += 32)
+        _mm256_storeu_si256(
+            (__m256i *)(d + k),
+            _mm256_loadu_si256((const __m256i *)(s + k)));
+    } else
+#endif
     if (offset >= 8 && di + mlen + 16 <= cap) {
       for (int64_t k = 0; k < mlen; k += 8) write64(d + k, read64(s + k));
     } else {
@@ -487,8 +513,10 @@ static void unshuffle_scalar(const uint8_t *src, uint8_t *dst, int64_t ne,
 
 #if defined(__AVX2__)
 
-// ts == 4: 8 elements (32 B) per iteration — VPSHUFB lane grouping +
-// VPERMD cross-lane merge, the intrinsics form of shuffle_amd64.s:138-243.
+// ts == 4: 32 elements (128 B) per iteration — VPSHUFB lane grouping +
+// VPERMD cross-lane merge (the intrinsics form of shuffle_amd64.s:138-243,
+// widened 4x), then unpack/permute2x128 ladders so every plane gets one
+// full 32-byte store.
 static void shuffle4_avx2(const uint8_t *src, uint8_t *dst, int64_t ne,
                           int64_t e0, int64_t e1) {
   const __m256i mask = _mm256_setr_epi8(
@@ -496,16 +524,36 @@ static void shuffle4_avx2(const uint8_t *src, uint8_t *dst, int64_t ne,
       0, 4, 8, 12, 1, 5, 9, 13, 2, 6, 10, 14, 3, 7, 11, 15);
   const __m256i perm = _mm256_setr_epi32(0, 4, 1, 5, 2, 6, 3, 7);
   int64_t i = e0;
-  for (; i + 8 <= e1; i += 8) {
-    __m256i v = _mm256_loadu_si256((const __m256i *)(src + i * 4));
-    v = _mm256_shuffle_epi8(v, mask);
-    v = _mm256_permutevar8x32_epi32(v, perm);
-    alignas(32) uint8_t tmp[32];
-    _mm256_store_si256((__m256i *)tmp, v);
-    std::memcpy(dst + i, tmp, 8);
-    std::memcpy(dst + ne + i, tmp + 8, 8);
-    std::memcpy(dst + 2 * ne + i, tmp + 16, 8);
-    std::memcpy(dst + 3 * ne + i, tmp + 24, 8);
+  for (; i + 32 <= e1; i += 32) {
+    const uint8_t *s = src + i * 4;
+    // each vk = [p0 p1 p2 p3] as 8-byte qwords for its 8 elements
+    __m256i v0 = _mm256_permutevar8x32_epi32(
+        _mm256_shuffle_epi8(_mm256_loadu_si256((const __m256i *)s), mask),
+        perm);
+    __m256i v1 = _mm256_permutevar8x32_epi32(
+        _mm256_shuffle_epi8(_mm256_loadu_si256((const __m256i *)(s + 32)),
+                            mask),
+        perm);
+    __m256i v2 = _mm256_permutevar8x32_epi32(
+        _mm256_shuffle_epi8(_mm256_loadu_si256((const __m256i *)(s + 64)),
+                            mask),
+        perm);
+    __m256i v3 = _mm256_permutevar8x32_epi32(
+        _mm256_shuffle_epi8(_mm256_loadu_si256((const __m256i *)(s + 96)),
+                            mask),
+        perm);
+    __m256i t0 = _mm256_unpacklo_epi64(v0, v1);  // [p0a p0b | p2a p2b]
+    __m256i t1 = _mm256_unpackhi_epi64(v0, v1);  // [p1a p1b | p3a p3b]
+    __m256i t2 = _mm256_unpacklo_epi64(v2, v3);  // [p0c p0d | p2c p2d]
+    __m256i t3 = _mm256_unpackhi_epi64(v2, v3);  // [p1c p1d | p3c p3d]
+    _mm256_storeu_si256((__m256i *)(dst + i),
+                        _mm256_permute2x128_si256(t0, t2, 0x20));
+    _mm256_storeu_si256((__m256i *)(dst + ne + i),
+                        _mm256_permute2x128_si256(t1, t3, 0x20));
+    _mm256_storeu_si256((__m256i *)(dst + 2 * ne + i),
+                        _mm256_permute2x128_si256(t0, t2, 0x31));
+    _mm256_storeu_si256((__m256i *)(dst + 3 * ne + i),
+                        _mm256_permute2x128_si256(t1, t3, 0x31));
   }
   if (i < e1) shuffle_scalar(src, dst, ne, 4, i, e1);
 }
@@ -517,16 +565,33 @@ static void unshuffle4_avx2(const uint8_t *src, uint8_t *dst, int64_t ne,
       0, 4, 8, 12, 1, 5, 9, 13, 2, 6, 10, 14, 3, 7, 11, 15);
   const __m256i perm = _mm256_setr_epi32(0, 2, 4, 6, 1, 3, 5, 7);
   int64_t i = e0;
-  for (; i + 8 <= e1; i += 8) {
-    alignas(32) uint8_t tmp[32];
-    std::memcpy(tmp, src + i, 8);
-    std::memcpy(tmp + 8, src + ne + i, 8);
-    std::memcpy(tmp + 16, src + 2 * ne + i, 8);
-    std::memcpy(tmp + 24, src + 3 * ne + i, 8);
-    __m256i v = _mm256_load_si256((const __m256i *)tmp);
-    v = _mm256_permutevar8x32_epi32(v, perm);
-    v = _mm256_shuffle_epi8(v, mask);
-    _mm256_storeu_si256((__m256i *)(dst + i * 4), v);
+  for (; i + 32 <= e1; i += 32) {
+    __m256i p0 = _mm256_loadu_si256((const __m256i *)(src + i));
+    __m256i p1 = _mm256_loadu_si256((const __m256i *)(src + ne + i));
+    __m256i p2 = _mm256_loadu_si256((const __m256i *)(src + 2 * ne + i));
+    __m256i p3 = _mm256_loadu_si256((const __m256i *)(src + 3 * ne + i));
+    // pK = [k0 k1 k2 k3]: plane-K 8-byte pieces of element groups 0-3
+    __m256i t0 = _mm256_unpacklo_epi64(p0, p1);  // [a0 b0 | a2 b2]
+    __m256i t1 = _mm256_unpackhi_epi64(p0, p1);  // [a1 b1 | a3 b3]
+    __m256i t2 = _mm256_unpacklo_epi64(p2, p3);  // [c0 d0 | c2 d2]
+    __m256i t3 = _mm256_unpackhi_epi64(p2, p3);  // [c1 d1 | c3 d3]
+    __m256i v0 = _mm256_permute2x128_si256(t0, t2, 0x20);  // elems 0-7
+    __m256i v1 = _mm256_permute2x128_si256(t1, t3, 0x20);  // elems 8-15
+    __m256i v2 = _mm256_permute2x128_si256(t0, t2, 0x31);  // elems 16-23
+    __m256i v3 = _mm256_permute2x128_si256(t1, t3, 0x31);  // elems 24-31
+    uint8_t *d = dst + i * 4;
+    _mm256_storeu_si256(
+        (__m256i *)d,
+        _mm256_shuffle_epi8(_mm256_permutevar8x32_epi32(v0, perm), mask));
+    _mm256_storeu_si256(
+        (__m256i *)(d + 32),
+        _mm256_shuffle_epi8(_mm256_permutevar8x32_epi32(v1, perm), mask));
+    _mm256_storeu_si256(
+        (__m256i *)(d + 64),
+        _mm256_shuffle_epi8(_mm256_permutevar8x32_epi32(v2, perm), mask));
+    _mm256_storeu_si256(
+        (__m256i *)(d + 96),
+        _mm256_shuffle_epi8(_mm256_permutevar8x32_epi32(v3, perm), mask));
   }
   if (i < e1) unshuffle_scalar(src, dst, ne, 4, i, e1);
 }
