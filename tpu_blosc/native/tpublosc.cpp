@@ -802,6 +802,127 @@ static inline uint64_t bit_anti_transpose8(uint64_t x) {
 }
 
 static void bitshuffle_groups(const uint8_t *src, uint8_t *dst, int ts,
+                              int64_t g0, int64_t g1);
+static void bitunshuffle_groups(const uint8_t *src, uint8_t *dst, int ts,
+                                int64_t g0, int64_t g1);
+
+#if defined(__AVX2__)
+
+// vectorized 8x8 bit anti-transpose of four uint64 planes at once:
+// anti_T(x) = bswap64(T(bswap64(x))) with T the mask-shift ladder.
+static inline __m256i bit_anti_transpose8_x4(__m256i x) {
+  const __m256i bswap_mask = _mm256_setr_epi8(
+      7, 6, 5, 4, 3, 2, 1, 0, 15, 14, 13, 12, 11, 10, 9, 8,
+      7, 6, 5, 4, 3, 2, 1, 0, 15, 14, 13, 12, 11, 10, 9, 8);
+  x = _mm256_shuffle_epi8(x, bswap_mask);
+  __m256i t;
+  const __m256i m7 = _mm256_set1_epi64x(0x00AA00AA00AA00AAULL);
+  t = _mm256_and_si256(_mm256_xor_si256(x, _mm256_srli_epi64(x, 7)), m7);
+  x = _mm256_xor_si256(_mm256_xor_si256(x, t), _mm256_slli_epi64(t, 7));
+  const __m256i m14 = _mm256_set1_epi64x(0x0000CCCC0000CCCCULL);
+  t = _mm256_and_si256(_mm256_xor_si256(x, _mm256_srli_epi64(x, 14)), m14);
+  x = _mm256_xor_si256(_mm256_xor_si256(x, t), _mm256_slli_epi64(t, 14));
+  const __m256i m28 = _mm256_set1_epi64x(0x00000000F0F0F0F0ULL);
+  t = _mm256_and_si256(_mm256_xor_si256(x, _mm256_srli_epi64(x, 28)), m28);
+  x = _mm256_xor_si256(_mm256_xor_si256(x, t), _mm256_slli_epi64(t, 28));
+  return _mm256_shuffle_epi8(x, bswap_mask);
+}
+
+// ts == 4: one 32-byte group (8 elements) per iteration — group-local
+// byte shuffle (shuffle4's inner transform) then the bit anti-transpose
+// of all 4 plane qwords in parallel.
+static void bitshuffle4_avx2(const uint8_t *src, uint8_t *dst, int64_t g0,
+                             int64_t g1) {
+  const __m256i mask = _mm256_setr_epi8(
+      0, 4, 8, 12, 1, 5, 9, 13, 2, 6, 10, 14, 3, 7, 11, 15,
+      0, 4, 8, 12, 1, 5, 9, 13, 2, 6, 10, 14, 3, 7, 11, 15);
+  const __m256i perm = _mm256_setr_epi32(0, 4, 1, 5, 2, 6, 3, 7);
+  for (int64_t g = g0; g < g1; g++) {
+    __m256i v = _mm256_loadu_si256((const __m256i *)(src + g * 32));
+    v = _mm256_permutevar8x32_epi32(_mm256_shuffle_epi8(v, mask), perm);
+    v = bit_anti_transpose8_x4(v);
+    _mm256_storeu_si256((__m256i *)(dst + g * 32), v);
+  }
+}
+
+static void bitunshuffle4_avx2(const uint8_t *src, uint8_t *dst, int64_t g0,
+                               int64_t g1) {
+  const __m256i mask = _mm256_setr_epi8(
+      0, 4, 8, 12, 1, 5, 9, 13, 2, 6, 10, 14, 3, 7, 11, 15,
+      0, 4, 8, 12, 1, 5, 9, 13, 2, 6, 10, 14, 3, 7, 11, 15);
+  const __m256i perm = _mm256_setr_epi32(0, 2, 4, 6, 1, 3, 5, 7);
+  for (int64_t g = g0; g < g1; g++) {
+    __m256i v = _mm256_loadu_si256((const __m256i *)(src + g * 32));
+    v = bit_anti_transpose8_x4(v);
+    v = _mm256_shuffle_epi8(_mm256_permutevar8x32_epi32(v, perm), mask);
+    _mm256_storeu_si256((__m256i *)(dst + g * 32), v);
+  }
+}
+
+// ts == 8: one 64-byte group per iteration via the SSE 8x8 byte transpose
+// (shuffle8's ladder) + two anti-transpose vectors.
+static void bitshuffle8_avx2(const uint8_t *src, uint8_t *dst, int64_t g0,
+                             int64_t g1) {
+  for (int64_t g = g0; g < g1; g++) {
+    const uint8_t *s = src + g * 64;
+    uint8_t tmp[64];
+    shuffle8_sse(s, tmp, 8, 0, 8);  // 8 elements, planes of 8 bytes
+    __m256i lo = _mm256_loadu_si256((const __m256i *)tmp);
+    __m256i hi = _mm256_loadu_si256((const __m256i *)(tmp + 32));
+    _mm256_storeu_si256((__m256i *)(dst + g * 64),
+                        bit_anti_transpose8_x4(lo));
+    _mm256_storeu_si256((__m256i *)(dst + g * 64 + 32),
+                        bit_anti_transpose8_x4(hi));
+  }
+}
+
+static void bitunshuffle8_avx2(const uint8_t *src, uint8_t *dst, int64_t g0,
+                               int64_t g1) {
+  for (int64_t g = g0; g < g1; g++) {
+    const uint8_t *s = src + g * 64;
+    uint8_t tmp[64];
+    __m256i lo = _mm256_loadu_si256((const __m256i *)s);
+    __m256i hi = _mm256_loadu_si256((const __m256i *)(s + 32));
+    _mm256_storeu_si256((__m256i *)tmp, bit_anti_transpose8_x4(lo));
+    _mm256_storeu_si256((__m256i *)(tmp + 32), bit_anti_transpose8_x4(hi));
+    unshuffle8_sse(tmp, dst + g * 64, 8, 0, 8);
+  }
+}
+
+// ts == 2: two 16-byte groups per ymm (each 128-bit lane is one group).
+static void bitshuffle2_avx2(const uint8_t *src, uint8_t *dst, int64_t g0,
+                             int64_t g1) {
+  const __m256i mask = _mm256_setr_epi8(
+      0, 2, 4, 6, 8, 10, 12, 14, 1, 3, 5, 7, 9, 11, 13, 15,
+      0, 2, 4, 6, 8, 10, 12, 14, 1, 3, 5, 7, 9, 11, 13, 15);
+  int64_t g = g0;
+  for (; g + 2 <= g1; g += 2) {
+    __m256i v = _mm256_loadu_si256((const __m256i *)(src + g * 16));
+    v = _mm256_shuffle_epi8(v, mask);
+    v = bit_anti_transpose8_x4(v);
+    _mm256_storeu_si256((__m256i *)(dst + g * 16), v);
+  }
+  if (g < g1) bitshuffle_groups(src, dst, 2, g, g1);
+}
+
+static void bitunshuffle2_avx2(const uint8_t *src, uint8_t *dst, int64_t g0,
+                               int64_t g1) {
+  const __m256i mask = _mm256_setr_epi8(
+      0, 8, 1, 9, 2, 10, 3, 11, 4, 12, 5, 13, 6, 14, 7, 15,
+      0, 8, 1, 9, 2, 10, 3, 11, 4, 12, 5, 13, 6, 14, 7, 15);
+  int64_t g = g0;
+  for (; g + 2 <= g1; g += 2) {
+    __m256i v = _mm256_loadu_si256((const __m256i *)(src + g * 16));
+    v = bit_anti_transpose8_x4(v);
+    v = _mm256_shuffle_epi8(v, mask);
+    _mm256_storeu_si256((__m256i *)(dst + g * 16), v);
+  }
+  if (g < g1) bitunshuffle_groups(src, dst, 2, g, g1);
+}
+
+#endif  // __AVX2__
+
+static void bitshuffle_groups(const uint8_t *src, uint8_t *dst, int ts,
                               int64_t g0, int64_t g1) {
   const int64_t group = 8 * (int64_t)ts;
   for (int64_t g = g0; g < g1; g++) {
@@ -830,6 +951,25 @@ static void bitunshuffle_groups(const uint8_t *src, uint8_t *dst, int ts,
   }
 }
 
+static void bitshuffle_range(const uint8_t *src, uint8_t *dst, int ts,
+                             bool inverse, int64_t g0, int64_t g1) {
+#if defined(__AVX2__)
+  if (ts == 2) {
+    (inverse ? bitunshuffle2_avx2 : bitshuffle2_avx2)(src, dst, g0, g1);
+    return;
+  }
+  if (ts == 4) {
+    (inverse ? bitunshuffle4_avx2 : bitshuffle4_avx2)(src, dst, g0, g1);
+    return;
+  }
+  if (ts == 8) {
+    (inverse ? bitunshuffle8_avx2 : bitshuffle8_avx2)(src, dst, g0, g1);
+    return;
+  }
+#endif
+  (inverse ? bitunshuffle_groups : bitshuffle_groups)(src, dst, ts, g0, g1);
+}
+
 static void bitshuffle_full(const uint8_t *src, uint8_t *dst, int64_t n,
                             int ts, bool inverse) {
   if (ts <= 1 || n < ts) {
@@ -839,7 +979,6 @@ static void bitshuffle_full(const uint8_t *src, uint8_t *dst, int64_t n,
   int64_t ne = n / ts;
   int64_t groups = ne / 8;
   int64_t grouped = groups * 8 * ts;
-  auto fn = inverse ? bitunshuffle_groups : bitshuffle_groups;
 #ifdef _OPENMP
   if (n >= kParallelCutoff) {
     int nt = omp_get_max_threads();
@@ -847,12 +986,12 @@ static void bitshuffle_full(const uint8_t *src, uint8_t *dst, int64_t n,
 #pragma omp parallel for schedule(static)
     for (int t = 0; t < nt; t++) {
       int64_t a = t * per, b = std::min(groups, a + per);
-      if (a < b) fn(src, dst, ts, a, b);
+      if (a < b) bitshuffle_range(src, dst, ts, inverse, a, b);
     }
   } else
 #endif
   {
-    fn(src, dst, ts, 0, groups);
+    bitshuffle_range(src, dst, ts, inverse, 0, groups);
   }
   // partial group + typesize tail copied verbatim (shuffle.go:204-218)
   std::memcpy(dst + grouped, src + grouped, (size_t)(n - grouped));
