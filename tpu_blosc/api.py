@@ -110,6 +110,8 @@ def _compress_frame_sized(raw: bytes, opts: Options) -> bytes:
 
 def _compress_single_block(raw: bytes, opts: Options) -> bytes:
     """Single-block pipeline (≙ compressBackend, blosc.go:319-374)."""
+    if isinstance(raw, memoryview):  # container path passes zero-copy slices
+        raw = bytes(raw)
     compressor = get_codec(opts.codec)
     if compressor is None:
         raise InvalidCodecError(f"blosc: unsupported codec: {opts.codec}")

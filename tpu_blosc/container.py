@@ -65,9 +65,10 @@ def compress_container(
     frame_limit = max((frame_limit // align) * align, align)
 
     frames: list[bytes] = []
+    mv = memoryview(raw)  # zero-copy sub-frame slices
     for start in range(0, n, frame_limit):
         frames.append(
-            _compress_frame_sized(raw[start : start + frame_limit], opts)
+            _compress_frame_sized(mv[start : start + frame_limit], opts)
         )
 
     flags = 0
@@ -134,8 +135,13 @@ def get_container_info(data) -> ContainerInfo:
 
 
 def decompress_container(data, type_size: int = 0) -> bytes:
-    """Decompress a super-frame (sub-frames decoded independently, in order)."""
-    from .api import decompress_with_size
+    """Decompress a super-frame (sub-frames decoded independently, in order).
+
+    Decodes every sub-frame straight into one result allocation
+    (decompress_into) — a join of per-frame bytes would touch the full
+    output twice, which is pathological on hosts with slow page faults.
+    """
+    from .api import decompress_into, decompress_with_size
 
     _, _, _, _, total, sizes, offset = parse_container(data)
     mv = memoryview(data)
@@ -144,6 +150,40 @@ def decompress_container(data, type_size: int = 0) -> bytes:
         raise InvalidDataError(
             "blosc: invalid container: frames overrun input"
         )
+    try:
+        from .native.backend import alloc_bytes, available as _native_ok
+    except Exception:  # pragma: no cover
+        _native_ok = lambda: False  # noqa: E731
+    if _native_ok() and type_size <= 0:
+        import ctypes
+
+        import numpy as np
+
+        from .format import parse_header
+
+        out, addr = alloc_bytes(total)
+        view = np.ctypeslib.as_array(
+            ctypes.cast(addr, ctypes.POINTER(ctypes.c_ubyte)), shape=(total,)
+        )
+        pos = 0
+        fpos = offset
+        for fs in sizes:
+            sub = mv[fpos : fpos + fs]
+            fpos += fs
+            n_sub = parse_header(bytes(sub[:16])).nbytes_orig
+            if pos + n_sub > total:
+                raise SizeMismatchError(
+                    "blosc: decompressed size mismatch: container frames "
+                    "exceed declared total"
+                )
+            decompress_into(sub, view[pos:])
+            pos += n_sub
+        if pos != total:
+            raise SizeMismatchError(
+                f"blosc: decompressed size mismatch: got {pos}, "
+                f"expected {total}"
+            )
+        return out
     parts: list[bytes] = []
     pos = offset
     for fs in sizes:

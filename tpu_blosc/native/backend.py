@@ -361,7 +361,7 @@ def decompress_blocks(
 
     Writes straight into the returned bytes object — no intermediate copy.
     With ``out_addr`` set, writes to the caller's buffer instead and
-    returns None (the decompress_into path).
+    returns the byte count (the decompress_into path).
     """
     _ensure()
     from ..errors import DecompressionFailedError
@@ -381,4 +381,4 @@ def decompress_blocks(
         raise DecompressionFailedError(
             f"native decompress_blocks failed (code {got})"
         )
-    return out
+    return out if out_addr is None else total_n
