@@ -1,0 +1,95 @@
+"""compress_array / decompress_array: device-resident array compression.
+
+The contract under test: device filtering is an execution choice, never a
+format choice — compress_array frames are BIT-IDENTICAL to the host path
+at the same options.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import tpu_blosc as blosc
+from tpu_blosc.options import Options
+
+
+@pytest.mark.parametrize(
+    "dtype", [np.float32, np.float64, np.int16, np.int32]
+)
+@pytest.mark.parametrize("shuffle", [blosc.SHUFFLE, blosc.BITSHUFFLE])
+def test_compress_array_bit_identical_to_host(dtype, shuffle):
+    data = (np.arange(100_000) % 1000).astype(dtype)
+    ts = data.dtype.itemsize
+    opts = Options(shuffle=shuffle, type_size=ts, block_size=65536)
+    dev_frame = blosc.compress_array(jnp.asarray(data), opts)
+    host_frame = blosc.compress_with_options(data.tobytes(), opts)
+    assert dev_frame == host_frame
+    assert blosc.decompress(dev_frame) == data.tobytes()
+
+
+def test_compress_array_default_type_size_from_dtype():
+    data = np.arange(50_000, dtype=np.float64)
+    frame = blosc.compress_array(jnp.asarray(data))
+    info = blosc.get_info(frame)
+    assert info.type_size == 8
+    assert blosc.decompress(frame) == data.tobytes()
+
+
+def test_compress_array_small_input_single_block_routing():
+    # small inputs follow the host routing (single-block frame)
+    data = np.arange(1000, dtype=np.float32)
+    frame = blosc.compress_array(jnp.asarray(data))
+    host = blosc.compress_with_options(
+        data.tobytes(), Options(type_size=4)
+    )
+    assert frame == host
+    assert not blosc.get_info(frame).is_split
+
+
+def test_compress_array_noshuffle():
+    data = np.arange(100_000, dtype=np.int32)
+    opts = Options(shuffle=blosc.NOSHUFFLE, type_size=4, block_size=32768)
+    frame = blosc.compress_array(jnp.asarray(data), opts)
+    assert frame == blosc.compress_with_options(data.tobytes(), opts)
+
+
+def test_compress_array_incompressible_memcpy_patch():
+    # random data: every block takes the memcpy fallback; payloads must be
+    # raw PRE-filter bytes (host-path parity)
+    rng = np.random.default_rng(5)
+    data = rng.integers(0, 2**31, 65536, dtype=np.int32)
+    opts = Options(shuffle=blosc.SHUFFLE, type_size=4, block_size=32768)
+    dev_frame = blosc.compress_array(jnp.asarray(data), opts)
+    host_frame = blosc.compress_with_options(data.tobytes(), opts)
+    assert dev_frame == host_frame
+    assert blosc.decompress(dev_frame) == data.tobytes()
+
+
+def test_compress_array_ragged_tail():
+    data = np.arange(70_001, dtype=np.float32)  # not a block multiple
+    opts = Options(block_size=65536, type_size=4)
+    dev_frame = blosc.compress_array(jnp.asarray(data), opts)
+    assert dev_frame == blosc.compress_with_options(data.tobytes(), opts)
+
+
+def test_decompress_array_roundtrip():
+    data = np.linspace(0, 1, 100_000, dtype=np.float32).reshape(100, 1000)
+    frame = blosc.compress_array(jnp.asarray(data), Options(block_size=65536))
+    out = blosc.decompress_array(frame, np.float32, shape=(100, 1000))
+    assert out.shape == (100, 1000)
+    assert np.array_equal(np.asarray(out), data)
+
+
+def test_decompress_array_dtype_mismatch():
+    frame = blosc.compress(b"123", blosc.LZ4, 5, blosc.NOSHUFFLE, 1)
+    with pytest.raises(blosc.InvalidDataError):
+        blosc.decompress_array(frame, np.float32)
+
+
+@pytest.mark.parametrize("codec", [blosc.ZSTD, blosc.ZLIB])
+def test_compress_array_nonlz4_codecs_identical(codec):
+    data = np.arange(80_000, dtype=np.float32)
+    opts = Options(codec=codec, type_size=4, block_size=65536)
+    assert blosc.compress_array(jnp.asarray(data), opts) == (
+        blosc.compress_with_options(data.tobytes(), opts)
+    )

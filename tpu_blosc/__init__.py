@@ -64,6 +64,7 @@ from .format import (
     Shuffle,
     parse_header,
 )
+from .device import compress_array, decompress_array
 from .options import Options, default_options
 
 # Convenience aliases matching the reference's enum spelling
@@ -113,8 +114,10 @@ __all__ = [
     "bit_shuffle",
     "bit_unshuffle",
     "compress",
+    "compress_array",
     "compress_with_options",
     "decompress",
+    "decompress_array",
     "decompress_into",
     "decompress_with_size",
     "default_options",
