@@ -66,6 +66,7 @@ from .format import (
 )
 from .device import compress_array, decompress_array
 from .options import Options, default_options
+from .stats import CompressionStats, FrameStats, compress_with_stats, frame_stats
 
 # Convenience aliases matching the reference's enum spelling
 LZ4 = Codec.LZ4
@@ -116,6 +117,10 @@ __all__ = [
     "compress",
     "compress_array",
     "compress_with_options",
+    "compress_with_stats",
+    "CompressionStats",
+    "FrameStats",
+    "frame_stats",
     "decompress",
     "decompress_array",
     "decompress_into",
