@@ -699,6 +699,85 @@ static void unshuffle8_sse(const uint8_t *src, uint8_t *dst, int64_t ne,
   if (i < e1) unshuffle_scalar(src, dst, ne, 8, i, e1);
 }
 
+// 8x8 byte transpose of 8 rows at src+k*stride (8 bytes each) via the
+// SSE unpack ladder; outputs 4 xmms, each two 8-byte transposed rows.
+struct T8x8 {
+  __m128i v0, v1, v2, v3;  // rows (0,1), (2,3), (4,5), (6,7)
+};
+
+static inline T8x8 transpose8x8_bytes(const uint8_t *base, int64_t stride) {
+  __m128i r0 = _mm_loadl_epi64((const __m128i *)(base));
+  __m128i r1 = _mm_loadl_epi64((const __m128i *)(base + stride));
+  __m128i r2 = _mm_loadl_epi64((const __m128i *)(base + 2 * stride));
+  __m128i r3 = _mm_loadl_epi64((const __m128i *)(base + 3 * stride));
+  __m128i r4 = _mm_loadl_epi64((const __m128i *)(base + 4 * stride));
+  __m128i r5 = _mm_loadl_epi64((const __m128i *)(base + 5 * stride));
+  __m128i r6 = _mm_loadl_epi64((const __m128i *)(base + 6 * stride));
+  __m128i r7 = _mm_loadl_epi64((const __m128i *)(base + 7 * stride));
+  __m128i t0 = _mm_unpacklo_epi8(r0, r1);
+  __m128i t1 = _mm_unpacklo_epi8(r2, r3);
+  __m128i t2 = _mm_unpacklo_epi8(r4, r5);
+  __m128i t3 = _mm_unpacklo_epi8(r6, r7);
+  __m128i u0 = _mm_unpacklo_epi16(t0, t1);
+  __m128i u1 = _mm_unpackhi_epi16(t0, t1);
+  __m128i u2 = _mm_unpacklo_epi16(t2, t3);
+  __m128i u3 = _mm_unpackhi_epi16(t2, t3);
+  return {_mm_unpacklo_epi32(u0, u2), _mm_unpackhi_epi32(u0, u2),
+          _mm_unpacklo_epi32(u1, u3), _mm_unpackhi_epi32(u1, u3)};
+}
+
+// ts == 16: 16 elements (256 B) per iteration as four 8x8 blocks; each
+// plane receives one contiguous 16-byte store.
+static void shuffle16_sse(const uint8_t *src, uint8_t *dst, int64_t ne,
+                          int64_t e0, int64_t e1) {
+  int64_t i = e0;
+  for (; i + 16 <= e1; i += 16) {
+    const uint8_t *s = src + i * 16;
+    for (int h = 0; h < 2; h++) {          // plane halves 0-7 / 8-15
+      T8x8 g0 = transpose8x8_bytes(s + h * 8, 16);
+      T8x8 g1 = transpose8x8_bytes(s + 128 + h * 8, 16);
+      const __m128i *a = &g0.v0;
+      const __m128i *b = &g1.v0;
+      for (int k = 0; k < 4; k++) {        // rows (2k, 2k+1)
+        uint8_t *d0 = dst + (int64_t)(h * 8 + 2 * k) * ne + i;
+        uint8_t *d1 = dst + (int64_t)(h * 8 + 2 * k + 1) * ne + i;
+        _mm_storeu_si128((__m128i *)d0,
+                         _mm_unpacklo_epi64(a[k], b[k]));
+        _mm_storeu_si128((__m128i *)d1,
+                         _mm_unpackhi_epi64(a[k], b[k]));
+      }
+    }
+  }
+  if (i < e1) shuffle_scalar(src, dst, ne, 16, i, e1);
+}
+
+static void unshuffle16_sse(const uint8_t *src, uint8_t *dst, int64_t ne,
+                            int64_t e0, int64_t e1) {
+  int64_t i = e0;
+  alignas(16) uint8_t tmp[256];
+  for (; i + 16 <= e1; i += 16) {
+    // gather the 16x16 tile (planes x elements), transpose into tmp
+    // (elements x planes), then copy out contiguously
+    for (int h = 0; h < 2; h++) {          // element halves 0-7 / 8-15
+      for (int q = 0; q < 2; q++) {        // plane halves 0-7 / 8-15
+        // rows = planes q*8..q*8+7, columns = elements h*8..h*8+7
+        const uint8_t *base = src + (int64_t)(q * 8) * ne + i + h * 8;
+        T8x8 t = transpose8x8_bytes(base, ne);
+        const __m128i *v = &t.v0;
+        for (int k = 0; k < 4; k++) {
+          // transposed rows are elements (2k, 2k+1) of this half, bytes
+          // q*8..q*8+7
+          std::memcpy(tmp + (h * 8 + 2 * k) * 16 + q * 8, (const uint8_t *)&v[k], 8);
+          std::memcpy(tmp + (h * 8 + 2 * k + 1) * 16 + q * 8,
+                      (const uint8_t *)&v[k] + 8, 8);
+        }
+      }
+    }
+    std::memcpy(dst + i * 16, tmp, 256);
+  }
+  if (i < e1) unshuffle_scalar(src, dst, ne, 16, i, e1);
+}
+
 #endif  // __AVX2__
 
 static void shuffle_range(const uint8_t *src, uint8_t *dst, int64_t ne,
@@ -708,6 +787,7 @@ static void shuffle_range(const uint8_t *src, uint8_t *dst, int64_t ne,
     case 2: shuffle2_avx2(src, dst, ne, e0, e1); return;
     case 4: shuffle4_avx2(src, dst, ne, e0, e1); return;
     case 8: shuffle8_sse(src, dst, ne, e0, e1); return;
+    case 16: shuffle16_sse(src, dst, ne, e0, e1); return;
   }
 #endif
   shuffle_scalar(src, dst, ne, ts, e0, e1);
@@ -720,6 +800,7 @@ static void unshuffle_range(const uint8_t *src, uint8_t *dst, int64_t ne,
     case 2: unshuffle2_avx2(src, dst, ne, e0, e1); return;
     case 4: unshuffle4_avx2(src, dst, ne, e0, e1); return;
     case 8: unshuffle8_sse(src, dst, ne, e0, e1); return;
+    case 16: unshuffle16_sse(src, dst, ne, e0, e1); return;
   }
 #endif
   unshuffle_scalar(src, dst, ne, ts, e0, e1);
