@@ -1,0 +1,133 @@
+"""Differential fuzz: native pipeline vs pure-Python path must agree.
+
+The distributed analogue of the reference's SIMD-vs-generic equality
+strategy applied to whole frames: for the same input, the native OpenMP
+pipeline and the pure-Python fallback must produce IDENTICAL frames, and
+for any frame (valid or corrupted) both decoders must agree byte-for-byte
+or both raise a BloscError.
+"""
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+import tpu_blosc as blosc
+from tpu_blosc import chunk
+from tpu_blosc.errors import BloscError
+from tpu_blosc.options import Options
+
+FAST = settings(
+    max_examples=100,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+@pytest.fixture
+def force_python(monkeypatch):
+    """Disable the native pipeline inside chunk.py for the duration."""
+    monkeypatch.setattr(chunk, "_native_pipeline_codec", lambda c, l: None)
+    yield
+
+
+def _python_frame(data, opts, monkeypatch_ctx=None):
+    orig = chunk._native_pipeline_codec
+    chunk._native_pipeline_codec = lambda c, l: None
+    try:
+        return blosc.compress_with_options(data, opts)
+    finally:
+        chunk._native_pipeline_codec = orig
+
+
+def _python_decode(frame):
+    orig = chunk._native_pipeline_codec
+    chunk._native_pipeline_codec = lambda c, l: None
+    try:
+        return blosc.decompress(frame)
+    finally:
+        chunk._native_pipeline_codec = orig
+
+
+@FAST
+@given(
+    data=st.binary(min_size=1, max_size=40000),
+    codec=st.sampled_from([blosc.LZ4, blosc.SNAPPY]),
+    shuffle=st.sampled_from([blosc.NOSHUFFLE, blosc.SHUFFLE, blosc.BITSHUFFLE]),
+    type_size=st.sampled_from([1, 2, 4, 8]),
+    block_size=st.sampled_from([4096, 16384]),
+)
+def test_native_and_python_frames_identical(
+    data, codec, shuffle, type_size, block_size
+):
+    """LZ4/Snappy: the native encoder is byte-identical to the Python one?
+    NO — encoders may differ in match choices; the contract is: both
+    frames decode to the data under BOTH decoders (cross-decodability)."""
+    opts = Options(
+        codec=codec, shuffle=shuffle, type_size=type_size, block_size=block_size
+    )
+    native_frame = blosc.compress_with_options(data, opts)
+    python_frame = _python_frame(data, opts)
+    for frame in (native_frame, python_frame):
+        assert blosc.decompress(frame) == data
+        assert _python_decode(frame) == data
+
+
+@FAST
+@given(
+    data=st.binary(min_size=100, max_size=20000),
+    corruption=st.tuples(
+        st.integers(16, 19999), st.integers(0, 255)
+    ),
+)
+def test_decoders_agree_on_corrupted_frames(data, corruption):
+    """Flip one byte of a valid chunked frame: both decode paths must
+    agree — same bytes out, or both raise BloscError."""
+    frame = bytearray(
+        blosc.compress_with_options(data, Options(block_size=4096))
+    )
+    pos, val = corruption
+    if pos >= len(frame):
+        pos = pos % max(len(frame) - 16, 1) + 16
+    frame[pos] = val
+    frame = bytes(frame)
+
+    native_result = native_err = None
+    try:
+        native_result = blosc.decompress(frame)
+    except BloscError:
+        native_err = True
+    python_result = python_err = None
+    try:
+        python_result = _python_decode(frame)
+    except BloscError:
+        python_err = True
+
+    if native_err or python_err:
+        # both paths must refuse (a decoder silently accepting what the
+        # other rejects would be a divergence bug)...
+        # exception: corruption inside a compressed payload can decode to
+        # garbage of the right length in both paths — then equality below
+        # still applies; asymmetric acceptance is only tolerated when the
+        # accepted result equals the original data (redundant bytes hit)
+        if native_err != python_err:
+            accepted = native_result if python_err else python_result
+            assert accepted == data
+    else:
+        assert native_result == python_result
+
+
+def test_zlib_zstd_native_frames_identical_to_python():
+    """ZLIB via libz == CPython zlib (same library); assert bit-identity.
+    ZSTD streams may differ between libzstd and python-zstandard builds —
+    assert cross-decodability instead."""
+    data = np.arange(30_000, dtype=np.float32).tobytes()
+    for codec, expect_identical in ((blosc.ZLIB, True), (blosc.ZSTD, False)):
+        opts = Options(codec=codec, block_size=8192)
+        nf = blosc.compress_with_options(data, opts)
+        pf = _python_frame(data, opts)
+        if expect_identical:
+            assert nf == pf
+        for frame in (nf, pf):
+            assert blosc.decompress(frame) == data
+            assert _python_decode(frame) == data
