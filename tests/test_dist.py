@@ -122,3 +122,48 @@ def test_mesh_roundtrip_with_ragged_tail():
     frame = dmesh.compress_chunked_mesh(data, opts, dmesh.block_mesh(8))
     assert blosc.decompress(frame) == data
     assert dmesh.decompress_chunked_mesh(frame) == data
+
+
+# ---------------------------------------------------------------------------
+# multi-host assembly (P=1 degenerate case; slicing logic for any P)
+# ---------------------------------------------------------------------------
+
+
+def test_multihost_frame_identical_to_host_path():
+    from tpu_blosc.dist import multihost
+
+    data = np.arange(100_000, dtype=np.float32).tobytes()
+    opts = Options(block_size=32768)
+    frame = multihost.compress_chunked_multihost(len(data), data, opts)
+    assert frame == blosc.compress_with_options(data, opts)
+    assert blosc.decompress(frame) == data
+
+
+def test_multihost_process_slices_partition_exactly():
+    from tpu_blosc.dist.multihost import process_slice
+
+    for n in (100_001, 4 * 65536, 65536 - 1, 7 * 65536 + 3):
+        for procs in (1, 2, 3, 8):
+            bs = 16384
+            covered = []
+            for p in range(procs):
+                s, e = process_slice(n, bs, p, procs)
+                if e > s:  # empty trailing slices sit at n
+                    assert s % bs == 0
+                covered.append((s, e))
+            # contiguous, ordered, exact cover
+            assert covered[0][0] == 0
+            assert covered[-1][1] == n
+            for (s0, e0), (s1, e1) in zip(covered, covered[1:]):
+                assert e0 == s1
+
+
+def test_multihost_wrong_slice_rejected():
+    from tpu_blosc.dist import multihost
+    from tpu_blosc.errors import InvalidDataError
+
+    data = np.arange(10_000, dtype=np.float32).tobytes()
+    with pytest.raises(InvalidDataError):
+        multihost.compress_chunked_multihost(
+            len(data), data[:100], Options(block_size=4096)
+        )

@@ -1,0 +1,183 @@
+"""Multi-host chunk compression with ordered gather (BASELINE config 5).
+
+The reference has no distributed communication at all (SURVEY §2: no
+NCCL/MPI/Gloo — zero network imports).  This is the TPU-native layer it
+never had: each process filters+compresses the blocks of its contiguous
+slice of the global byte stream with its local devices/cores, per-block
+compressed sizes and payloads are exchanged with JAX collectives
+(multihost_utils.process_allgather → all_gather over ICI/DCN), and every
+process assembles the identical frame in header order.
+
+Frames are bit-identical to the single-process path for every process
+count — the multi-host extension of the mesh-invariance contract
+(tests assert the P=1 degenerate case here; P>1 needs a multi-host pod).
+
+Usage (every process calls with the same global metadata):
+
+    frame = compress_chunked_multihost(global_n, my_slice_bytes, opts)
+
+where process p owns global bytes [slice_start(p), slice_start(p+1)) as
+returned by process_slice().
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from ..chunk import _ENTRY_MEMCPY, choose_block_size
+from ..errors import InvalidDataError
+from ..format import (
+    FLAG_BITSHUFFLE,
+    FLAG_SHUFFLE,
+    FLAG_SPLIT,
+    FORMAT_VERSION,
+    HEADER_SIZE,
+    Header,
+    Shuffle,
+)
+from ..options import Options
+
+
+def process_slice(global_n: int, block_size: int, process_id: int,
+                  num_processes: int) -> tuple[int, int]:
+    """The [start, end) byte range process p owns: contiguous runs of
+    whole blocks, remainder blocks to the leading processes."""
+    nb = -(-global_n // block_size)
+    per = nb // num_processes
+    extra = nb % num_processes
+    first = process_id * per + min(process_id, extra)
+    count = per + (1 if process_id < extra else 0)
+    start = min(first * block_size, global_n)
+    end = min((first + count) * block_size, global_n)
+    return start, end
+
+
+def _compress_local_blocks(local: bytes, block_size: int, opts: Options):
+    """Compress this process's blocks (native pipeline when available)."""
+    from .. import chunk as _chunk
+
+    native = _chunk._native_pipeline_codec(opts.codec, opts.level)
+    if native is not None:
+        from ..native import backend as _nb
+
+        native_codec, depth = native
+        payloads, memf = _nb.compress_blocks(
+            local, block_size, opts.type_size, int(opts.shuffle),
+            native_codec, depth,
+        )
+        return payloads, memf
+    from .. import filters
+    from ..codecs.registry import get_codec
+
+    compressor = get_codec(opts.codec)
+    payloads, memf = [], []
+    for start in range(0, len(local), block_size):
+        block = local[start : start + block_size]
+        if opts.shuffle == Shuffle.SHUFFLE and opts.type_size > 1:
+            shuf = filters.shuffle_bytes(block, opts.type_size).tobytes()
+        elif opts.shuffle == Shuffle.BITSHUFFLE and opts.type_size > 1:
+            shuf = filters.bit_shuffle(block, opts.type_size).tobytes()
+        else:
+            shuf = block
+        comp = compressor.compress(shuf, opts.level)
+        if len(comp) >= len(block):
+            payloads.append(bytes(block))
+            memf.append(True)
+        else:
+            payloads.append(comp)
+            memf.append(False)
+    return payloads, memf
+
+
+def compress_chunked_multihost(
+    global_n: int, local_data, opts: Options
+) -> bytes:
+    """Compress a globally-sharded byte stream into one FLAG_SPLIT frame.
+
+    Every process passes the same ``global_n`` and its own slice (see
+    process_slice); all processes return the identical frame.
+    """
+    import jax
+
+    opts = opts.clamped()
+    if global_n <= 0:
+        raise InvalidDataError("blosc: invalid compressed data: empty input")
+    block_size = choose_block_size(global_n, opts.type_size, opts.block_size)
+    num_processes = jax.process_count()
+    pid = jax.process_index()
+    start, end = process_slice(global_n, block_size, pid, num_processes)
+    local = bytes(local_data)
+    if len(local) != end - start:
+        raise InvalidDataError(
+            f"blosc: process {pid} slice is {len(local)} bytes, "
+            f"expected {end - start}"
+        )
+
+    payloads, memf = _compress_local_blocks(local, block_size, opts)
+
+    if num_processes == 1:
+        all_payloads = payloads
+        all_memf = memf
+    else:  # pragma: no cover - needs a real multi-host pod
+        from jax.experimental import multihost_utils
+
+        # 1) gather per-process block counts and sizes (ICI/DCN all_gather)
+        local_sizes = np.array([len(p) for p in payloads], dtype=np.int64)
+        counts = multihost_utils.process_allgather(
+            np.array([local_sizes.size], dtype=np.int64)
+        ).reshape(-1)
+        max_blocks = int(counts.max())
+        padded_sizes = np.full(max_blocks, -1, dtype=np.int64)
+        padded_sizes[: local_sizes.size] = local_sizes
+        padded_memf = np.zeros(max_blocks, dtype=np.int64)
+        padded_memf[: local_sizes.size] = np.array(memf, dtype=np.int64)
+        sizes_all = multihost_utils.process_allgather(padded_sizes)
+        memf_all = multihost_utils.process_allgather(padded_memf)
+        # 2) gather payload bytes, padded to the global max payload bytes
+        local_blob = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+        blob_len = multihost_utils.process_allgather(
+            np.array([local_blob.size], dtype=np.int64)
+        ).reshape(-1)
+        max_blob = int(blob_len.max())
+        padded_blob = np.zeros(max_blob, dtype=np.uint8)
+        padded_blob[: local_blob.size] = local_blob
+        blobs = multihost_utils.process_allgather(padded_blob)
+        # 3) ordered reassembly (header order = process order)
+        all_payloads = []
+        all_memf = []
+        for p in range(num_processes):
+            off = 0
+            for k in range(int(counts[p])):
+                sz = int(sizes_all[p, k])
+                all_payloads.append(
+                    blobs[p, off : off + sz].tobytes()
+                )
+                all_memf.append(bool(memf_all[p, k]))
+                off += sz
+
+    entries = [
+        (len(pl) | (_ENTRY_MEMCPY if m else 0))
+        for pl, m in zip(all_payloads, all_memf)
+    ]
+    num_blocks = len(entries)
+    table = struct.pack("<I", num_blocks) + struct.pack(
+        f"<{num_blocks}I", *entries
+    )
+    total = HEADER_SIZE + len(table) + sum(len(p) for p in all_payloads)
+    flags = FLAG_SPLIT
+    if opts.shuffle == Shuffle.SHUFFLE:
+        flags |= FLAG_SHUFFLE
+    elif opts.shuffle == Shuffle.BITSHUFFLE:
+        flags |= FLAG_BITSHUFFLE
+    header = Header(
+        version=FORMAT_VERSION,
+        version_lz=int(opts.codec),
+        flags=flags,
+        type_size=min(opts.type_size, 255),
+        nbytes_orig=global_n,
+        block_size=block_size,
+        nbytes_comp=total,
+    )
+    return header.to_bytes() + table + b"".join(all_payloads)
