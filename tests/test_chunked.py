@@ -109,3 +109,25 @@ def test_chunked_header_fields():
     assert h.nbytes_orig == len(data)
     assert h.nbytes_comp == len(comp)
     assert h.codec == int(blosc.Codec.ZSTD)
+
+
+def test_chunked_type_size_override_decode():
+    """DecompressWithSize's type-size override applies to split frames too
+    (reference semantics blosc.go:417-426 extended to our multi-block)."""
+    data = np.arange(50_000, dtype=np.float32).tobytes()
+    comp = blosc.compress_with_options(
+        data, blosc.Options(block_size=16384, type_size=4)
+    )
+    # override with the true type size decodes identically
+    assert blosc.decompress_with_size(comp, 4) == data
+    # a wrong override still returns length-preserving output
+    out = blosc.decompress_with_size(comp, 2)
+    assert len(out) == len(data) and out != data
+
+
+def test_chunked_memcpy_ragged_tail_roundtrip():
+    rng = np.random.default_rng(17)
+    n = 2 * 8192 + 1234  # ragged, incompressible
+    data = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+    comp = blosc.compress_with_options(data, blosc.Options(block_size=8192))
+    assert blosc.decompress(comp) == data

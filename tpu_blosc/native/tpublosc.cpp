@@ -153,8 +153,11 @@ static inline int64_t lz4_emit(uint8_t *dst, int64_t di, int64_t cap,
 // Greedy/HC LZ4 block encoder.  depth==1: greedy, single hash probe
 // (≙ lz4.CompressBlock); depth>1: hash-chain search of that many candidates
 // (≙ lz4.CompressBlockHC effort tiers, see codecs/lz4_ref.hc_depth_for_level).
-static int64_t lz4_compress(const uint8_t *src, int64_t n, uint8_t *dst,
-                            int64_t cap, int depth) {
+// Callers may pass per-thread tables (head: 1<<kHashLog u32, chain: 65536
+// u32) to avoid per-block allocation; pass nullptr for one-shot use.
+static int64_t lz4_compress_t(const uint8_t *src, int64_t n, uint8_t *dst,
+                              int64_t cap, int depth, uint32_t *head_ext,
+                              uint32_t *chain_ext) {
   if (n == 0) return 0;
   int64_t di = 0;
   if (n < kMfLimit + 1) {
@@ -163,17 +166,25 @@ static int64_t lz4_compress(const uint8_t *src, int64_t n, uint8_t *dst,
 
   // head[h] = last position + 1 with hash h (0 = empty).
   // chain[pos & 0xFFFF] = previous position + 1 in the same bucket; the
-  // 64K window matches the LZ4 offset range.
-  int64_t head_sz = (int64_t)1 << kHashLog;
-  int64_t *head = (int64_t *)std::calloc((size_t)head_sz, sizeof(int64_t));
-  int64_t *chain = nullptr;
-  if (depth > 1)
-    chain = (int64_t *)std::calloc(65536, sizeof(int64_t));
-  if (!head || (depth > 1 && !chain)) {
-    std::free(head);
-    std::free(chain);
-    return -2;
+  // 64K window matches the LZ4 offset range.  uint32 positions cap block
+  // sizes below 4 GiB — guaranteed by the uint32 frame format.
+  const int64_t head_sz = (int64_t)1 << kHashLog;
+  uint32_t *head = head_ext;
+  uint32_t *chain = chain_ext;
+  bool owned = false;
+  if (!head) {
+    head = (uint32_t *)std::malloc((size_t)head_sz * 4);
+    chain = depth > 1 ? (uint32_t *)std::malloc(65536 * 4) : nullptr;
+    owned = true;
+    if (!head || (depth > 1 && !chain)) {
+      std::free(head);
+      std::free(chain);
+      return -2;
+    }
   }
+  std::memset(head, 0, (size_t)head_sz * 4);
+  if (depth > 1 && chain) std::memset(chain, 0, 65536 * 4);
+  if (depth <= 1) chain = nullptr;
 
   const int64_t limit = n - kMfLimit;        // last valid match start
   const int64_t match_limit = n - kLastLiterals;
@@ -185,7 +196,7 @@ static int64_t lz4_compress(const uint8_t *src, int64_t n, uint8_t *dst,
     uint32_t h = lz4_hash(seq);
     int64_t best_ref = -1, best_len = 0;
 
-    int64_t cand = head[h] - 1;
+    int64_t cand = (int64_t)head[h] - 1;
     int d = depth;
     while (cand >= 0 && d > 0 && i - cand <= kMaxOffset) {
       if (read32(src + cand) == seq) {
@@ -227,11 +238,11 @@ static int64_t lz4_compress(const uint8_t *src, int64_t n, uint8_t *dst,
       }
       if (!chain) break;
       d--;
-      cand = chain[cand & 0xFFFF] - 1;
+      cand = (int64_t)chain[cand & 0xFFFF] - 1;
     }
 
     if (chain) chain[i & 0xFFFF] = head[h];
-    head[h] = i + 1;
+    head[h] = (uint32_t)(i + 1);
 
     if (best_len >= kMinMatch) {
       int64_t ref = best_ref;
@@ -248,7 +259,7 @@ static int64_t lz4_compress(const uint8_t *src, int64_t n, uint8_t *dst,
       if (i + 2 <= limit) {
         uint32_t h2 = lz4_hash(read32(src + i + 2));
         if (chain) chain[(i + 2) & 0xFFFF] = head[h2];
-        head[h2] = i + 3;
+        head[h2] = (uint32_t)(i + 3);
       }
       i += best_len;
       anchor = i;
@@ -260,10 +271,17 @@ static int64_t lz4_compress(const uint8_t *src, int64_t n, uint8_t *dst,
     }
   }
 
-  std::free(head);
-  std::free(chain);
+  if (owned) {
+    std::free(head);
+    std::free(chain);
+  }
   if (di < 0) return -1;
   return lz4_emit(dst, di, cap, src + anchor, n - anchor, 0, 0);
+}
+
+static int64_t lz4_compress(const uint8_t *src, int64_t n, uint8_t *dst,
+                            int64_t cap, int depth) {
+  return lz4_compress_t(src, n, dst, cap, depth, nullptr, nullptr);
 }
 
 // Safe LZ4 block decoder.  Returns bytes written or negative error.
@@ -1095,7 +1113,8 @@ enum ShuffleMode { kNoShuffle = 0, kByteShuffle = 1, kBitShuffle = 2 };
 // 1-9 zlib level for kCodecZlib, and the mapped zstd level for kCodecZstd.
 static int64_t codec_compress(int codec, int level_or_depth,
                               const uint8_t *src, int64_t n, uint8_t *dst,
-                              int64_t cap) {
+                              int64_t cap, uint32_t *lz4_head = nullptr,
+                              uint32_t *lz4_chain = nullptr) {
   switch (codec) {
     case kCodecSnappy:
       return snappy_compress(src, n, dst, cap);
@@ -1111,8 +1130,9 @@ static int64_t codec_compress(int codec, int level_or_depth,
       return ZSTD_isError(w) ? -200 : (int64_t)w;
     }
     default:
-      return lz4_compress(src, n, dst, cap,
-                          codec == kCodecLz4Hc ? level_or_depth : 1);
+      return lz4_compress_t(src, n, dst, cap,
+                            codec == kCodecLz4Hc ? level_or_depth : 1,
+                            lz4_head, lz4_chain);
   }
 }
 
@@ -1152,7 +1172,13 @@ static int64_t codec_bound(int codec, int64_t n) {
 struct BlockScratch {
   uint8_t *buf = nullptr;
   int64_t cap = 0;
-  ~BlockScratch() { std::free(buf); }
+  uint32_t *head = nullptr;   // per-thread LZ4 hash table
+  uint32_t *chain = nullptr;  // per-thread LZ4HC chain table
+  ~BlockScratch() {
+    std::free(buf);
+    std::free(head);
+    std::free(chain);
+  }
   uint8_t *get(int64_t need) {
     if (need > cap) {
       std::free(buf);
@@ -1160,6 +1186,15 @@ struct BlockScratch {
       cap = buf ? need : 0;
     }
     return buf;
+  }
+  uint32_t *lz4_head() {
+    if (!head)
+      head = (uint32_t *)std::malloc(((size_t)1 << kHashLog) * 4);
+    return head;
+  }
+  uint32_t *lz4_chain() {
+    if (!chain) chain = (uint32_t *)std::malloc(65536 * 4);
+    return chain;
   }
 };
 
@@ -1239,8 +1274,9 @@ int64_t tpb_compress_blocks(const uint8_t *src, int64_t n, int64_t block_size,
         to_compress = sb;
       }
       uint8_t *slot = out + i * slot_stride;
-      int64_t written =
-          codec_compress(codec, depth, to_compress, bs, slot, slot_stride);
+      int64_t written = codec_compress(
+          codec, depth, to_compress, bs, slot, slot_stride,
+          scratch.lz4_head(), depth > 1 ? scratch.lz4_chain() : nullptr);
       if (written < 0) { err = written; continue; }
       if (written >= bs) {
         // memcpy fallback per block: raw pre-filter bytes
