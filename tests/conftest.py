@@ -27,3 +27,4 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_platform_name", "cpu")
 # 64-bit dtypes must survive jnp.asarray for the device-array API tests
 jax.config.update("jax_enable_x64", True)
+

@@ -17,8 +17,11 @@ from tpu_blosc import chunk
 from tpu_blosc.errors import BloscError
 from tpu_blosc.options import Options
 
+import os as _os
+
+# TPU_BLOSC_SOAK=<n> cranks the example count for soak runs
 FAST = settings(
-    max_examples=100,
+    max_examples=int(_os.environ.get("TPU_BLOSC_SOAK", 0)) or 100,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
 )

@@ -20,8 +20,11 @@ import tpu_blosc as blosc
 from tpu_blosc.errors import BloscError
 from tpu_blosc.format import HEADER_SIZE, Header, parse_header
 
+import os as _os
+
+# TPU_BLOSC_SOAK=<n> cranks the example count for soak runs
 FAST = settings(
-    max_examples=200,
+    max_examples=int(_os.environ.get("TPU_BLOSC_SOAK", 0)) or 200,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
 )

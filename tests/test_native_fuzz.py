@@ -1,0 +1,111 @@
+"""Crash-safety fuzz of the native decoders (ctypes → C++).
+
+A memory-safety bug here takes down the process, not just a test — these
+run random and mutated inputs straight into the C decoders with tight
+output capacities.  Complements the format-level fuzz in test_fuzz.py.
+"""
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tpu_blosc.errors import BloscError
+from tpu_blosc.native import backend as nb
+
+pytestmark = pytest.mark.skipif(
+    not nb.available(), reason="native backend unavailable"
+)
+
+import os as _os
+
+# TPU_BLOSC_SOAK=<n> cranks the example count for soak runs
+FUZZ = settings(
+    max_examples=int(_os.environ.get("TPU_BLOSC_SOAK", 0)) or 300,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+@FUZZ
+@given(
+    data=st.binary(min_size=0, max_size=2048),
+    expected=st.integers(0, 4096),
+)
+def test_lz4_decoder_random_bytes(data, expected):
+    try:
+        out = nb.lz4_decompress(data, expected)
+        assert len(out) <= expected
+    except BloscError:
+        pass
+
+
+@FUZZ
+@given(
+    data=st.binary(min_size=0, max_size=2048),
+    expected=st.integers(0, 4096),
+)
+def test_snappy_decoder_random_bytes(data, expected):
+    try:
+        out = nb.snappy_decompress(data, expected)
+        assert len(out) <= expected
+    except BloscError:
+        pass
+
+
+@FUZZ
+@given(
+    payload=st.binary(min_size=16, max_size=4096),
+    flips=st.lists(
+        st.tuples(st.integers(0, 4095), st.integers(0, 255)),
+        min_size=1,
+        max_size=8,
+    ),
+    wrong_expected=st.integers(0, 8192),
+)
+def test_lz4_mutated_valid_streams(payload, flips, wrong_expected):
+    """Start from a VALID stream, flip bytes, lie about the size —
+    decoders must stay in-bounds."""
+    stream = bytearray(nb.lz4_compress(payload, 1))
+    for pos, val in flips:
+        stream[pos % len(stream)] = val
+    try:
+        out = nb.lz4_decompress(bytes(stream), wrong_expected)
+        assert len(out) <= wrong_expected
+    except BloscError:
+        pass
+
+
+@FUZZ
+@given(
+    payload=st.binary(min_size=16, max_size=4096),
+    flips=st.lists(
+        st.tuples(st.integers(0, 4095), st.integers(0, 255)),
+        min_size=1,
+        max_size=8,
+    ),
+    wrong_expected=st.integers(0, 8192),
+)
+def test_snappy_mutated_valid_streams(payload, flips, wrong_expected):
+    stream = bytearray(nb.snappy_compress(payload))
+    for pos, val in flips:
+        stream[pos % len(stream)] = val
+    try:
+        out = nb.snappy_decompress(bytes(stream), wrong_expected)
+        assert len(out) <= wrong_expected
+    except BloscError:
+        pass
+
+
+@FUZZ
+@given(
+    n=st.integers(1, 8192),
+    ts=st.integers(1, 32),
+    seed=st.integers(0, 2**31),
+)
+def test_shuffle_kernels_arbitrary_sizes(n, ts, seed):
+    """Every (n, ts) combination round-trips through the native kernels."""
+    rng = np.random.default_rng(seed)
+    data = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+    assert nb.unshuffle(nb.shuffle(data, ts), ts).tobytes() == data
+    assert nb.bitunshuffle(nb.bitshuffle(data, ts), ts).tobytes() == data
