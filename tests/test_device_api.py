@@ -122,3 +122,72 @@ def test_decompress_array_with_sharding():
     out = blosc.decompress_array(frame, np.float32, sharding=sharding)
     assert out.sharding == sharding
     assert np.array_equal(np.asarray(out), data)
+
+
+# ---------------------------------------------------------------------------
+# device-RLE strategy: run scan on device, O(runs) host emission
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("dtype", [np.float32, np.float64, np.int16])
+def test_rle_strategy_roundtrip_and_cross_decode(dtype):
+    data = (np.arange(300_000) % 700).astype(dtype)
+    opts = Options(type_size=data.dtype.itemsize, block_size=65536)
+    frame = blosc.compress_array(jnp.asarray(data), opts, strategy="rle")
+    assert blosc.decompress(frame) == data.tobytes()
+    # the frame is standard: python-path decode reads it too
+    from tpu_blosc import chunk
+
+    orig = chunk._native_pipeline_codec
+    chunk._native_pipeline_codec = lambda c, l: None
+    try:
+        assert blosc.decompress(frame) == data.tobytes()
+    finally:
+        chunk._native_pipeline_codec = orig
+
+
+def test_rle_strategy_ratio_parity_with_host():
+    data = (np.arange(600_000) % 1000).astype(np.float64)
+    opts = Options(type_size=8, block_size=65536)
+    frame = blosc.compress_array(jnp.asarray(data), opts, strategy="rle")
+    host = blosc.compress_with_options(data.tobytes(), opts)
+    # hybrid fallback keeps the ratio within 5% of the full encoder
+    assert len(frame) <= int(len(host) * 1.05)
+
+
+def test_rle_strategy_incompressible_falls_back():
+    rng = np.random.default_rng(1)
+    data = rng.integers(0, 2**31, 200_000, dtype=np.int32)
+    opts = Options(type_size=4, block_size=65536)
+    frame = blosc.compress_array(jnp.asarray(data), opts, strategy="rle")
+    # falls back to the transfer path -> bit-identical to host
+    assert frame == blosc.compress_with_options(data.tobytes(), opts)
+
+
+def test_rle_strategy_non_lz4_codec_uses_transfer():
+    data = (np.arange(100_000) % 100).astype(np.float32)
+    opts = Options(codec=blosc.ZSTD, type_size=4, block_size=65536)
+    frame = blosc.compress_array(jnp.asarray(data), opts, strategy="rle")
+    assert frame == blosc.compress_with_options(data.tobytes(), opts)
+
+
+def test_rle_strategy_ragged_tail():
+    data = (np.arange(70_001) % 90).astype(np.float32)
+    opts = Options(type_size=4, block_size=65536)
+    frame = blosc.compress_array(jnp.asarray(data), opts, strategy="rle")
+    assert blosc.decompress(frame) == data.tobytes()
+
+
+def test_rle_emitter_vs_reference_decoder():
+    from tpu_blosc.codecs import lz4_ref
+    from tpu_blosc.native import backend as nb
+
+    rng = np.random.default_rng(2)
+    for _ in range(20):
+        nr = int(rng.integers(1, 40))
+        lens = rng.integers(1, 50, nr).astype(np.int64)
+        vals = rng.integers(0, 5, nr).astype(np.uint8)
+        data = np.repeat(vals, lens).tobytes()
+        stream = nb.lz4_emit_runs(vals, lens, len(data))
+        assert lz4_ref.decompress_block(stream, len(data)) == data
+        assert nb.lz4_decompress(stream, len(data)) == data

@@ -29,6 +29,7 @@ from .format import (
     FLAG_SPLIT,
     FORMAT_VERSION,
     HEADER_SIZE,
+    Codec,
     Header,
     Shuffle,
 )
@@ -63,11 +64,61 @@ def _device_filter_prep(x, nb: int, bs: int, type_size: int, mode: int):
     return filtered, x_bytes[nb * bs :]
 
 
-def compress_array(x, opts: Options | None = None) -> bytes:
+@partial(_jax.jit, static_argnums=(1, 2, 3, 4, 5))
+def _device_rle_prep(x, nb: int, bs: int, type_size: int, mode: int, cap: int):
+    """Filter + per-block run-length scan in one compiled unit.
+
+    Returns (vals (cap,) uint8, lens (cap,) int32, num_runs, tail bytes).
+    Run boundaries are forced at block starts so records never straddle
+    blocks.  When num_runs > cap the records are truncated — the caller
+    must fall back to the transfer strategy.
+    """
+    import jax.numpy as jnp
+
+    filtered, tail = _device_filter_prep(x, nb, bs, type_size, mode)
+    total = nb * bs
+    flat = filtered.reshape(-1)
+    # per-row boundary map keeps block starts as run starts by construction
+    row_b = jnp.concatenate(
+        [
+            jnp.ones((nb, 1), bool),
+            filtered[:, 1:] != filtered[:, :-1],
+        ],
+        axis=1,
+    )
+    b = row_b.reshape(-1)
+    num = jnp.sum(b)
+    idx = jnp.nonzero(b, size=cap, fill_value=total)[0]
+    vals = flat[jnp.minimum(idx, total - 1)]
+    lens = jnp.diff(jnp.concatenate([idx, jnp.array([total])])).astype(
+        jnp.int32
+    )
+    return vals, lens, num, tail
+
+
+def _rle_cap(total: int) -> int:
+    """Static record capacity: worth the device-RLE path only when data is
+    at least ~8x run-compressible; snapped to limit compile shapes."""
+    cap = max(total // 8, 4096)
+    # snap to the next power of two for a bounded compile cache
+    return 1 << (cap - 1).bit_length()
+
+
+def compress_array(x, opts: Options | None = None, strategy: str = "transfer") -> bytes:
     """Compress a jax.Array (or ndarray) with the filter stage on device.
 
-    type_size defaults to the dtype's itemsize.  Output frames are
-    bit-identical to the host path at the same options.
+    type_size defaults to the dtype's itemsize.
+
+    strategy:
+      "transfer" (default) — filter on device, transfer the filtered
+        stream, host codec.  Frames BIT-IDENTICAL to the host path.
+      "rle" — LZ4 only: filter AND run-length scan on device; only
+        O(runs) records reach the host, which emits standard LZ4 token
+        streams in O(runs) (native lz4_emit_runs).  Frames are valid
+        LZ4 frames decodable everywhere, but not bit-identical to the
+        host encoder (different match strategy).  Falls back to
+        "transfer" when the data is not run-compressible enough
+        (device probe result exceeds the record budget).
     """
     import jax
     import jax.numpy as jnp
@@ -106,6 +157,12 @@ def compress_array(x, opts: Options | None = None) -> bytes:
         # single-block / unfiltered routing: one transfer, host path
         # (keeps frames bit-identical to the host API's routing rules)
         return compress_with_options(np.asarray(x).tobytes(), opts)
+
+    if strategy == "rle" and opts.codec in (Codec.LZ4, Codec.LZ4HC):
+        frame = _compress_array_rle(x, opts, nb_full, block_size)
+        if frame is not None:
+            return frame
+        # not run-compressible enough — fall through to transfer
 
     filtered_dev, tail_dev = _device_filter_prep(
         x, nb_full, block_size, opts.type_size, int(opts.shuffle)
@@ -189,6 +246,103 @@ def compress_array(x, opts: Options | None = None) -> bytes:
         nbytes_orig=n,
         block_size=block_size,
         nbytes_comp=total,
+    )
+    return header.to_bytes() + table + b"".join(payloads)
+
+
+def _unfilter_host(block, type_size: int, mode: Shuffle) -> bytes:
+    if mode == Shuffle.SHUFFLE:
+        return filters.unshuffle_bytes(block, type_size).tobytes()
+    return filters.bit_unshuffle(block, type_size).tobytes()
+
+
+def _filter_host(block, type_size: int, mode: Shuffle) -> bytes:
+    if len(block) < type_size or type_size <= 1:
+        return bytes(block)
+    if mode == Shuffle.SHUFFLE:
+        return filters.shuffle_bytes(block, type_size).tobytes()
+    return filters.bit_shuffle(block, type_size).tobytes()
+
+
+def _compress_array_rle(x, opts: Options, nb_full: int, block_size: int):
+    """Device-RLE strategy body; returns a frame or None to fall back."""
+    from .native import backend as _nb
+
+    if not _nb.available():
+        return None
+    total = nb_full * block_size
+    cap = _rle_cap(total)
+    vals_d, lens_d, num_d, tail_d = _device_rle_prep(
+        x, nb_full, block_size, opts.type_size, int(opts.shuffle), cap
+    )
+    num = int(num_d)
+    if num > cap:
+        return None  # not run-compressible enough for this path
+    # slice ON DEVICE before fetching — only O(runs) bytes cross the link
+    vals = np.asarray(vals_d[:num])
+    lens = np.asarray(lens_d[:num]).astype(np.int64)
+    tail = np.asarray(tail_d)
+
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    rec_first = np.searchsorted(starts, np.arange(nb_full) * block_size)
+    rec_last = np.append(rec_first[1:], num)
+
+    payloads: list[bytes] = []
+    entries: list[int] = []
+    import struct
+
+    from .codecs.lz4_ref import hc_depth_for_level
+
+    depth = hc_depth_for_level(opts.level) if opts.codec == Codec.LZ4HC else 1
+    for k in range(nb_full):
+        a, b = int(rec_first[k]), int(rec_last[k])
+        stream = _nb.lz4_emit_runs(vals[a:b], lens[a:b], block_size)
+        if len(stream) > block_size // 16:
+            # RLE ratio below 16x: the block likely has non-run structure
+            # (repeating multi-byte patterns) — reconstruct the filtered
+            # bytes from the records (cheap np.repeat) and run the full
+            # LZ4 encoder, keeping whichever stream is smaller
+            filt = np.repeat(vals[a:b], lens[a:b])
+            full = _nb.lz4_compress(filt, depth)
+            if len(full) < len(stream):
+                stream = full
+            if len(stream) >= block_size:
+                payloads.append(
+                    _unfilter_host(filt, opts.type_size, opts.shuffle)
+                )
+                entries.append(_ENTRY_MEMCPY | block_size)
+                continue
+        payloads.append(stream)
+        entries.append(len(stream))
+
+    n = total + tail.size
+    if tail.size:
+        shuf_t = _filter_host(tail.tobytes(), opts.type_size, opts.shuffle)
+        compressor = get_codec(opts.codec)
+        comp = compressor.compress(shuf_t, opts.level)
+        if len(comp) >= tail.size:
+            payloads.append(tail.tobytes())
+            entries.append(_ENTRY_MEMCPY | tail.size)
+        else:
+            payloads.append(comp)
+            entries.append(len(comp))
+
+    num_blocks = len(payloads)
+    table = struct.pack("<I", num_blocks) + struct.pack(
+        f"<{num_blocks}I", *entries
+    )
+    flags = FLAG_SPLIT | (
+        FLAG_SHUFFLE if opts.shuffle == Shuffle.SHUFFLE else FLAG_BITSHUFFLE
+    )
+    header = Header(
+        version=FORMAT_VERSION,
+        version_lz=int(opts.codec),
+        flags=flags,
+        type_size=min(opts.type_size, 255),
+        nbytes_orig=n,
+        block_size=block_size,
+        nbytes_comp=HEADER_SIZE + len(table) + sum(len(p) for p in payloads),
     )
     return header.to_bytes() + table + b"".join(payloads)
 

@@ -120,6 +120,8 @@ def _load() -> None:
         lib.tpb_num_threads.argtypes = []
         lib.tpb_gather.restype = None
         lib.tpb_gather.argtypes = [_p, _p, _i64, _i64, _p]
+        lib.tpb_lz4_emit_runs.restype = _i64
+        lib.tpb_lz4_emit_runs.argtypes = [_p, _p, _i64, _i64, _p, _i64]
         lib.tpb_set_num_threads.restype = None
         lib.tpb_set_num_threads.argtypes = [ctypes.c_int]
         _lib = lib
@@ -229,6 +231,24 @@ def snappy_decompress(data, expected_size: int) -> bytes:
             f"snappy: malformed stream (code {written})"
         )
     return out if written == expected_size else out[:written]
+
+
+def lz4_emit_runs(vals: np.ndarray, lens: np.ndarray, n: int) -> bytes:
+    """Emit a standard LZ4 block stream from (value, length) run records.
+
+    The device-RLE encoder's host half: O(runs) work, decodes everywhere.
+    """
+    _ensure()
+    vals = np.ascontiguousarray(vals, dtype=np.uint8)
+    lens = np.ascontiguousarray(lens, dtype=np.int64)
+    cap = n + n // 255 + 16
+    out = np.empty(cap, dtype=np.uint8)
+    written = _lib.tpb_lz4_emit_runs(
+        _ptr(vals), _ptr(lens), vals.size, n, _ptr(out), cap
+    )
+    if written < 0:
+        raise RuntimeError(f"lz4_emit_runs failed ({written})")
+    return out[:written].tobytes()
 
 
 # ---------------------------------------------------------------------------

@@ -284,6 +284,96 @@ static int64_t lz4_compress(const uint8_t *src, int64_t n, uint8_t *dst,
   return lz4_compress_t(src, n, dst, cap, depth, nullptr, nullptr);
 }
 
+// Emit a valid LZ4 block stream for run-length-encoded data: the input is
+// (value, length) run records whose concatenation is the uncompressed
+// block.  Each long run becomes one literal byte + an offset-1 match (the
+// classic LZ4 RLE form); short runs accumulate into literal sections.
+// Used by the device-RLE pipeline: the O(n) run scan happens on the TPU
+// and only O(runs) records reach the host, which emits tokens here in
+// O(runs) -- the output decodes with ANY LZ4 block decoder.
+//
+// Returns bytes written or negative error (cap too small / bad records).
+static int64_t lz4_emit_runs(const uint8_t *vals, const int64_t *lens,
+                             int64_t nruns, int64_t n, uint8_t *dst,
+                             int64_t cap) {
+  int64_t di = 0;
+  int64_t emitted = 0;        // uncompressed bytes fully covered so far
+  // pending literals = optional synthetic head run (leftover of a match)
+  // followed by input runs [pend_first, pend_first + pend_count)
+  uint8_t synth_val = 0;
+  int64_t synth_len = 0;
+  int64_t pend_first = 0, pend_count = 0, pend_total = 0;
+
+  auto emit_len_ext = [&](int64_t rem) {
+    while (rem >= 255) {
+      dst[di++] = 255;
+      rem -= 255;
+    }
+    dst[di++] = (uint8_t)rem;
+  };
+
+  auto write_pending_bytes = [&]() {
+    if (synth_len) {
+      std::memset(dst + di, synth_val, (size_t)synth_len);
+      di += synth_len;
+    }
+    for (int64_t k = 0; k < pend_count; k++) {
+      std::memset(dst + di, vals[pend_first + k],
+                  (size_t)lens[pend_first + k]);
+      di += lens[pend_first + k];
+    }
+  };
+
+  for (int64_t r = 0; r < nruns; r++) {
+    int64_t L = lens[r];
+    if (L < 0) return -3;
+    if (L == 0) continue;
+    int64_t start = emitted + pend_total + synth_len;
+    if (start + L > n) return -3;
+    if (L >= 5 && start + 1 <= n - kMfLimit) {
+      int64_t max_m = (n - kLastLiterals) - (start + 1);
+      int64_t mlen = L - 1 < max_m ? L - 1 : max_m;
+      if (mlen >= kMinMatch) {
+        int64_t lit_len = synth_len + pend_total + 1;
+        int64_t ml = mlen - kMinMatch;
+        int64_t need = 1 + lit_len + lit_len / 255 + 1 + 2 + ml / 255 + 1;
+        if (di + need > cap) return -1;
+        dst[di++] = (uint8_t)(((lit_len >= 15 ? 15 : lit_len) << 4) |
+                              (ml >= 15 ? 15 : ml));
+        if (lit_len >= 15) emit_len_ext(lit_len - 15);
+        write_pending_bytes();
+        dst[di++] = vals[r];  // seed literal the offset-1 match references
+        dst[di++] = 1;        // offset = 1 (little-endian)
+        dst[di++] = 0;
+        if (ml >= 15) emit_len_ext(ml - 15);
+        emitted = start + 1 + mlen;
+        synth_len = L - 1 - mlen;  // untaken tail of this run, if any
+        synth_val = vals[r];
+        pend_first = r + 1;
+        pend_count = 0;
+        pend_total = 0;
+        continue;
+      }
+    }
+    // run joins the pending literals
+    if (pend_count == 0) pend_first = r;
+    pend_count++;
+    pend_total += L;
+  }
+
+  // final literal-only sequence (pending + synthetic leftover)
+  int64_t lit_len = synth_len + pend_total;
+  if (emitted + lit_len != n) return -3;
+  if (lit_len > 0) {
+    int64_t need = 1 + lit_len + lit_len / 255 + 1;
+    if (di + need > cap) return -1;
+    dst[di++] = (uint8_t)((lit_len >= 15 ? 15 : lit_len) << 4);
+    if (lit_len >= 15) emit_len_ext(lit_len - 15);
+    write_pending_bytes();
+  }
+  return di;
+}
+
 // Safe LZ4 block decoder.  Returns bytes written or negative error.
 static int64_t lz4_decompress(const uint8_t *src, int64_t n, uint8_t *dst,
                               int64_t cap) {
@@ -1212,6 +1302,12 @@ int64_t tpb_lz4_compress(const uint8_t *src, int64_t n, uint8_t *dst,
 int64_t tpb_lz4_decompress(const uint8_t *src, int64_t n, uint8_t *dst,
                            int64_t cap) {
   return lz4_decompress(src, n, dst, cap);
+}
+
+int64_t tpb_lz4_emit_runs(const uint8_t *vals, const int64_t *lens,
+                          int64_t nruns, int64_t n, uint8_t *dst,
+                          int64_t cap) {
+  return lz4_emit_runs(vals, lens, nruns, n, dst, cap);
 }
 
 int64_t tpb_snappy_compress(const uint8_t *src, int64_t n, uint8_t *dst,
