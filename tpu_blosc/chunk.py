@@ -70,7 +70,6 @@ from .errors import (
 )
 from .format import (
     FLAG_BITSHUFFLE,
-    FLAG_MEMCPY,
     FLAG_SHUFFLE,
     FLAG_SPLIT,
     FORMAT_VERSION,

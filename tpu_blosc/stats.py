@@ -13,7 +13,7 @@ import contextlib
 import time
 from dataclasses import dataclass, field
 
-from .format import Codec, Header, Shuffle, parse_header
+from .format import Header, Shuffle, parse_header
 from .options import Options
 
 
