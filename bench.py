@@ -23,7 +23,8 @@ from tpu_blosc.options import Options
 BASELINE_LZ4_COMPRESS_GBPS = 3.310  # reference README.md:119
 N = 64 * 1024 * 1024
 BLOCK = 2 * 1024 * 1024
-REPS = 5
+# best-of-N against the shared host's run-to-run variance (±30% observed)
+REPS = 9
 
 
 def _best(fn, reps=REPS):
