@@ -64,44 +64,67 @@ def _device_filter_prep(x, nb: int, bs: int, type_size: int, mode: int):
     return filtered, x_bytes[nb * bs :]
 
 
-@partial(_jax.jit, static_argnums=(1, 2, 3, 4, 5))
-def _device_rle_prep(x, nb: int, bs: int, type_size: int, mode: int, cap: int):
-    """Filter + per-block run-length scan in one compiled unit.
-
-    Returns (vals (cap,) uint8, lens (cap,) int32, num_runs, tail bytes).
-    Run boundaries are forced at block starts so records never straddle
-    blocks.  When num_runs > cap the records are truncated — the caller
-    must fall back to the transfer strategy.
-    """
-    import jax.numpy as jnp
-
-    filtered, tail = _device_filter_prep(x, nb, bs, type_size, mode)
-    total = nb * bs
-    flat = filtered.reshape(-1)
-    # per-row boundary map keeps block starts as run starts by construction
-    row_b = jnp.concatenate(
-        [
-            jnp.ones((nb, 1), bool),
-            filtered[:, 1:] != filtered[:, :-1],
-        ],
-        axis=1,
-    )
-    b = row_b.reshape(-1)
-    num = jnp.sum(b)
-    idx = jnp.nonzero(b, size=cap, fill_value=total)[0]
-    vals = flat[jnp.minimum(idx, total - 1)]
-    lens = jnp.diff(jnp.concatenate([idx, jnp.array([total])])).astype(
-        jnp.int32
-    )
-    return vals, lens, num, tail
-
-
 def _rle_cap(total: int) -> int:
     """Static record capacity: worth the device-RLE path only when data is
     at least ~8x run-compressible; snapped to limit compile shapes."""
     cap = max(total // 8, 4096)
     # snap to the next power of two for a bounded compile cache
     return 1 << (cap - 1).bit_length()
+
+
+def _pow2(n: int) -> int:
+    return 1 << max(n - 1, 0).bit_length()
+
+
+@partial(_jax.jit, static_argnums=(1, 2, 3, 4, 5))
+def _device_filter_seg_counts(
+    x, nb: int, bs: int, type_size: int, mode: int, seg: int
+):
+    """Filter + per-SEGMENT run counts, where a segment is one byte-plane
+    of one block (bs/type_size contiguous bytes) — the natural sparsity
+    unit, since block-local shuffling gives every block both run-sparse
+    and dense planes.  The (nseg, seg) view stays on device."""
+    import jax.numpy as jnp
+
+    filtered, tail = _device_filter_prep(x, nb, bs, type_size, mode)
+    segs = filtered.reshape(-1, seg)
+    nseg = segs.shape[0]
+    row_b = jnp.concatenate(
+        [jnp.ones((nseg, 1), bool), segs[:, 1:] != segs[:, :-1]], axis=1
+    )
+    return segs, row_b.sum(axis=1).astype(jnp.int32), tail
+
+
+@partial(_jax.jit, static_argnums=(2, 3))
+def _device_rows_rle(filtered, rows, k: int, cap: int):
+    """Run-length records for the selected rows of a filtered batch.
+
+    ``rows`` is (k,) int32 (pad entries repeat a real row; their records
+    trail the real ones and are sliced off by the caller via the known
+    per-row counts).  Returns (vals, lens, starts_valid_total).
+    """
+    import jax.numpy as jnp
+
+    sub = filtered[rows]  # (k, bs) gather
+    bs = sub.shape[1]
+    row_b = jnp.concatenate(
+        [jnp.ones((k, 1), bool), sub[:, 1:] != sub[:, :-1]], axis=1
+    )
+    flat = sub.reshape(-1)
+    b = row_b.reshape(-1)
+    total = k * bs
+    idx = jnp.nonzero(b, size=cap, fill_value=total)[0]
+    vals = flat[jnp.minimum(idx, total - 1)]
+    lens = jnp.diff(jnp.concatenate([idx, jnp.array([total])])).astype(
+        jnp.int32
+    )
+    return vals, lens
+
+
+@partial(_jax.jit, static_argnums=(2,))
+def _device_rows_gather(filtered, rows, k: int):
+    """Gather selected rows for transfer (dense blocks)."""
+    return filtered[rows]
 
 
 def compress_array(x, opts: Options | None = None, strategy: str = "transfer") -> bytes:
@@ -265,60 +288,116 @@ def _filter_host(block, type_size: int, mode: Shuffle) -> bytes:
 
 
 def _compress_array_rle(x, opts: Options, nb_full: int, block_size: int):
-    """Device-RLE strategy body; returns a frame or None to fall back."""
+    """Device-RLE strategy body: per-SEGMENT mixed record/byte transfer.
+
+    Each block's byte planes are scanned for runs on device; run-sparse
+    segments cross the link as (value, length) records, dense segments as
+    bytes.  The filtered stream is reconstructed on the host (np.repeat +
+    row placement — memory-speed) and encoded with the normal native
+    pipeline; blocks whose every segment is sparse skip reconstruction and
+    use the O(runs) emitter directly.  Returns None when nothing is
+    sparse (the plain transfer path is strictly better then).
+    """
+    from .codecs.lz4_ref import hc_depth_for_level
     from .native import backend as _nb
 
     if not _nb.available():
         return None
-    total = nb_full * block_size
-    cap = _rle_cap(total)
-    vals_d, lens_d, num_d, tail_d = _device_rle_prep(
-        x, nb_full, block_size, opts.type_size, int(opts.shuffle), cap
+    ts = opts.type_size
+    if block_size % ts:
+        return None
+    seg = block_size // ts
+    nseg = nb_full * ts
+    segs_d, counts_d, tail_d = _device_filter_seg_counts(
+        x, nb_full, block_size, ts, int(opts.shuffle), seg
     )
-    num = int(num_d)
-    if num > cap:
-        return None  # not run-compressible enough for this path
-    # slice ON DEVICE before fetching — only O(runs) bytes cross the link
-    vals = np.asarray(vals_d[:num])
-    lens = np.asarray(lens_d[:num]).astype(np.int64)
+    counts = np.asarray(counts_d).astype(np.int64)
     tail = np.asarray(tail_d)
 
-    ends = np.cumsum(lens)
-    starts = ends - lens
-    rec_first = np.searchsorted(starts, np.arange(nb_full) * block_size)
-    rec_last = np.append(rec_first[1:], num)
-
-    payloads: list[bytes] = []
-    entries: list[int] = []
-    import struct
-
-    from .codecs.lz4_ref import hc_depth_for_level
+    # records cost ~5 B/run on the link; a segment is "sparse" when that
+    # undercuts its bytes by ~8x
+    sparse = counts <= max(seg // 40, 64)
+    sparse_idx = np.flatnonzero(sparse)
+    dense_idx = np.flatnonzero(~sparse)
+    if sparse_idx.size * seg < (nseg * seg) // 8:
+        return None  # <12.5% of bytes sparse: transfer path is simpler
 
     depth = hc_depth_for_level(opts.level) if opts.codec == Codec.LZ4HC else 1
-    for k in range(nb_full):
-        a, b = int(rec_first[k]), int(rec_last[k])
-        stream = _nb.lz4_emit_runs(vals[a:b], lens[a:b], block_size)
-        if len(stream) > block_size // 16:
-            # RLE ratio below 16x: the block likely has non-run structure
-            # (repeating multi-byte patterns) — reconstruct the filtered
-            # bytes from the records (cheap np.repeat) and run the full
-            # LZ4 encoder, keeping whichever stream is smaller
-            filt = np.repeat(vals[a:b], lens[a:b])
-            full = _nb.lz4_compress(filt, depth)
-            if len(full) < len(stream):
-                stream = full
-            if len(stream) >= block_size:
-                payloads.append(
-                    _unfilter_host(filt, opts.type_size, opts.shuffle)
-                )
-                entries.append(_ENTRY_MEMCPY | block_size)
-                continue
-        payloads.append(stream)
-        entries.append(len(stream))
 
-    n = total + tail.size
+    # --- records for sparse segments (one device scan, O(runs) transfer) ---
+    k = sparse_idx.size
+    k_pad = _pow2(k)
+    rows = np.concatenate(
+        [sparse_idx, np.full(k_pad - k, sparse_idx[-1])]
+    ).astype(np.int32)
+    n_real = int(counts[sparse_idx].sum())
+    cap = _pow2(max(n_real + (k_pad - k) * int(counts[sparse_idx[-1]]), 4096))
+    vals_d, lens_d = _device_rows_rle(segs_d, _jax.device_put(rows), k_pad, cap)
+    vals = np.asarray(vals_d[:n_real])
+    lens = np.asarray(lens_d[:n_real]).astype(np.int64)
+    ends = np.cumsum(lens)
+    rec_first = np.searchsorted(ends - lens, np.arange(k) * seg)
+    rec_last = np.append(rec_first[1:], n_real)
+
+    # --- bytes for dense segments (one gather, one transfer) ---
+    if dense_idx.size:
+        dense = np.asarray(
+            _device_rows_gather(
+                segs_d,
+                _jax.device_put(dense_idx.astype(np.int32)),
+                int(dense_idx.size),
+            )
+        )
+
+    # --- reconstruct the filtered stream on the host ---
+    buf = np.empty((nseg, seg), dtype=np.uint8)
+    for j in range(k):
+        a, b = int(rec_first[j]), int(rec_last[j])
+        buf[sparse_idx[j]] = np.repeat(vals[a:b], lens[a:b])
+    if dense_idx.size:
+        buf[dense_idx] = dense
+    flat = buf.reshape(-1)
+
+    # --- encode: emit records directly for fully-sparse blocks, native
+    #     pipeline for the rest ---
+    seg_sparse = sparse.reshape(nb_full, ts)
+    payloads: list[bytes] = [b""] * nb_full
+    entries: list[int] = [0] * nb_full
+    dense_blocks = []
+    for blk in range(nb_full):
+        if seg_sparse[blk].all():
+            s0 = blk * ts  # first segment of the block, in sparse ordering
+            j0 = int(np.searchsorted(sparse_idx, s0))
+            a = int(rec_first[j0])
+            b = int(rec_last[j0 + ts - 1])
+            stream = _nb.lz4_emit_runs(vals[a:b], lens[a:b], block_size)
+            if len(stream) <= block_size // 16:
+                payloads[blk] = stream
+                entries[blk] = len(stream)
+                continue
+        dense_blocks.append(blk)
+    if dense_blocks:
+        db = np.concatenate(
+            [flat[blk * block_size : (blk + 1) * block_size] for blk in dense_blocks]
+        )
+        dpayloads, dmem = _nb.compress_blocks(
+            db, block_size, ts, 0,
+            _nb.NATIVE_LZ4HC if opts.codec == Codec.LZ4HC else _nb.NATIVE_LZ4,
+            depth,
+        )
+        for j, blk in enumerate(dense_blocks):
+            if dmem[j]:
+                payloads[blk] = _unfilter_host(
+                    np.frombuffer(dpayloads[j], np.uint8), ts, opts.shuffle
+                )
+                entries[blk] = _ENTRY_MEMCPY | block_size
+            else:
+                payloads[blk] = dpayloads[j]
+                entries[blk] = len(dpayloads[j])
+
+    n = nb_full * block_size + tail.size
     if tail.size:
-        shuf_t = _filter_host(tail.tobytes(), opts.type_size, opts.shuffle)
+        shuf_t = _filter_host(tail.tobytes(), ts, opts.shuffle)
         compressor = get_codec(opts.codec)
         comp = compressor.compress(shuf_t, opts.level)
         if len(comp) >= tail.size:
@@ -327,6 +406,8 @@ def _compress_array_rle(x, opts: Options, nb_full: int, block_size: int):
         else:
             payloads.append(comp)
             entries.append(len(comp))
+
+    import struct
 
     num_blocks = len(payloads)
     table = struct.pack("<I", num_blocks) + struct.pack(
@@ -339,7 +420,7 @@ def _compress_array_rle(x, opts: Options, nb_full: int, block_size: int):
         version=FORMAT_VERSION,
         version_lz=int(opts.codec),
         flags=flags,
-        type_size=min(opts.type_size, 255),
+        type_size=min(ts, 255),
         nbytes_orig=n,
         block_size=block_size,
         nbytes_comp=HEADER_SIZE + len(table) + sum(len(p) for p in payloads),
