@@ -191,3 +191,33 @@ def test_rle_emitter_vs_reference_decoder():
         stream = nb.lz4_emit_runs(vals, lens, len(data))
         assert lz4_ref.decompress_block(stream, len(data)) == data
         assert nb.lz4_decompress(stream, len(data)) == data
+
+
+def test_decompress_array_rle_path_roundtrip():
+    """Run-friendly frames decode via O(runs) records + device repeat."""
+    data = ((np.arange(262_144)) // 64).astype(np.float32)
+    frame = blosc.compress_with_options(
+        data.tobytes(), Options(type_size=4, block_size=65536)
+    )
+    out = blosc.decompress_array(frame, np.float32)
+    assert np.array_equal(np.asarray(out), data)
+
+
+def test_decompress_array_rle_matches_transfer():
+    data = ((np.arange(131_072)) // 32).astype(np.int32)
+    frame = blosc.compress_with_options(
+        data.tobytes(), Options(type_size=4, block_size=32768)
+    )
+    rle = blosc.decompress_array(frame, np.int32, strategy="rle")
+    plain = blosc.decompress_array(frame, np.int32, strategy="transfer")
+    assert np.array_equal(np.asarray(rle), np.asarray(plain))
+
+
+def test_decompress_array_bitshuffle_rle():
+    data = ((np.arange(131_072)) // 128).astype(np.int16)
+    frame = blosc.compress_with_options(
+        data.tobytes(),
+        Options(shuffle=blosc.BITSHUFFLE, type_size=2, block_size=32768),
+    )
+    out = blosc.decompress_array(frame, np.int16)
+    assert np.array_equal(np.asarray(out), data)

@@ -428,11 +428,39 @@ def _compress_array_rle(x, opts: Options, nb_full: int, block_size: int):
     return header.to_bytes() + table + b"".join(payloads)
 
 
-def decompress_array(data, dtype, shape=None, sharding=None):
+@partial(_jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def _device_rle_decode(
+    vals, lens, total: int, nb: int, bs: int, type_size: int, mode: int
+):
+    """Reinflate run records on device and unfilter: O(runs) link traffic.
+
+    vals/lens are zero-padded to a static cap (len 0 repeats nothing).
+    """
+    import jax.numpy as jnp
+
+    from .filters import batched as fb
+
+    flat = jnp.repeat(vals, lens, total_repeat_length=total)
+    blocks = flat.reshape(nb, bs)
+    if mode == int(Shuffle.SHUFFLE):
+        out = fb._unshuffle_batch_dev(blocks, type_size)
+    else:
+        out = fb._bit_unshuffle_batch_dev(blocks, type_size)
+    return out.reshape(-1)
+
+
+def decompress_array(data, dtype, shape=None, sharding=None,
+                     strategy: str = "auto"):
     """Decompress a frame and place the result on device.
 
     Returns a jax.Array of ``dtype`` (and ``shape`` if given, else 1-D),
     optionally placed with ``sharding`` (a jax.sharding.Sharding).
+
+    strategy "auto"/"rle": for filtered multi-block LZ4 frames whose
+    decoded-but-still-filtered stream is run-sparse, only (value, length)
+    records cross the host→device link; the device reinflates with
+    jnp.repeat and unfilters there.  "transfer" always ships the decoded
+    bytes.
     """
     import jax
 
@@ -444,6 +472,10 @@ def decompress_array(data, dtype, shape=None, sharding=None):
         raise InvalidDataError(
             f"blosc: {n} bytes is not a whole number of {dt} elements"
         )
+    if strategy in ("auto", "rle") and sharding is None:
+        out = _decompress_array_rle(data, n, dt, shape)
+        if out is not None:
+            return out
     host = np.empty(n // dt.itemsize, dtype=dt)
     decompress_into(data, host.view(np.uint8))
     if shape is not None:
@@ -451,3 +483,76 @@ def decompress_array(data, dtype, shape=None, sharding=None):
     if sharding is not None:
         return jax.device_put(host, sharding)
     return jax.device_put(host)
+
+
+def _decompress_array_rle(data, n: int, dt, shape):
+    """RLE decode body; None when the frame/data doesn't qualify."""
+    import jax
+
+    from . import chunk as _chunk
+    from .format import parse_header
+    from .native import backend as _nb
+
+    raw = bytes(data) if not isinstance(data, bytes) else data
+    if len(raw) < 4 or raw[:4] == b"TPB2" or not _nb.available():
+        return None
+    header = parse_header(raw)
+    if (
+        not header.is_split
+        or header.shuffle_mode == Shuffle.NOSHUFFLE
+        or header.type_size <= 1
+        or header.codec not in (Codec.LZ4, Codec.LZ4HC)
+        or n % header.block_size  # ragged tail: host path keeps it simple
+        or header.block_size % header.type_size
+    ):
+        return None
+    native = _chunk._native_pipeline_codec(header.codec, 1)
+    if native is None:
+        return None
+    # decode to the FILTERED stream (shuffle_mode=0 skips unfiltering)
+    entries, offset = _chunk.parse_block_table(raw, header)
+    if any(m for _, m in entries):
+        return None  # memcpy blocks hold RAW bytes, not filtered ones
+    psizes = np.array([s for s, _ in entries], dtype=np.int64)
+    offsets = np.concatenate([[0], np.cumsum(psizes[:-1])]).astype(
+        np.int64
+    ) + offset
+    if int(offsets[-1] + psizes[-1]) > min(len(raw), header.nbytes_comp):
+        return None
+    filtered = _nb.decompress_blocks(
+        np.frombuffer(raw, np.uint8), offsets, psizes,
+        np.zeros(len(entries), np.uint8), header.block_size, n,
+        header.type_size, 0, native[0],
+    )
+    a = np.frombuffer(filtered, np.uint8)
+    b = np.empty(a.size, bool)
+    b[0] = True
+    np.not_equal(a[1:], a[:-1], out=b[1:])
+    starts = np.flatnonzero(b)
+    if starts.size > max(a.size // 8, 4096):
+        # dense: reinflating via records would ship more than the bytes;
+        # unfilter on host and transfer plainly
+        host_bytes = np.empty(n, np.uint8)
+        from .api import decompress_into
+
+        decompress_into(raw, host_bytes)
+        out = host_bytes.view(dt)
+        return jax.device_put(out.reshape(shape) if shape is not None else out)
+    lens = np.diff(np.append(starts, a.size))
+    cap = _pow2(max(starts.size, 4096))
+    vals_p = np.zeros(cap, np.uint8)
+    lens_p = np.zeros(cap, np.int32)
+    vals_p[: starts.size] = a[starts]
+    lens_p[: starts.size] = lens
+    nb = n // header.block_size
+    flat = _device_rle_decode(
+        jax.device_put(vals_p),
+        jax.device_put(lens_p),
+        n,
+        nb,
+        header.block_size,
+        header.type_size,
+        int(header.shuffle_mode),
+    )
+    out = flat.view(dt.name) if dt != np.uint8 else flat
+    return out.reshape(shape) if shape is not None else out
