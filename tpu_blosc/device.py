@@ -472,6 +472,11 @@ def decompress_array(data, dtype, shape=None, sharding=None,
         raise InvalidDataError(
             f"blosc: {n} bytes is not a whole number of {dt} elements"
         )
+    if dt.itemsize == 8 and dt.kind in "fiu" and not jax.config.jax_enable_x64:
+        raise TypeError(
+            f"decompress_array({dt}) requires jax_enable_x64 — jax would "
+            "silently narrow the values otherwise"
+        )
     if strategy in ("auto", "rle") and sharding is None:
         out = _decompress_array_rle(data, n, dt, shape)
         if out is not None:
