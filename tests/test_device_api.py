@@ -182,6 +182,8 @@ def test_rle_emitter_vs_reference_decoder():
     from tpu_blosc.codecs import lz4_ref
     from tpu_blosc.native import backend as nb
 
+    if not nb.available():
+        pytest.skip("native backend unavailable")
     rng = np.random.default_rng(2)
     for _ in range(20):
         nr = int(rng.integers(1, 40))
