@@ -219,3 +219,20 @@ def test_data_too_large_guard():
     # can't allocate 4 GB here; validate the guard arithmetic via options path
     from tpu_blosc.api import MAX_UINT32
     assert MAX_UINT32 == 0xFFFFFFFF
+
+
+def test_huge_block_size_request():
+    """A block_size beyond the input yields one block; beyond uint32 stays valid."""
+    data = np.arange(10_000, dtype=np.float32).tobytes()
+    comp = blosc.compress_with_options(data, blosc.Options(block_size=2**31))
+    info = blosc.get_info(comp)
+    assert info.is_split and blosc.decompress(comp) == data
+
+
+def test_compression_is_deterministic():
+    """Same input + options -> identical frame, across repeated calls
+    (the OMP pipeline is per-block independent, so no nondeterminism)."""
+    data = np.arange(500_000, dtype=np.float32).tobytes()
+    opts = blosc.Options(block_size=65536)
+    frames = {blosc.compress_with_options(data, opts) for _ in range(5)}
+    assert len(frames) == 1
