@@ -63,3 +63,34 @@ def test_decompress_into_oversized_buffer_ok():
     out = bytearray(len(data) + 128)
     n = blosc.decompress_into(comp, out)
     assert out[:n] == data
+
+
+def _truncate_block_table(frame: bytes) -> bytes:
+    """Forge a split frame whose table lists one block fewer than required."""
+    import struct
+
+    from tpu_blosc.format import HEADER_SIZE
+
+    (nb,) = struct.unpack_from("<I", frame, HEADER_SIZE)
+    entries = list(struct.unpack_from(f"<{nb}I", frame, HEADER_SIZE + 4))
+    last = entries[-1] & 0x7FFFFFFF
+    body = frame[HEADER_SIZE + 4 + 4 * nb : len(frame) - last]
+    table = struct.pack("<I", nb - 1) + struct.pack(f"<{nb - 1}I", *entries[:-1])
+    head = bytearray(frame[:HEADER_SIZE])
+    new_total = HEADER_SIZE + len(table) + len(body)
+    struct.pack_into("<I", head, 12, new_total)
+    return bytes(head) + table + body
+
+
+def test_decompress_into_rejects_truncated_block_table():
+    """ADVICE round-1 medium: a block table with fewer entries than
+    ceil(nbytes_orig/block_size) must raise, not report success with the
+    output tail uninitialized."""
+    data = np.arange(60_000, dtype=np.float32).tobytes()
+    comp = blosc.compress_with_options(data, blosc.Options(block_size=65536))
+    bad = _truncate_block_table(comp)
+    with pytest.raises(InvalidDataError):
+        blosc.decompress(bad)
+    out = bytearray(len(data))
+    with pytest.raises(InvalidDataError):
+        blosc.decompress_into(bad, out)

@@ -259,13 +259,13 @@ def decompress_into(data, out) -> int:
         native = chunk._native_pipeline_codec(header.codec, 1)
         if native is not None:
             entries, offset = chunk.parse_block_table(raw, header)
-            result = chunk._decompress_chunked_native(
+            # _decompress_chunked_native validates the block layout (count
+            # vs nbytes_orig/block_size) and raises on malformed frames, so
+            # a truncated block table can't leave the tail of `out` stale.
+            return chunk._decompress_chunked_native(
                 raw, header, entries, offset, header.type_size, native[0],
                 out_addr=int(view.ctypes.data),
             )
-            if result is None:  # fell back; decode via bytes path below
-                view[:n] = np.frombuffer(decompress_with_size(raw, 0), np.uint8)
-            return n
 
     view[:n] = np.frombuffer(decompress_with_size(raw, 0), dtype=np.uint8)
     return n

@@ -33,6 +33,24 @@ import numpy as np
 from . import filters
 from .codecs.registry import get_codec
 from .codecs.lz4_ref import hc_depth_for_level
+from .errors import (
+    DataTooLargeError,
+    InvalidCodecError,
+    InvalidDataError,
+    SizeMismatchError,
+)
+from .format import (
+    FLAG_BITSHUFFLE,
+    FLAG_SHUFFLE,
+    FLAG_SPLIT,
+    FORMAT_VERSION,
+    HEADER_SIZE,
+    MAX_UINT32,
+    Codec,
+    Header,
+    Shuffle,
+)
+from .options import Options
 
 try:
     from .native import backend as _native
@@ -62,24 +80,6 @@ def _native_pipeline_codec(codec: int, level: int) -> tuple[int, int] | None:
         zstd_level = 1 if level <= 2 else 3 if level <= 4 else 9 if level <= 6 else 19
         return _native.NATIVE_ZSTD, zstd_level
     return None
-from .errors import (
-    DataTooLargeError,
-    InvalidCodecError,
-    InvalidDataError,
-    SizeMismatchError,
-)
-from .format import (
-    FLAG_BITSHUFFLE,
-    FLAG_SHUFFLE,
-    FLAG_SPLIT,
-    FORMAT_VERSION,
-    HEADER_SIZE,
-    MAX_UINT32,
-    Codec,
-    Header,
-    Shuffle,
-)
-from .options import Options
 
 _ENTRY_MEMCPY = 0x80000000
 _ENTRY_SIZE_MASK = 0x7FFFFFFF
@@ -275,10 +275,16 @@ def _decompress_chunked_native(
     type_size: int,
     native_codec: int,
     out_addr: int | None = None,
-) -> bytes | None:
-    """Whole-chunk native decode; None when bounds force the Python path."""
+) -> bytes | int:
+    """Whole-chunk native decode.
+
+    Returns the decoded bytes (or, with ``out_addr``, the byte count) and
+    raises on any malformed frame — validation lives here so every caller
+    (decompress_chunked, decompress_into) gets the same checks.
+    """
     n = header.nbytes_orig
     block_size = header.block_size
+    _validate_block_layout(n, block_size, len(entries))
     psizes = np.array([s for s, _ in entries], dtype=np.int64)
     offsets = np.concatenate(
         [[0], np.cumsum(psizes[:-1])]
@@ -324,23 +330,10 @@ def _decompress_chunked_native(
         ) from None
 
 
-def decompress_chunked(raw: bytes, header: Header, type_size: int) -> bytes:
-    """Decompress a FLAG_SPLIT frame."""
-    entries, offset = parse_block_table(raw, header)
-    if type_size <= 0:
-        type_size = header.type_size
-    block_size = header.block_size
+def _validate_block_layout(n: int, block_size: int, num_blocks: int) -> None:
+    """Block table must cover nbytes_orig exactly (shared by all decoders)."""
     if block_size == 0:
         raise InvalidDataError("blosc: invalid compressed data: zero block size")
-
-    decompressor = None
-    if not all(m for _, m in entries):
-        decompressor = get_codec(header.codec)
-        if decompressor is None:
-            raise InvalidCodecError(f"blosc: unsupported codec: {header.codec}")
-
-    n = header.nbytes_orig
-    num_blocks = len(entries)
     expected_blocks = -(-n // block_size) if n else 0
     if num_blocks != expected_blocks:
         raise InvalidDataError(
@@ -348,13 +341,27 @@ def decompress_chunked(raw: bytes, header: Header, type_size: int) -> bytes:
             f"{n} bytes at block size {block_size}"
         )
 
+
+def decompress_chunked(raw: bytes, header: Header, type_size: int) -> bytes:
+    """Decompress a FLAG_SPLIT frame."""
+    entries, offset = parse_block_table(raw, header)
+    if type_size <= 0:
+        type_size = header.type_size
+    block_size = header.block_size
+    n = header.nbytes_orig
+    _validate_block_layout(n, block_size, len(entries))
+
+    decompressor = None
+    if not all(m for _, m in entries):
+        decompressor = get_codec(header.codec)
+        if decompressor is None:
+            raise InvalidCodecError(f"blosc: unsupported codec: {header.codec}")
+
     native = _native_pipeline_codec(header.codec, 1)
     if native is not None:
-        result = _decompress_chunked_native(
+        return _decompress_chunked_native(
             raw, header, entries, offset, type_size, native[0]
         )
-        if result is not None:
-            return result
 
     out = bytearray(n)
     pos = 0

@@ -118,7 +118,7 @@ def _load() -> None:
         lib.tpb_compress_bound.argtypes = [_i64, ctypes.c_int]
         lib.tpb_num_threads.restype = ctypes.c_int
         lib.tpb_num_threads.argtypes = []
-        lib.tpb_gather.restype = None
+        lib.tpb_gather.restype = _i64
         lib.tpb_gather.argtypes = [_p, _p, _i64, _i64, _p]
         lib.tpb_lz4_emit_runs.restype = _i64
         lib.tpb_lz4_emit_runs.argtypes = [_p, _p, _i64, _i64, _p, _i64]
@@ -361,7 +361,9 @@ def compress_blocks_frame(
     total = len(prefix) + int(sizes.sum())
     frame, addr = alloc_bytes(total)
     ctypes.memmove(addr, prefix, len(prefix))
-    _lib.tpb_gather(_ptr(out), _ptr(sizes), nb, slot, addr + len(prefix))
+    rc = _lib.tpb_gather(_ptr(out), _ptr(sizes), nb, slot, addr + len(prefix))
+    if rc != 0:
+        raise MemoryError("native frame gather failed: offsets allocation")
     return frame
 
 

@@ -23,6 +23,7 @@
 // are thread-safe and allocation-free on the hot path (callers provide
 // bounded output buffers; per-thread scratch is stack/heap local).
 
+#include <atomic>
 #include <cstdint>
 #include <cstring>
 #include <cstdlib>
@@ -1349,20 +1350,22 @@ int64_t tpb_compress_blocks(const uint8_t *src, int64_t n, int64_t block_size,
                             int64_t *out_sizes, uint8_t *out_memcpy) {
   if (n <= 0 || block_size <= 0) return -1;
   int64_t nb = (n + block_size - 1) / block_size;
-  volatile int64_t err = 0;
+  // relaxed atomics: the flag is a monotone error latch read after the
+  // parallel-region barrier; relaxed ordering suffices and keeps TSan happy
+  std::atomic<int64_t> err{0};
 #pragma omp parallel
   {
     BlockScratch scratch;
 #pragma omp for schedule(dynamic)
     for (int64_t i = 0; i < nb; i++) {
-      if (err) continue;
+      if (err.load(std::memory_order_relaxed)) continue;
       int64_t off = i * block_size;
       int64_t bs = std::min(block_size, n - off);
       const uint8_t *block = src + off;
       const uint8_t *to_compress = block;
       if (shuffle_mode != kNoShuffle && ts > 1 && bs >= ts) {
         uint8_t *sb = scratch.get(block_size);
-        if (!sb) { err = -2; continue; }
+        if (!sb) { err.store(-2, std::memory_order_relaxed); continue; }
         if (shuffle_mode == kByteShuffle)
           shuffle_full(block, sb, bs, ts);
         else
@@ -1373,7 +1376,7 @@ int64_t tpb_compress_blocks(const uint8_t *src, int64_t n, int64_t block_size,
       int64_t written = codec_compress(
           codec, depth, to_compress, bs, slot, slot_stride,
           scratch.lz4_head(), depth > 1 ? scratch.lz4_chain() : nullptr);
-      if (written < 0) { err = written; continue; }
+      if (written < 0) { err.store(written, std::memory_order_relaxed); continue; }
       if (written >= bs) {
         // memcpy fallback per block: raw pre-filter bytes
         std::memcpy(slot, block, (size_t)bs);
@@ -1385,7 +1388,7 @@ int64_t tpb_compress_blocks(const uint8_t *src, int64_t n, int64_t block_size,
       }
     }
   }
-  return err;
+  return err.load(std::memory_order_relaxed);
 }
 
 // ---- chunk pipeline: decompress + unfilter every block in parallel ----
@@ -1398,21 +1401,21 @@ int64_t tpb_decompress_blocks(const uint8_t *payloads, const int64_t *offsets,
                               int ts, int shuffle_mode, int codec,
                               uint8_t *out) {
   if (nb <= 0 || block_size <= 0) return -1;
-  volatile int64_t err = 0;
+  std::atomic<int64_t> err{0};
 #pragma omp parallel
   {
     BlockScratch scratch;
 #pragma omp for schedule(dynamic)
     for (int64_t i = 0; i < nb; i++) {
-      if (err) continue;
+      if (err.load(std::memory_order_relaxed)) continue;
       int64_t off = i * block_size;
       int64_t bs = std::min(block_size, total_n - off);
-      if (bs <= 0) { err = -2; continue; }
+      if (bs <= 0) { err.store(-2, std::memory_order_relaxed); continue; }
       const uint8_t *p = payloads + offsets[i];
       int64_t psz = psizes[i];
       uint8_t *dst = out + off;
       if (is_memcpy[i]) {
-        if (psz != bs) { err = -3; continue; }
+        if (psz != bs) { err.store(-3, std::memory_order_relaxed); continue; }
         std::memcpy(dst, p, (size_t)bs);
         continue;
       }
@@ -1420,10 +1423,13 @@ int64_t tpb_decompress_blocks(const uint8_t *payloads, const int64_t *offsets,
       uint8_t *dec = dst;
       if (filtered) {
         dec = scratch.get(block_size);
-        if (!dec) { err = -4; continue; }
+        if (!dec) { err.store(-4, std::memory_order_relaxed); continue; }
       }
       int64_t got = codec_decompress(codec, p, psz, dec, bs);
-      if (got != bs) { err = got < 0 ? got : -5; continue; }
+      if (got != bs) {
+        err.store(got < 0 ? got : -5, std::memory_order_relaxed);
+        continue;
+      }
       if (filtered) {
         if (shuffle_mode == kByteShuffle)
           unshuffle_full(dec, dst, bs, ts);
@@ -1432,7 +1438,8 @@ int64_t tpb_decompress_blocks(const uint8_t *payloads, const int64_t *offsets,
       }
     }
   }
-  if (err) return err;
+  int64_t e = err.load(std::memory_order_relaxed);
+  if (e) return e;
   return total_n;
 }
 
@@ -1443,10 +1450,12 @@ int64_t tpb_compress_bound(int64_t block_size, int codec) {
 
 // Compact per-block slots into a contiguous destination (frame payload
 // area) — parallel memcpy, the last copy of frame assembly.
-void tpb_gather(const uint8_t *slots, const int64_t *sizes, int64_t nb,
-                int64_t slot_stride, uint8_t *dst) {
+// Returns 0 on success, -1 when the offsets scratch can't be allocated
+// (caller must treat the destination as unwritten).
+int64_t tpb_gather(const uint8_t *slots, const int64_t *sizes, int64_t nb,
+                   int64_t slot_stride, uint8_t *dst) {
   int64_t *offs = (int64_t *)std::malloc((size_t)nb * sizeof(int64_t));
-  if (!offs) return;
+  if (!offs) return -1;
   int64_t acc = 0;
   for (int64_t i = 0; i < nb; i++) {
     offs[i] = acc;
@@ -1457,6 +1466,7 @@ void tpb_gather(const uint8_t *slots, const int64_t *sizes, int64_t nb,
     std::memcpy(dst + offs[i], slots + i * slot_stride, (size_t)sizes[i]);
   }
   std::free(offs);
+  return 0;
 }
 
 void tpb_set_num_threads(int n) {
