@@ -131,3 +131,19 @@ def test_chunked_memcpy_ragged_tail_roundtrip():
     data = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
     comp = blosc.compress_with_options(data, blosc.Options(block_size=8192))
     assert blosc.decompress(comp) == data
+
+
+def test_num_threads_option_identical_frames():
+    """Options.num_threads caps the native OpenMP team (VERDICT r1 item 6);
+    a 1-thread run must produce a byte-identical frame to the default."""
+    data = np.arange(1_500_000, dtype=np.float32).tobytes()
+    base = blosc.compress_with_options(data, blosc.Options(block_size=65536))
+    one = blosc.compress_with_options(
+        data, blosc.Options(block_size=65536, num_threads=1)
+    )
+    two = blosc.compress_with_options(
+        data, blosc.Options(block_size=65536, num_threads=2)
+    )
+    assert one == base
+    assert two == base
+    assert blosc.decompress(one) == data

@@ -175,6 +175,7 @@ def compress_chunked(raw: bytes, opts: Options) -> bytes:
         return _native.compress_blocks_frame(
             raw, block_size, opts.type_size, int(opts.shuffle),
             native_codec, depth, build_prefix,
+            num_threads=opts.num_threads,
         )
 
     # host/device fallback path (non-native codecs: ZLIB, ZSTD, custom)

@@ -106,6 +106,7 @@ def _load() -> None:
             ctypes.c_int, ctypes.c_int,           # codec, depth
             _p, _i64,                             # out, slot_stride
             _p, _p,                               # out_sizes, out_memcpy
+            ctypes.c_int,                         # num_threads (0 = default)
         ]
         lib.tpb_decompress_blocks.restype = _i64
         lib.tpb_decompress_blocks.argtypes = [
@@ -113,6 +114,7 @@ def _load() -> None:
             _i64, _i64, _i64,                     # nb, block_size, total_n
             ctypes.c_int, ctypes.c_int, ctypes.c_int,  # ts, shuffle_mode, codec
             _p,                                   # out
+            ctypes.c_int,                         # num_threads (0 = default)
         ]
         lib.tpb_compress_bound.restype = _i64
         lib.tpb_compress_bound.argtypes = [_i64, ctypes.c_int]
@@ -300,11 +302,13 @@ def compress_blocks(
     shuffle_mode: int,
     native_codec: int,
     depth: int,
+    num_threads: int = 0,
 ) -> tuple[list[bytes], list[bool]]:
     """Filter+compress every block of ``data`` in one parallel native call.
 
     Returns (payloads, is_memcpy) per block, mirroring the per-block logic
-    of chunk.compress_chunked.
+    of chunk.compress_chunked.  ``num_threads`` > 0 caps the OpenMP team
+    for this call (Options.num_threads; ≙ the knob blosc.go:233 reserves).
     """
     _ensure()
     a = _as_u8(data)
@@ -318,6 +322,7 @@ def compress_blocks(
         _ptr(a), n, block_size,
         type_size, shuffle_mode, native_codec, depth,
         _ptr(out), slot, _ptr(sizes), _ptr(memcpy_flags),
+        num_threads,
     )
     if rc != 0:
         raise RuntimeError(f"native compress_blocks failed ({rc})")
@@ -335,6 +340,7 @@ def compress_blocks_frame(
     native_codec: int,
     depth: int,
     header_table_builder,
+    num_threads: int = 0,
 ) -> bytes:
     """Filter+compress all blocks AND assemble the frame with one payload copy.
 
@@ -354,6 +360,7 @@ def compress_blocks_frame(
         _ptr(a), n, block_size,
         type_size, shuffle_mode, native_codec, depth,
         _ptr(out), slot, _ptr(sizes), _ptr(memcpy_flags),
+        num_threads,
     )
     if rc != 0:
         raise RuntimeError(f"native compress_blocks failed ({rc})")
@@ -378,6 +385,7 @@ def decompress_blocks(
     shuffle_mode: int,
     native_codec: int,
     out_addr: int | None = None,
+    num_threads: int = 0,
 ) -> bytes | None:
     """Decompress+unfilter every block in one parallel native call.
 
@@ -398,6 +406,7 @@ def decompress_blocks(
         nb, block_size, total_n,
         type_size, shuffle_mode, native_codec,
         addr,
+        num_threads,
     )
     if got != total_n:
         raise DecompressionFailedError(

@@ -1347,13 +1347,21 @@ void tpb_bitunshuffle(const uint8_t *src, uint8_t *dst, int64_t n, int ts) {
 int64_t tpb_compress_blocks(const uint8_t *src, int64_t n, int64_t block_size,
                             int ts, int shuffle_mode, int codec, int depth,
                             uint8_t *out, int64_t slot_stride,
-                            int64_t *out_sizes, uint8_t *out_memcpy) {
+                            int64_t *out_sizes, uint8_t *out_memcpy,
+                            int num_threads) {
   if (n <= 0 || block_size <= 0) return -1;
   int64_t nb = (n + block_size - 1) / block_size;
+#ifdef _OPENMP
+  int nt = num_threads > 0 ? num_threads : omp_get_max_threads();
+#else
+  int nt = 1;
+  (void)num_threads;
+#endif
+  (void)nt;
   // relaxed atomics: the flag is a monotone error latch read after the
   // parallel-region barrier; relaxed ordering suffices and keeps TSan happy
   std::atomic<int64_t> err{0};
-#pragma omp parallel
+#pragma omp parallel num_threads(nt)
   {
     BlockScratch scratch;
 #pragma omp for schedule(dynamic)
@@ -1399,10 +1407,17 @@ int64_t tpb_decompress_blocks(const uint8_t *payloads, const int64_t *offsets,
                               const int64_t *psizes, const uint8_t *is_memcpy,
                               int64_t nb, int64_t block_size, int64_t total_n,
                               int ts, int shuffle_mode, int codec,
-                              uint8_t *out) {
+                              uint8_t *out, int num_threads) {
   if (nb <= 0 || block_size <= 0) return -1;
+#ifdef _OPENMP
+  int nt = num_threads > 0 ? num_threads : omp_get_max_threads();
+#else
+  int nt = 1;
+  (void)num_threads;
+#endif
+  (void)nt;
   std::atomic<int64_t> err{0};
-#pragma omp parallel
+#pragma omp parallel num_threads(nt)
   {
     BlockScratch scratch;
 #pragma omp for schedule(dynamic)
