@@ -44,6 +44,15 @@ from .options import Options
 # imported for registration side effect
 from .codecs import standard as _standard  # noqa: F401
 
+# hot-path modules bound once (per-call `from . import x` costs ~1us each,
+# which matters at the reference's 100 KB benchmark point)
+from . import chunk as _chunk
+
+try:
+    from .native import backend as _nb
+except Exception:  # pragma: no cover - native build failure → pure Python
+    _nb = None
+
 # Inputs above this auto-switch to multi-block frames (chunk.py); the
 # reference has no such threshold (always single block, blosc.go:364).
 AUTO_BLOCK_THRESHOLD = 4 * 1024 * 1024
@@ -116,6 +125,17 @@ def _compress_single_block(raw: bytes, opts: Options) -> bytes:
     if compressor is None:
         raise InvalidCodecError(f"blosc: unsupported codec: {opts.codec}")
 
+    # Single-shot native path: filter + codec + memcpy fallback + header in
+    # one C call (tpb_compress_frame).  This is what the reference's own
+    # 100 KB benchmark point measures (blosc_test.go:363-413); collapsing
+    # the four ctypes crossings is worth ~2x there.
+    native = _chunk._native_pipeline_codec(opts.codec, opts.level)
+    if native is not None:
+        return _nb.compress_frame(
+            raw, opts.type_size, int(opts.shuffle),
+            int(opts.codec), native[0], native[1],
+        )
+
     shuffled = raw
     if opts.shuffle == Shuffle.SHUFFLE and opts.type_size > 1:
         shuffled = filters.shuffle_bytes(raw, opts.type_size).tobytes()
@@ -181,6 +201,22 @@ def decompress_with_size(data, type_size: int) -> bytes:
         from . import chunk
 
         return chunk.decompress_chunked(raw, header, type_size)
+
+    # Single-shot native path for non-memcpy frames: codec decode +
+    # unfilter straight into the result bytes in one C call.
+    if not header.is_memcpy:
+        native = _chunk._native_pipeline_codec(header.codec, 1)
+        if native is not None:
+            ts = type_size if type_size > 0 else header.type_size
+            mode = (
+                2 if header.has_bitshuffle
+                else 1 if header.has_shuffle
+                else 0
+            )
+            return _nb.decompress_frame(
+                raw, HEADER_SIZE, header.nbytes_comp - HEADER_SIZE,
+                header.nbytes_orig, ts, mode, native[0],
+            )
 
     payload = raw[HEADER_SIZE : header.nbytes_comp]
 

@@ -58,15 +58,42 @@ except Exception:  # pragma: no cover - native build failure → pure Python
     _native = None
 
 
+_resolve_cache: dict = {}
+
+
 def _native_pipeline_codec(codec: int, level: int) -> tuple[int, int] | None:
+    """Memoized dispatch — see _native_pipeline_codec_uncached."""
+    from .codecs.registry import registry_version
+
+    key = (codec, level, registry_version())
+    try:
+        return _resolve_cache[key]
+    except KeyError:
+        pass
+    if len(_resolve_cache) > 256:  # registry churn (tests); stay bounded
+        _resolve_cache.clear()
+    result = _native_pipeline_codec_uncached(codec, level)
+    _resolve_cache[key] = result
+    return result
+
+
+def _native_pipeline_codec_uncached(codec: int, level: int) -> tuple[int, int] | None:
     """Map a frame codec ID to the native block-pipeline codec + level/depth.
 
     Level parity with the registered codec wrappers (codecs/standard.py):
     LZ4 ignores level, LZ4HC maps 1-9 to chain depth, ZLIB passes 1-9
     through, ZSTD maps to the reference's four speed tiers
     (codec.go:200-213 → zstd levels 1/3/9/19).
+
+    Returns None — forcing the registry path — when the native backend is
+    unavailable OR the user has overridden this builtin codec ID via
+    register_codec (their implementation must win).
     """
     if _native is None or not _native.available():
+        return None
+    from .codecs.standard import is_builtin
+
+    if not is_builtin(codec):
         return None
     if codec == Codec.LZ4:
         return _native.NATIVE_LZ4, 1

@@ -34,12 +34,20 @@ class CodecProtocol(Protocol):
 
 _codecs: dict[int, CodecProtocol] = {}
 _lock = threading.Lock()
+_version = 0  # bumped on every registration; lets fast paths cache lookups
 
 
 def register_codec(codec_id: int, impl: CodecProtocol) -> None:
     """≙ RegisterCodec (codec.go:36-38)."""
+    global _version
     with _lock:
         _codecs[int(codec_id)] = impl
+        _version += 1
+
+
+def registry_version() -> int:
+    """Monotone counter of registry mutations (for memoized dispatch)."""
+    return _version
 
 
 def get_codec(codec_id: int) -> CodecProtocol | None:

@@ -155,13 +155,31 @@ class ZstdCodec:
             raise DecompressionFailedError(f"zstd: {exc}") from exc
 
 
+# The instances installed by register_standard_codecs; native fast paths
+# apply only while the registry still maps an ID to its builtin instance
+# (a user's register_codec override must win, ≙ RegisterCodec semantics).
+_BUILTIN_INSTANCES: dict[int, object] = {}
+
+
 def register_standard_codecs() -> None:
-    register_codec(Codec.LZ4, Lz4Codec())
-    register_codec(Codec.LZ4HC, Lz4HcCodec())
-    register_codec(Codec.SNAPPY, SnappyCodec())
-    register_codec(Codec.ZLIB, ZlibCodec())
+    pairs = [
+        (Codec.LZ4, Lz4Codec()),
+        (Codec.LZ4HC, Lz4HcCodec()),
+        (Codec.SNAPPY, SnappyCodec()),
+        (Codec.ZLIB, ZlibCodec()),
+    ]
     if _zstd is not None:
-        register_codec(Codec.ZSTD, ZstdCodec())
+        pairs.append((Codec.ZSTD, ZstdCodec()))
+    for cid, impl in pairs:
+        _BUILTIN_INSTANCES[int(cid)] = impl
+        register_codec(cid, impl)
+
+
+def is_builtin(codec_id: int) -> bool:
+    """True when the registry entry for this ID is the builtin instance."""
+    from .registry import get_codec
+
+    return get_codec(codec_id) is _BUILTIN_INSTANCES.get(int(codec_id))
 
 
 register_standard_codecs()

@@ -126,6 +126,21 @@ def _load() -> None:
         lib.tpb_lz4_emit_runs.argtypes = [_p, _p, _i64, _i64, _p, _i64]
         lib.tpb_set_num_threads.restype = None
         lib.tpb_set_num_threads.argtypes = [ctypes.c_int]
+        # c_char_p lets the hot single-shot paths pass bytes objects with
+        # zero wrapping (no numpy view, no pointer object churn)
+        lib.tpb_compress_frame.restype = _i64
+        lib.tpb_compress_frame.argtypes = [
+            ctypes.c_char_p, _i64,                # src (bytes), n
+            ctypes.c_int, ctypes.c_int,           # ts, shuffle_mode
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,  # header_codec, codec, depth
+            _p,                                   # dst (16 + bound)
+        ]
+        lib.tpb_decompress_block_into.restype = _i64
+        lib.tpb_decompress_block_into.argtypes = [
+            ctypes.c_char_p, _i64, _i64,          # frame (bytes), payload_off, psize
+            _p, _i64,                             # out, n
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,  # ts, shuffle_mode, codec
+        ]
         _lib = lib
 
 
@@ -413,3 +428,89 @@ def decompress_blocks(
             f"native decompress_blocks failed (code {got})"
         )
     return out if out_addr is None else total_n
+
+
+_frame_scratch = threading.local()
+
+
+def _staging_addr(nbytes: int) -> int:
+    """Address of a per-thread staging buffer (grows, never moves mid-call)."""
+    t = _frame_scratch
+    if getattr(t, "cap", 0) < nbytes:
+        buf = np.empty(max(nbytes, 1 << 17), dtype=np.uint8)
+        t.buf = buf
+        t.cap = buf.size
+        t.addr = buf.ctypes.data
+    return t.addr
+
+
+# conservative superset of codec_bound() for every native codec (lz4 n/255,
+# snappy n/6, zlib n/4096, zstd n/128 — all + small constants); lets the
+# hot path skip a ctypes call to tpb_compress_bound
+def _universal_bound(n: int) -> int:
+    return 16 + n + (n >> 2) + 1024
+
+
+def compress_frame(
+    data: bytes,
+    type_size: int,
+    shuffle_mode: int,
+    header_codec: int,
+    native_codec: int,
+    depth: int,
+) -> bytes:
+    """One C call producing a complete single-block frame (header included).
+
+    The single-shot analogue of compressBackend (blosc.go:319-374): filter,
+    codec, memcpy fallback, and header assembly all happen inside
+    tpb_compress_frame — one ctypes crossing instead of four, which is what
+    the reference's own 100 KB benchmark point is sensitive to.  ``data``
+    must be a bytes object (passed zero-copy via c_char_p).
+    """
+    n = len(data)
+    dst = _staging_addr(_universal_bound(n))
+    total = _lib.tpb_compress_frame(
+        data, n, type_size, shuffle_mode, header_codec, native_codec,
+        depth, dst,
+    )
+    if total < 0:
+        raise RuntimeError(f"native compress_frame failed ({total})")
+    out, addr = alloc_bytes(total)
+    ctypes.memmove(addr, dst, total)
+    return out
+
+
+def decompress_frame(
+    data: bytes,
+    payload_off: int,
+    payload_size: int,
+    nbytes_orig: int,
+    type_size: int,
+    shuffle_mode: int,
+    native_codec: int,
+) -> bytes:
+    """One C call decoding + unfiltering a single-block frame body.
+
+    Writes straight into the returned bytes object.  Raises
+    DecompressionFailedError on malformed payloads and SizeMismatchError
+    when the payload decodes cleanly to the wrong size (parity with the
+    final check at blosc.go:429-431).
+    """
+    out, addr = alloc_bytes(nbytes_orig)
+    got = _lib.tpb_decompress_block_into(
+        data, payload_off, payload_size,
+        addr, nbytes_orig,
+        type_size, shuffle_mode, native_codec,
+    )
+    if got == nbytes_orig:
+        return out
+    from ..errors import DecompressionFailedError, SizeMismatchError
+
+    if got < 0:
+        raise DecompressionFailedError(
+            f"blosc: decompression failed: malformed payload (code {got})"
+        )
+    raise SizeMismatchError(
+        f"blosc: decompressed size mismatch: got {got}, "
+        f"expected {nbytes_orig}"
+    )

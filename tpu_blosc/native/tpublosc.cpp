@@ -1289,6 +1289,14 @@ struct BlockScratch {
   }
 };
 
+// Per-thread scratch reused across single-shot frame calls — keeps the
+// 100 KB-class hot path free of malloc/page-fault churn (the VM pays
+// ~50 us per fault; see the mallopt note above).
+static BlockScratch &frame_scratch() {
+  static thread_local BlockScratch s;
+  return s;
+}
+
 }  // namespace
 
 extern "C" {
@@ -1461,6 +1469,85 @@ int64_t tpb_decompress_blocks(const uint8_t *payloads, const int64_t *offsets,
 // worst-case per-block slot size for tpb_compress_blocks
 int64_t tpb_compress_bound(int64_t block_size, int codec) {
   return codec_bound(codec, block_size);
+}
+
+// ---- single-shot single-block frame (the reference's own benchmark
+// shape: one call = filter + codec + memcpy fallback + 16-byte header,
+// ≙ compressBackend blosc.go:319-374 collapsed into one C ABI crossing).
+//
+// dst capacity must be >= 16 + tpb_compress_bound(n, codec).  Returns the
+// total frame size (header included), negative on error.  Shuffle flags
+// are cleared on memcpy frames (deliberate interop divergence, api.py).
+int64_t tpb_compress_frame(const uint8_t *src, int64_t n, int ts,
+                           int shuffle_mode, int header_codec_id,
+                           int codec, int depth, uint8_t *dst) {
+  if (n <= 0 || n + 16 > (int64_t)0xFFFFFFFF) return -1;
+  BlockScratch &scratch = frame_scratch();
+  const uint8_t *to_compress = src;
+  if (shuffle_mode != kNoShuffle && ts > 1 && n >= ts) {
+    uint8_t *sb = scratch.get(n);
+    if (!sb) return -2;
+    if (shuffle_mode == kByteShuffle)
+      shuffle_full(src, sb, n, ts);
+    else
+      bitshuffle_full(src, sb, n, ts, false);
+    to_compress = sb;
+  }
+  uint8_t *payload = dst + 16;
+  int64_t cap = codec_bound(codec, n);
+  int64_t written = codec_compress(
+      codec, depth, to_compress, n, payload, cap,
+      scratch.lz4_head(), depth > 1 ? scratch.lz4_chain() : nullptr);
+  int flags = 0;
+  if (written < 0 || written >= n) {
+    // memcpy fallback: raw pre-filter bytes, shuffle flags cleared
+    std::memcpy(payload, src, (size_t)n);
+    written = n;
+    flags = 0x2;
+  } else if (shuffle_mode == kByteShuffle) {
+    flags = 0x1;
+  } else if (shuffle_mode == kBitShuffle) {
+    flags = 0x4;
+  }
+  // 16-byte little-endian header (≙ Header.Bytes, blosc.go:188-198)
+  uint32_t n32 = (uint32_t)n;
+  uint32_t total = (uint32_t)(16 + written);
+  dst[0] = 2;  // FormatVersion
+  dst[1] = (uint8_t)header_codec_id;
+  dst[2] = (uint8_t)flags;
+  dst[3] = (uint8_t)(ts < 255 ? ts : 255);
+  std::memcpy(dst + 4, &n32, 4);   // NBytesOrig
+  std::memcpy(dst + 8, &n32, 4);   // BlockSize == n (single block)
+  std::memcpy(dst + 12, &total, 4);  // NBytesComp incl. header
+  return (int64_t)total;
+}
+
+// Inverse body for a single-block frame: codec decode + unfilter straight
+// into the caller's output (≙ decompressBackend blosc.go:393-426 minus
+// header parsing, which stays in Python).  Returns n on success; negative
+// codec error on malformed payload; the decoded count (>=0, != n) when
+// the payload decodes cleanly to the wrong size (caller raises size
+// mismatch, parity with blosc.go:429-431).
+int64_t tpb_decompress_block_into(const uint8_t *frame, int64_t payload_off,
+                                  int64_t psize, uint8_t *out, int64_t n,
+                                  int ts, int shuffle_mode, int codec) {
+  if (n <= 0) return -1;
+  const uint8_t *payload = frame + payload_off;
+  bool filtered = shuffle_mode != kNoShuffle && ts > 1 && n >= ts;
+  uint8_t *dec = out;
+  if (filtered) {
+    dec = frame_scratch().get(n);
+    if (!dec) return -2;
+  }
+  int64_t got = codec_decompress(codec, payload, psize, dec, n);
+  if (got != n) return got;
+  if (filtered) {
+    if (shuffle_mode == kByteShuffle)
+      unshuffle_full(dec, out, n, ts);
+    else
+      bitshuffle_full(dec, out, n, ts, true);
+  }
+  return n;
 }
 
 // Compact per-block slots into a contiguous destination (frame payload
