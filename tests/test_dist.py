@@ -167,3 +167,23 @@ def test_multihost_wrong_slice_rejected():
         multihost.compress_chunked_multihost(
             len(data), data[:100], Options(block_size=4096)
         )
+
+
+def test_mesh_compress_return_stats():
+    """The shard_map step's explicit collectives produce usable cross-chip
+    metadata: psum'd histogram + all_gathered per-block diff counts."""
+    from tpu_blosc.dist import mesh as tb_mesh
+
+    data = np.arange(24_576, dtype=np.float32).tobytes()  # 96 KiB
+    opts = blosc.Options(block_size=16384)
+    m = tb_mesh.block_mesh(4)
+    frame, stats = tb_mesh.compress_chunked_mesh(
+        data, opts, mesh=m, return_stats=True
+    )
+    assert blosc.decompress(frame) == data
+    nb_full = len(data) // 16384
+    assert stats.histogram.shape == (256,)
+    assert int(stats.histogram.sum()) == nb_full * 16384
+    assert stats.block_diffs.shape == (nb_full,)
+    # shuffled ramp planes are run-dominated: few diffs per block
+    assert (stats.block_diffs < 16384).all()

@@ -27,11 +27,17 @@ process_allgather.  On one host every code path below works unchanged.
 from __future__ import annotations
 
 import struct
+from dataclasses import dataclass
 from functools import partial
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+_shard_map = getattr(jax, "shard_map", None)
+if _shard_map is None:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map as _shard_map
 
 from ..chunk import (
     _ENTRY_MEMCPY,
@@ -179,14 +185,80 @@ def unfilter_blocks_sharded(
 # ---------------------------------------------------------------------------
 
 
+@dataclass(frozen=True)
+class MeshStats:
+    """Cross-chip metadata from the sharded filter step.
+
+    ``histogram`` is the psum-reduced byte histogram of the filtered
+    stream (entropy proxy, same signal suggest_codec uses); ``block_diffs``
+    is the all_gathered per-block count of bytes differing from their
+    predecessor (run-structure proxy) in header order.  Both ride ICI as
+    explicit collectives inside the shard_map step.
+    """
+
+    histogram: np.ndarray
+    block_diffs: np.ndarray
+
+
+_filter_step_cache: dict = {}
+
+
+def _mesh_filter_step(mesh: Mesh, type_size: int, mode: Shuffle):
+    """Jitted shard_map step: per-device filter + explicit collectives.
+
+    Each device filters its local (per, bs) rows, then contributes to a
+    psum'd byte histogram and an ordered all_gather of per-block diff
+    counts — the same collective pattern the multi-host frame assembly
+    uses for compressed lengths (SURVEY §5), here in the production path.
+    """
+    key = (mesh, type_size, mode)
+    fn = _filter_step_cache.get(key)
+    if fn is not None:
+        return fn
+
+    filt = _filter_fn(mode)
+
+    def step(x):
+        y = filt(x, type_size) if filt is not None else x
+        flat = y.reshape(-1)
+        hist = jnp.zeros((256,), jnp.int32).at[flat].add(1)
+        hist = jax.lax.psum(hist, BLOCK_AXIS)
+        diffs = (y[:, 1:] != y[:, :-1]).sum(axis=1, dtype=jnp.int32)
+        diffs = jax.lax.all_gather(diffs, BLOCK_AXIS, tiled=True)
+        return y, hist, diffs
+
+    fn = jax.jit(
+        _shard_map(
+            step,
+            mesh=mesh,
+            in_specs=P(BLOCK_AXIS, None),
+            out_specs=(P(BLOCK_AXIS, None), P(), P()),
+            # all_gather output is value-replicated but vma inference can't
+            # see that; mesh-invariance tests check the actual values
+            check_vma=False,
+        )
+    )
+    _filter_step_cache[key] = fn
+    return fn
+
+
 def compress_chunked_mesh(
-    data, opts: Options, mesh: Mesh | None = None
-) -> bytes:
+    data,
+    opts: Options,
+    mesh: Mesh | None = None,
+    return_stats: bool = False,
+):
     """Compress into a FLAG_SPLIT frame with the filter stage on the mesh.
 
     Bit-identical to chunk.compress_chunked for every mesh shape (the codec
     stage is deterministic per block and blocks are reassembled in header
-    order).
+    order).  The device stage is an explicit shard_map with psum +
+    all_gather collectives (see _mesh_filter_step); the payload exchange
+    goes through multihost.allgather_payloads — the ordered gather that
+    tests/test_multihost.py executes with 2 real processes.
+
+    With ``return_stats`` the cross-chip MeshStats are returned alongside
+    the frame.
     """
     if isinstance(data, np.ndarray):
         raw = data.tobytes()
@@ -206,18 +278,35 @@ def compress_chunked_mesh(
     nb_full = n // block_size
     tail = raw[nb_full * block_size :]
 
-    # device-sharded filter of the full blocks
+    # device-sharded filter of the full blocks (explicit collectives)
     filtered: list[bytes] = []
+    stats = None
     if nb_full:
         arr = np.frombuffer(
             raw[: nb_full * block_size], dtype=np.uint8
         ).reshape(nb_full, block_size)
-        if opts.shuffle != Shuffle.NOSHUFFLE and opts.type_size > 1:
-            shuffled = filter_blocks_sharded(
-                arr, opts.type_size, opts.shuffle, mesh
+        n_shards = mesh.devices.size
+        per = _pad_batch(nb_full, n_shards)
+        padded = per * n_shards
+        if padded != nb_full:
+            arr = np.concatenate(
+                [arr, np.zeros((padded - nb_full, block_size), np.uint8)]
             )
-        else:
-            shuffled = arr
+        x = jax.device_put(arr, NamedSharding(mesh, P(BLOCK_AXIS, None)))
+        use_filter = opts.shuffle != Shuffle.NOSHUFFLE and opts.type_size > 1
+        step = _mesh_filter_step(
+            mesh, opts.type_size, opts.shuffle if use_filter else Shuffle.NOSHUFFLE
+        )
+        y, hist, diffs = step(x)
+        shuffled = np.asarray(y)[:nb_full]
+        hist_np = np.asarray(hist).copy()
+        # padding rows are all-zero; remove their contribution so the
+        # histogram covers exactly the nb_full real blocks
+        hist_np[0] -= (padded - nb_full) * block_size
+        stats = MeshStats(
+            histogram=hist_np,
+            block_diffs=np.asarray(diffs)[:nb_full],
+        )
         filtered = [shuffled[i].tobytes() for i in range(nb_full)]
     if tail:
         from .. import filters as host_filters
@@ -233,20 +322,42 @@ def compress_chunked_mesh(
         else:
             filtered.append(tail)
 
-    # per-host codec stage over this process's blocks (single host: all)
-    payloads: list[bytes] = []
-    entries: list[int] = []
-    pos = 0
-    for i, shuf_block in enumerate(filtered):
+    # per-host codec stage over this process's contiguous block slice,
+    # then the ordered cross-process payload gather (no-op at P=1; the
+    # P>1 branch is executed by tests/test_multihost.py)
+    from .multihost import allgather_payloads, process_slice
+
+    nb_total = len(filtered)
+    pid = jax.process_index()
+    nprocs = jax.process_count()
+    lo_byte, hi_byte = process_slice(n, block_size, pid, nprocs)
+    lo, hi = lo_byte // block_size, -(-hi_byte // block_size)
+
+    local_payloads: list[bytes] = []
+    local_memf: list[bool] = []
+    pos = lo * block_size
+    for i in range(lo, hi):
+        shuf_block = filtered[i]
         raw_block = raw[pos : pos + len(shuf_block)]
         pos += len(shuf_block)
         comp = compressor.compress(shuf_block, opts.level)
         if len(comp) >= len(raw_block):
-            payloads.append(raw_block)
-            entries.append(_ENTRY_MEMCPY | len(raw_block))
+            local_payloads.append(raw_block)
+            local_memf.append(True)
         else:
-            payloads.append(comp)
-            entries.append(len(comp))
+            local_payloads.append(comp)
+            local_memf.append(False)
+
+    payloads, memf = allgather_payloads(local_payloads, local_memf)
+    if len(payloads) != nb_total:
+        raise InvalidDataError(
+            f"blosc: mesh gather returned {len(payloads)} blocks, "
+            f"expected {nb_total}"
+        )
+    entries = [
+        (len(p) | (_ENTRY_MEMCPY if m else 0))
+        for p, m in zip(payloads, memf)
+    ]
 
     flags = FLAG_SPLIT
     if opts.shuffle == Shuffle.SHUFFLE:
@@ -268,7 +379,10 @@ def compress_chunked_mesh(
         block_size=block_size,
         nbytes_comp=total,
     )
-    return header.to_bytes() + table + b"".join(payloads)
+    frame = header.to_bytes() + table + b"".join(payloads)
+    if return_stats:
+        return frame, stats
+    return frame
 
 
 def decompress_chunked_mesh(

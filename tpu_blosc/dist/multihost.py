@@ -9,8 +9,11 @@ compressed sizes and payloads are exchanged with JAX collectives
 process assembles the identical frame in header order.
 
 Frames are bit-identical to the single-process path for every process
-count — the multi-host extension of the mesh-invariance contract
-(tests assert the P=1 degenerate case here; P>1 needs a multi-host pod).
+count — the multi-host extension of the mesh-invariance contract.  Both
+P=1 and the real P=2 collective path are executed in CI:
+tests/test_multihost.py spawns two localhost processes over
+jax.distributed.initialize (Gloo collectives on the CPU backend) and
+asserts their frames equal the single-process compressor's bytes.
 
 Usage (every process calls with the same global metadata):
 
@@ -91,6 +94,59 @@ def _compress_local_blocks(local: bytes, block_size: int, opts: Options):
     return payloads, memf
 
 
+def allgather_payloads(
+    payloads: list[bytes], memf: list[bool]
+) -> tuple[list[bytes], list[bool]]:
+    """Ordered all-gather of per-block compressed payloads across processes.
+
+    The SURVEY §5 "ordered all-gather of compressed lengths + payloads"
+    collective: every process contributes its blocks in local order and
+    receives the global list in process order (= header order).  Shared by
+    compress_chunked_multihost and dist.mesh.compress_chunked_mesh; the
+    P>1 branch is executed by tests/test_multihost.py (2 localhost
+    processes, Gloo collectives).
+    """
+    import jax
+
+    num_processes = jax.process_count()
+    if num_processes == 1:
+        return list(payloads), list(memf)
+    from jax.experimental import multihost_utils
+
+    # 1) gather per-process block counts and sizes (ICI/DCN all_gather)
+    local_sizes = np.array([len(p) for p in payloads], dtype=np.int64)
+    counts = multihost_utils.process_allgather(
+        np.array([local_sizes.size], dtype=np.int64)
+    ).reshape(-1)
+    max_blocks = int(counts.max())
+    padded_sizes = np.full(max_blocks, -1, dtype=np.int64)
+    padded_sizes[: local_sizes.size] = local_sizes
+    padded_memf = np.zeros(max_blocks, dtype=np.int64)
+    padded_memf[: local_sizes.size] = np.array(memf, dtype=np.int64)
+    sizes_all = multihost_utils.process_allgather(padded_sizes)
+    memf_all = multihost_utils.process_allgather(padded_memf)
+    # 2) gather payload bytes, padded to the global max payload bytes
+    local_blob = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+    blob_len = multihost_utils.process_allgather(
+        np.array([local_blob.size], dtype=np.int64)
+    ).reshape(-1)
+    max_blob = int(blob_len.max())
+    padded_blob = np.zeros(max_blob, dtype=np.uint8)
+    padded_blob[: local_blob.size] = local_blob
+    blobs = multihost_utils.process_allgather(padded_blob)
+    # 3) ordered reassembly (header order = process order)
+    all_payloads: list[bytes] = []
+    all_memf: list[bool] = []
+    for p in range(num_processes):
+        off = 0
+        for k in range(int(counts[p])):
+            sz = int(sizes_all[p, k])
+            all_payloads.append(blobs[p, off : off + sz].tobytes())
+            all_memf.append(bool(memf_all[p, k]))
+            off += sz
+    return all_payloads, all_memf
+
+
 def compress_chunked_multihost(
     global_n: int, local_data, opts: Options
 ) -> bytes:
@@ -116,46 +172,7 @@ def compress_chunked_multihost(
         )
 
     payloads, memf = _compress_local_blocks(local, block_size, opts)
-
-    if num_processes == 1:
-        all_payloads = payloads
-        all_memf = memf
-    else:  # pragma: no cover - needs a real multi-host pod
-        from jax.experimental import multihost_utils
-
-        # 1) gather per-process block counts and sizes (ICI/DCN all_gather)
-        local_sizes = np.array([len(p) for p in payloads], dtype=np.int64)
-        counts = multihost_utils.process_allgather(
-            np.array([local_sizes.size], dtype=np.int64)
-        ).reshape(-1)
-        max_blocks = int(counts.max())
-        padded_sizes = np.full(max_blocks, -1, dtype=np.int64)
-        padded_sizes[: local_sizes.size] = local_sizes
-        padded_memf = np.zeros(max_blocks, dtype=np.int64)
-        padded_memf[: local_sizes.size] = np.array(memf, dtype=np.int64)
-        sizes_all = multihost_utils.process_allgather(padded_sizes)
-        memf_all = multihost_utils.process_allgather(padded_memf)
-        # 2) gather payload bytes, padded to the global max payload bytes
-        local_blob = np.frombuffer(b"".join(payloads), dtype=np.uint8)
-        blob_len = multihost_utils.process_allgather(
-            np.array([local_blob.size], dtype=np.int64)
-        ).reshape(-1)
-        max_blob = int(blob_len.max())
-        padded_blob = np.zeros(max_blob, dtype=np.uint8)
-        padded_blob[: local_blob.size] = local_blob
-        blobs = multihost_utils.process_allgather(padded_blob)
-        # 3) ordered reassembly (header order = process order)
-        all_payloads = []
-        all_memf = []
-        for p in range(num_processes):
-            off = 0
-            for k in range(int(counts[p])):
-                sz = int(sizes_all[p, k])
-                all_payloads.append(
-                    blobs[p, off : off + sz].tobytes()
-                )
-                all_memf.append(bool(memf_all[p, k]))
-                off += sz
+    all_payloads, all_memf = allgather_payloads(payloads, memf)
 
     entries = [
         (len(pl) | (_ENTRY_MEMCPY if m else 0))
