@@ -1,0 +1,60 @@
+"""Benchmark regression guard (VERDICT r1 item 8): fail CI on collapse.
+
+Reads the single JSON line bench.py prints (from stdin or a file argument)
+and checks it against committed floor thresholds.  The floors are
+deliberately generous — the shared 4-core VM varies ±30-40% run-to-run and
+CI runners differ from the dev host — so this catches structural
+regressions (native backend silently disabled, a pipeline falling back to
+pure Python, ratio collapse), not noise.
+
+Usage:
+    python bench.py | python bench_guard.py
+    python bench_guard.py BENCH_r02.json
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+# floor thresholds: ~4-5x below typical measurements on the dev host so
+# only order-of-magnitude collapses trip them (pure-Python fallback runs
+# at ~0.05 GB/s — two orders below these floors)
+FLOORS = {
+    "value": 3.0,              # compress GB/s (typical 13-20)
+    "decompress_gbps": 3.0,    # typical 13-17
+    "ratio": 50.0,             # typical ~137 on the 64 MiB f32 ramp
+}
+
+
+def main() -> int:
+    text = (
+        open(sys.argv[1]).read() if len(sys.argv) > 1 else sys.stdin.read()
+    )
+    line = next(
+        (ln for ln in text.strip().splitlines() if ln.lstrip().startswith("{")),
+        None,
+    )
+    if line is None:
+        print("bench_guard: no JSON line found in input", file=sys.stderr)
+        return 2
+    record = json.loads(line)
+    print(line)  # pass the record through for the driver/CI log
+    failures = []
+    for key, floor in FLOORS.items():
+        got = record.get(key)
+        if got is None:
+            failures.append(f"{key}: missing from bench output")
+        elif float(got) < floor:
+            failures.append(f"{key}: {got} < floor {floor}")
+    if record.get("backend") not in ("native", "pallas", "jax"):
+        failures.append(f"backend degraded to {record.get('backend')!r}")
+    if failures:
+        print("bench_guard FAIL: " + "; ".join(failures), file=sys.stderr)
+        return 1
+    print("bench_guard ok", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
