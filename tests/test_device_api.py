@@ -223,3 +223,111 @@ def test_decompress_array_bitshuffle_rle():
     )
     out = blosc.decompress_array(frame, np.int16)
     assert np.array_equal(np.asarray(out), data)
+
+
+def _tiled_pattern(n_elems: int, period: int = 256, noise_pct: int = 100):
+    """Dense-but-compressible f32: tiled random pattern + sparse noise.
+
+    After byte shuffle every plane is periodic with period `period` —
+    no runs (RLE fails) but constant-offset matches everywhere."""
+    rng = np.random.default_rng(5)
+    data = np.tile(rng.random(period).astype(np.float32), n_elems // period)
+    hit = rng.choice(data.size, max(data.size // noise_pct, 1), replace=False)
+    data[hit] += rng.random(hit.size).astype(np.float32) * 0.01
+    return data
+
+
+def test_compress_array_match_strategy_roundtrip():
+    """Device match discovery emits valid LZ4 frames that decode everywhere."""
+    data = _tiled_pattern(2 * 1024 * 1024)  # 8 MiB
+    frame = blosc.compress_array(
+        data, Options(block_size=1024 * 1024), strategy="match"
+    )
+    h = blosc.get_info(frame)
+    assert h.is_split
+    # decodes via the normal host path...
+    assert blosc.decompress(frame) == data.tobytes()
+    # ...and via the pure-Python oracle decoder, block by block
+    from tpu_blosc import chunk as _chunk
+    from tpu_blosc.codecs import lz4_ref
+
+    entries, off = _chunk.parse_block_table(frame, h)
+    pos = 0
+    for psize, is_memcpy in entries:
+        payload = frame[off : off + psize]
+        off += psize
+        bs = min(h.block_size, h.nbytes_orig - pos)
+        if not is_memcpy:
+            dec = lz4_ref.decompress_block(payload, bs)
+            assert len(dec) == bs
+        pos += bs
+
+
+def test_compress_array_match_beats_transfer_on_link_bytes():
+    """The point of the strategy: record rows ship O(literals), not bytes.
+    Assert the frame is materially smaller than the raw bytes AND that the
+    emitter path engaged (streams differ from the plain-transfer frame)."""
+    data = _tiled_pattern(2 * 1024 * 1024)
+    match = blosc.compress_array(
+        data, Options(block_size=1024 * 1024), strategy="match"
+    )
+    transfer = blosc.compress_array(
+        data, Options(block_size=1024 * 1024), strategy="transfer"
+    )
+    assert len(match) < data.nbytes // 4
+    assert match != transfer  # emitter path actually engaged
+    assert blosc.decompress(match) == blosc.decompress(transfer)
+
+
+def test_compress_array_match_falls_back_on_random():
+    """Incompressible data: match returns None internally -> transfer path
+    (bit-identical frames)."""
+    rng = np.random.default_rng(11)
+    data = rng.integers(0, 2**31, 2 * 1024 * 1024, dtype=np.int32)  # 8 MiB
+    match = blosc.compress_array(
+        data, Options(block_size=1024 * 1024), strategy="match"
+    )
+    transfer = blosc.compress_array(
+        data, Options(block_size=1024 * 1024), strategy="transfer"
+    )
+    assert match == transfer
+    assert blosc.decompress(match) == data.tobytes()
+
+
+def test_compress_array_match_mixed_rows():
+    """Half the planes periodic, half noisy: record rows + byte rows mix
+    inside blocks and the rebuild path produces correct frames."""
+    rng = np.random.default_rng(6)
+    n = 2 * 1024 * 1024
+    pattern = np.tile(rng.integers(0, 256, 128, np.uint8), n // 128)
+    noise = rng.integers(0, 256, n, np.uint8)
+    # interleave as low/high bytes of int16: plane 0 periodic, plane 1 noisy
+    data = (pattern.astype(np.int16) | (noise.astype(np.int16) << 8)).astype(
+        np.int16
+    )
+    frame = blosc.compress_array(
+        data, Options(type_size=2, block_size=512 * 1024), strategy="match"
+    )
+    assert blosc.decompress(frame) == data.tobytes()
+
+
+def test_compress_array_match_rle_data_still_works():
+    """Pure run data (the RLE sweet spot) through the generalized path."""
+    data = ((np.arange(1_048_576)) // 64).astype(np.float32)
+    frame = blosc.compress_array(
+        data, Options(block_size=1024 * 1024), strategy="match"
+    )
+    assert blosc.decompress(frame) == data.tobytes()
+
+
+def test_decompress_array_match_records_path():
+    """Dense-but-periodic frames decode via O(literal) records + device
+    offset-fill (the decode half of the match strategy)."""
+    data = _tiled_pattern(1024 * 1024)  # 4 MiB
+    frame = blosc.compress_with_options(
+        data.tobytes(), Options(type_size=4, block_size=512 * 1024)
+    )
+    out = blosc.decompress_array(frame, np.float32)
+    assert np.array_equal(np.asarray(out), data)
+    plain = blosc.decompress_array(frame, np.float32, strategy="transfer")
+    assert np.array_equal(np.asarray(out), np.asarray(plain))

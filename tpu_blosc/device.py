@@ -127,6 +127,120 @@ def _device_rows_gather(filtered, rows, k: int):
     return filtered[rows]
 
 
+# ---------------------------------------------------------------------------
+# fixed-offset match discovery (the dense-segment device codec stage)
+# ---------------------------------------------------------------------------
+
+# minimum surviving match-run length: gaps between literal islands are
+# >= this, comfortably above LZ4's 4-byte minimum and long enough that a
+# (token, offset) pair always undercuts the literals it replaces
+_MATCH_T = 8
+
+# forced-literal tail per row keeps emitted streams clear of the LZ4
+# end-of-block rules (last 5 literals / no match into the last 12)
+_ROW_TAIL_LITERALS = 16
+
+
+def _match_offsets(seg: int) -> tuple[int, ...]:
+    """Candidate match offsets: powers of two dividing the row size.
+
+    Powers of two cover the periodic structures byte-planes inherit from
+    tiled/interleaved numeric data and divide ``seg``, which the
+    host/device reconstructions exploit (residue reshape).
+    """
+    return tuple(
+        d
+        for d in (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024)
+        if d < seg and seg % d == 0
+    )
+
+
+@partial(_jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7))
+def _device_match_pipeline(
+    x, nb: int, bs: int, type_size: int, mode: int, seg: int,
+    offsets: tuple, cap: int,
+):
+    """The full device half of the match strategy in ONE compiled program.
+
+    filter → per-row equality counts for every candidate offset (the
+    device-side match discovery, ≙ the hash-probe loop of codec.go:63-128
+    restructured as data-parallel whole-array compares) → per-row argmax
+    offset → literal mask → per-row literal counts → keep mask (records
+    beat bytes only below seg/10 literals) → compacted (position, byte)
+    records.
+
+    One jit on purpose: intermediate arrays crossing jit boundaries pick
+    up layouts that poison downstream kernels (a 1-D boundary array made
+    jnp.nonzero 3.3 s instead of ~0 on 256 MiB; measured 2026-08-17).
+    ``cap`` is static: keep-rows carry at most seg/10 literals each, so
+    total/8 (pow2-snapped by the caller) always suffices.
+    """
+    import jax.numpy as jnp
+
+    filtered, tail = _device_filter_prep(x, nb, bs, type_size, mode)
+    segs = filtered.reshape(-1, seg)
+    eqc = jnp.stack(
+        [
+            (segs[:, d:] == segs[:, :-d]).sum(axis=1, dtype=jnp.int32)
+            for d in offsets
+        ],
+        axis=1,
+    )
+    best = jnp.argmax(eqc, axis=1)
+    sel = best[:, None] == jnp.arange(len(offsets))[None, :]
+    lit = _lit_mask(segs, sel, offsets, _MATCH_T)
+    lit_counts = lit.sum(axis=1, dtype=jnp.int32)
+    keep = lit_counts <= seg // 10
+    lit = lit & keep[:, None]
+    total = nb * bs
+    pos = jnp.nonzero(lit.reshape(-1), size=cap, fill_value=total)[0]
+    vals = segs.reshape(-1)[jnp.minimum(pos, total - 1)]
+    return segs, best, lit_counts, pos, vals, tail
+
+
+def _lit_mask(sub, sel, offsets: tuple, T: int):
+    """Literal mask for rows under per-row offsets: a position is a match
+    only inside an equality run of length >= T (morphological opening),
+    never at local offset < d, never in the forced row tail.
+
+    ``sel`` is a (nrows, len(offsets)) one-hot row→offset selector.  All
+    data movement is static shifts (slice + concat) — TPU gathers and
+    reduce_window lower poorly (measured 6 s on 256 MiB vs ~10 ms for
+    this formulation), so per-row offsets are handled by select, not
+    gather.
+    """
+    import jax.numpy as jnp
+
+    nrows, seg = sub.shape
+    eq = jnp.zeros((nrows, seg), bool)
+    for i, d in enumerate(offsets):
+        eq_d = jnp.concatenate(
+            [jnp.zeros((nrows, d), bool), sub[:, d:] == sub[:, :-d]], axis=1
+        )
+        eq = jnp.where(sel[:, i : i + 1], eq_d, eq)
+    eq = eq & (jnp.arange(seg)[None, :] < seg - _ROW_TAIL_LITERALS)
+    # opening by T via static shifts: erosion (AND of T shifted views)
+    # then dilation (OR of T shifted views)
+    er = eq[:, : seg - T + 1]
+    for s in range(1, T):
+        er = er & eq[:, s : seg - T + 1 + s]
+    z = jnp.zeros((nrows, 0), bool)
+    match = jnp.zeros((nrows, seg), bool)
+    for s in range(T):
+        shifted = jnp.concatenate(
+            [
+                z if s == 0 else jnp.zeros((nrows, s), bool),
+                er,
+                z if s == T - 1 else jnp.zeros((nrows, T - 1 - s), bool),
+            ],
+            axis=1,
+        )
+        match = match | shifted
+    return ~match
+
+
+
+
 def compress_array(x, opts: Options | None = None, strategy: str = "transfer") -> bytes:
     """Compress a jax.Array (or ndarray) with the filter stage on device.
 
@@ -142,6 +256,15 @@ def compress_array(x, opts: Options | None = None, strategy: str = "transfer") -
         host encoder (different match strategy).  Falls back to
         "transfer" when the data is not run-compressible enough
         (device probe result exceeds the record budget).
+      "match" / "auto" — LZ4 only: the dense-segment generalization of
+        "rle" (device match DISCOVERY, not just runs): per byte-plane
+        row the device picks the best fixed match offset (powers of two
+        up to 1024, offset 1 = RLE as a special case), builds the
+        literal mask with a morphological opening, and ships only
+        (position, byte) literal records; the host serializes standard
+        LZ4 streams in O(records) (native lz4_emit_mixed).  Same
+        valid-everywhere / not-bit-identical contract and transfer
+        fallback as "rle".
     """
     import jax
     import jax.numpy as jnp
@@ -181,6 +304,11 @@ def compress_array(x, opts: Options | None = None, strategy: str = "transfer") -
         # (keeps frames bit-identical to the host API's routing rules)
         return compress_with_options(np.asarray(x).tobytes(), opts)
 
+    if strategy in ("match", "auto") and opts.codec in (Codec.LZ4, Codec.LZ4HC):
+        frame = _compress_array_match(x, opts, nb_full, block_size)
+        if frame is not None:
+            return frame
+        # not match-compressible enough — fall through to transfer
     if strategy == "rle" and opts.codec in (Codec.LZ4, Codec.LZ4HC):
         frame = _compress_array_rle(x, opts, nb_full, block_size)
         if frame is not None:
@@ -285,6 +413,186 @@ def _filter_host(block, type_size: int, mode: Shuffle) -> bytes:
     if mode == Shuffle.SHUFFLE:
         return filters.shuffle_bytes(block, type_size).tobytes()
     return filters.bit_shuffle(block, type_size).tobytes()
+
+
+def _reconstruct_match_row(
+    seg: int, d: int, rel_pos: np.ndarray, vals: np.ndarray
+) -> np.ndarray:
+    """Rebuild a filtered row from literal records: out[i] = literal or
+    out[i-d].  Vectorized via the residue reshape (d | seg): each residue
+    column is a forward fill from its literal entries; positions < d are
+    always literal, so every column head is seeded."""
+    row = np.zeros(seg, np.uint8)
+    row[rel_pos] = vals
+    if d == 1:
+        idx = np.zeros(seg, np.int64)
+        idx[rel_pos] = rel_pos
+        np.maximum.accumulate(idx, out=idx)
+        return row[idx]
+    m = seg // d
+    mask = np.zeros(seg, bool)
+    mask[rel_pos] = True
+    idxm = np.where(mask.reshape(m, d), np.arange(m)[:, None], 0)
+    np.maximum.accumulate(idxm, axis=0, out=idxm)
+    return np.take_along_axis(row.reshape(m, d), idxm, axis=0).reshape(-1)
+
+
+def _compress_array_match(x, opts: Options, nb_full: int, block_size: int):
+    """Device match-discovery strategy: fixed-offset matches per byte plane.
+
+    The dense-segment extension of the RLE strategy (≙ the parallel
+    hash-match half of the BASELINE north star): the device picks the best
+    match offset per byte-plane row (powers of two — the periods shuffled
+    numeric data actually exhibits), builds the literal mask with a
+    morphological opening (match runs >= _MATCH_T survive), and ships only
+    (position, byte) literal records.  The host serializes standard LZ4
+    token streams in O(records) via lz4_emit_mixed; blocks that stay dense
+    cross the link as bytes and use the normal native encoder.  Frames are
+    valid LZ4 everywhere (not bit-identical to the host encoder — same
+    contract as the RLE strategy).  Returns None when not enough rows are
+    record-compressible (plain transfer is strictly better then).
+    """
+    from .codecs.lz4_ref import hc_depth_for_level
+    from .native import backend as _nb
+
+    if not _nb.available():
+        return None
+    ts = opts.type_size
+    if block_size % ts:
+        return None
+    seg = block_size // ts
+    if seg < 256:
+        return None
+    offsets = _match_offsets(seg)
+    if not offsets:
+        return None
+    cap = _pow2(max((nb_full * block_size) // 8, 4096))
+    segs_d, best_d, lc_d, pos_d, vals_d, tail_d = _device_match_pipeline(
+        x, nb_full, block_size, ts, int(opts.shuffle), seg, offsets, cap
+    )
+    lit_counts = np.asarray(lc_d).astype(np.int64)
+    tail = np.asarray(tail_d)
+    offs = np.asarray(offsets, dtype=np.int32)
+    d_all = offs[np.asarray(best_d)]  # (nseg,)
+    nseg = d_all.size
+
+    # a record row ships ~5 B per literal; require a 2x margin over bytes
+    sparse = lit_counts <= seg // 10
+    sparse_idx = np.flatnonzero(sparse)
+    dense_idx = np.flatnonzero(~sparse)
+    if sparse_idx.size * seg < (nseg * seg) // 8:
+        return None  # <12.5% of bytes record-covered: transfer is simpler
+
+    depth = hc_depth_for_level(opts.level) if opts.codec == Codec.LZ4HC else 1
+
+    # --- literal records for sparse rows (O(lits) link traffic) ---
+    k = sparse_idx.size
+    n_real = int(lit_counts[sparse_idx].sum())
+    pos = np.asarray(pos_d[:n_real]).astype(np.int64)  # global flat positions
+    vals = np.asarray(vals_d[:n_real])
+    rec_first = np.searchsorted(pos, sparse_idx.astype(np.int64) * seg)
+    rec_last = np.append(rec_first[1:], n_real)
+
+    # --- bytes for dense rows (one gather, one transfer) ---
+    if dense_idx.size:
+        dense = np.asarray(
+            _device_rows_gather(
+                segs_d,
+                _jax.device_put(dense_idx.astype(np.int32)),
+                int(dense_idx.size),
+            )
+        )
+
+    sparse_pos_of = {int(s): j for j, s in enumerate(sparse_idx)}
+    row_sparse = sparse.reshape(nb_full, ts)
+    payloads: list[bytes] = [b""] * nb_full
+    entries: list[int] = [0] * nb_full
+    rebuild_blocks: list[int] = []
+    for blk in range(nb_full):
+        if row_sparse[blk].all():
+            # direct O(records) emission: concatenate the block's rows'
+            # records into block-relative positions
+            parts_p, parts_v = [], []
+            for t in range(ts):
+                s = blk * ts + t
+                j = sparse_pos_of[s]
+                a, b = int(rec_first[j]), int(rec_last[j])
+                parts_p.append(pos[a:b] - s * seg + t * seg)
+                parts_v.append(vals[a:b])
+            stream = _nb.lz4_emit_mixed(
+                np.concatenate(parts_p), np.concatenate(parts_v),
+                d_all[blk * ts : (blk + 1) * ts], seg, block_size,
+                cap=block_size // 4,
+            )
+            if stream is not None:
+                payloads[blk] = stream
+                entries[blk] = len(stream)
+                continue
+        rebuild_blocks.append(blk)
+
+    # --- rebuild + native-encode the remaining blocks ---
+    if rebuild_blocks:
+        parts = []
+        for blk in rebuild_blocks:
+            for t in range(ts):
+                s = blk * ts + t
+                j = sparse_pos_of.get(s)
+                if j is None:
+                    parts.append(dense[np.searchsorted(dense_idx, s)])
+                else:
+                    a, b = int(rec_first[j]), int(rec_last[j])
+                    parts.append(
+                        _reconstruct_match_row(
+                            seg, int(d_all[s]), pos[a:b] - s * seg, vals[a:b]
+                        )
+                    )
+        db = np.concatenate(parts)
+        dpayloads, dmem = _nb.compress_blocks(
+            db, block_size, ts, 0,
+            _nb.NATIVE_LZ4HC if opts.codec == Codec.LZ4HC else _nb.NATIVE_LZ4,
+            depth,
+        )
+        for j, blk in enumerate(rebuild_blocks):
+            if dmem[j]:
+                payloads[blk] = _unfilter_host(
+                    np.frombuffer(dpayloads[j], np.uint8), ts, opts.shuffle
+                )
+                entries[blk] = _ENTRY_MEMCPY | block_size
+            else:
+                payloads[blk] = dpayloads[j]
+                entries[blk] = len(dpayloads[j])
+
+    n = nb_full * block_size + tail.size
+    if tail.size:
+        shuf_t = _filter_host(tail.tobytes(), ts, opts.shuffle)
+        compressor = get_codec(opts.codec)
+        comp = compressor.compress(shuf_t, opts.level)
+        if len(comp) >= tail.size:
+            payloads.append(tail.tobytes())
+            entries.append(_ENTRY_MEMCPY | tail.size)
+        else:
+            payloads.append(comp)
+            entries.append(len(comp))
+
+    import struct
+
+    num_blocks = len(payloads)
+    table = struct.pack("<I", num_blocks) + struct.pack(
+        f"<{num_blocks}I", *entries
+    )
+    flags = FLAG_SPLIT | (
+        FLAG_SHUFFLE if opts.shuffle == Shuffle.SHUFFLE else FLAG_BITSHUFFLE
+    )
+    header = Header(
+        version=FORMAT_VERSION,
+        version_lz=int(opts.codec),
+        flags=flags,
+        type_size=min(ts, 255),
+        nbytes_orig=n,
+        block_size=block_size,
+        nbytes_comp=HEADER_SIZE + len(table) + sum(len(p) for p in payloads),
+    )
+    return header.to_bytes() + table + b"".join(payloads)
 
 
 def _compress_array_rle(x, opts: Options, nb_full: int, block_size: int):
@@ -449,6 +757,70 @@ def _device_rle_decode(
     return out.reshape(-1)
 
 
+@partial(_jax.jit, static_argnums=(3, 4, 5, 6, 7, 8))
+def _device_match_decode(
+    vals, pos, sel, offsets: tuple, nseg: int, seg: int,
+    bs: int, type_size: int, mode: int,
+):
+    """Reconstruct + unfilter from literal records in ONE compiled program.
+
+    out[i] = literal where present else out[i - d_row]; per offset d the
+    residue reshape (d | seg) turns the recurrence into a forward fill,
+    done as a cummax over packed (index, value) keys — no gathers, no jit
+    boundaries (both poison TPU performance; see _device_match_pipeline).
+    The fill runs for every candidate offset and a per-row one-hot select
+    picks the right one — len(offsets) elementwise passes beat one
+    gather-based pass by orders of magnitude here.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    total = nseg * seg
+    flat = jnp.zeros(total, jnp.uint8).at[pos].set(vals, mode="drop")
+    lit = jnp.zeros(total, bool).at[pos].set(True, mode="drop")
+    v2 = flat.reshape(nseg, seg).astype(jnp.int32)
+    l2 = lit.reshape(nseg, seg)
+    out = jnp.zeros((nseg, seg), jnp.uint8)
+    for i, d in enumerate(offsets):
+        m = seg // d
+        key = jnp.where(
+            l2.reshape(nseg, m, d),
+            ((jnp.arange(m, dtype=jnp.int32)[None, :, None] + 1) << 8)
+            | v2.reshape(nseg, m, d),
+            0,
+        )
+        key = jax.lax.cummax(key, axis=1)
+        fill_d = (key & 0xFF).astype(jnp.uint8).reshape(nseg, seg)
+        out = jnp.where(sel[:, i : i + 1], fill_d, out)
+
+    from .filters import batched as fb
+
+    blocks = out.reshape(-1, bs)
+    if mode == int(Shuffle.SHUFFLE):
+        res = fb._unshuffle_batch_dev(blocks, type_size)
+    else:
+        res = fb._bit_unshuffle_batch_dev(blocks, type_size)
+    return res.reshape(-1)
+
+
+def _host_lit_mask(rows2d: np.ndarray, d_all: np.ndarray, T: int) -> np.ndarray:
+    """Host mirror of _lit_mask (NumPy): literal positions per row under
+    per-row offsets, with the same opening + forced-literal rules."""
+    nseg, seg = rows2d.shape
+    idx = np.arange(seg)[None, :]
+    src = idx - d_all[:, None].astype(np.int64)
+    eq = (rows2d == np.take_along_axis(rows2d, np.maximum(src, 0), axis=1))
+    eq &= src >= 0
+    eq[:, seg - _ROW_TAIL_LITERALS :] = False
+    er = eq[:, : seg - T + 1].copy()
+    for s in range(1, T):
+        er &= eq[:, s : seg - T + 1 + s]
+    match = np.zeros_like(eq)
+    for s in range(T):
+        match[:, s : seg - T + 1 + s] |= er
+    return ~match
+
+
 def decompress_array(data, dtype, shape=None, sharding=None,
                      strategy: str = "auto"):
     """Decompress a frame and place the result on device.
@@ -530,11 +902,8 @@ def _decompress_array_rle(data, n: int, dt, shape):
         header.type_size, 0, native[0],
     )
     a = np.frombuffer(filtered, np.uint8)
-    b = np.empty(a.size, bool)
-    b[0] = True
-    np.not_equal(a[1:], a[:-1], out=b[1:])
-    starts = np.flatnonzero(b)
-    if starts.size > max(a.size // 8, 4096):
+
+    def _host_fallback():
         # dense: reinflating via records would ship more than the bytes;
         # unfilter on host and transfer plainly
         host_bytes = np.empty(n, np.uint8)
@@ -543,21 +912,42 @@ def _decompress_array_rle(data, n: int, dt, shape):
         decompress_into(raw, host_bytes)
         out = host_bytes.view(dt)
         return jax.device_put(out.reshape(shape) if shape is not None else out)
-    lens = np.diff(np.append(starts, a.size))
-    cap = _pow2(max(starts.size, 4096))
+
+    seg = header.block_size // header.type_size
+    if seg < 256 or n % seg:
+        return None
+    offsets_c = _match_offsets(seg)
+    if not offsets_c:
+        return None
+    nseg = n // seg
+    rows2d = a.reshape(nseg, seg)
+    # offset choice from a sampled prefix of each row (cheap), then the
+    # exact literal mask for the chosen offsets (one full host pass)
+    samp = rows2d[:, : min(seg, 8192)]
+    counts = np.stack(
+        [(samp[:, d:] == samp[:, :-d]).sum(axis=1) for d in offsets_c], axis=1
+    )
+    d_all = np.asarray(offsets_c, np.int32)[counts.argmax(axis=1)]
+    lit = _host_lit_mask(rows2d, d_all, _MATCH_T)
+    if int(lit.sum()) > max(a.size // 8, 4096):
+        return _host_fallback()
+
+    # single-jit device reconstruction: scatter literals, forward-fill per
+    # candidate offset, per-row select, unfilter — O(literals) link traffic
+    relpos = np.flatnonzero(lit).astype(np.int32)
+    vals = rows2d.reshape(-1)[relpos]
+    cap = _pow2(max(relpos.size, 4096))
+    pos_p = np.full(cap, nseg * seg, np.int32)  # OOB pads are dropped
+    pos_p[: relpos.size] = relpos
     vals_p = np.zeros(cap, np.uint8)
-    lens_p = np.zeros(cap, np.int32)
-    vals_p[: starts.size] = a[starts]
-    lens_p[: starts.size] = lens
-    nb = n // header.block_size
-    flat = _device_rle_decode(
-        jax.device_put(vals_p),
-        jax.device_put(lens_p),
-        n,
-        nb,
-        header.block_size,
-        header.type_size,
-        int(header.shuffle_mode),
+    vals_p[: relpos.size] = vals
+    best = np.searchsorted(np.asarray(offsets_c), d_all)
+    sel = np.zeros((nseg, len(offsets_c)), bool)
+    sel[np.arange(nseg), best] = True
+    flat = _device_match_decode(
+        jax.device_put(vals_p), jax.device_put(pos_p), jax.device_put(sel),
+        offsets_c, nseg, seg,
+        header.block_size, header.type_size, int(header.shuffle_mode),
     )
     out = flat.view(dt.name) if dt != np.uint8 else flat
     return out.reshape(shape) if shape is not None else out

@@ -124,6 +124,12 @@ def _load() -> None:
         lib.tpb_gather.argtypes = [_p, _p, _i64, _i64, _p]
         lib.tpb_lz4_emit_runs.restype = _i64
         lib.tpb_lz4_emit_runs.argtypes = [_p, _p, _i64, _i64, _p, _i64]
+        lib.tpb_lz4_emit_mixed.restype = _i64
+        lib.tpb_lz4_emit_mixed.argtypes = [
+            _p, _p, _i64,                         # lit_pos, lit_bytes, nlit
+            _p, _i64, _i64,                       # row_d, seg, n
+            _p, _i64,                             # dst, cap
+        ]
         lib.tpb_set_num_threads.restype = None
         lib.tpb_set_num_threads.argtypes = [ctypes.c_int]
         # c_char_p lets the hot single-shot paths pass bytes objects with
@@ -265,6 +271,40 @@ def lz4_emit_runs(vals: np.ndarray, lens: np.ndarray, n: int) -> bytes:
     )
     if written < 0:
         raise RuntimeError(f"lz4_emit_runs failed ({written})")
+    return out[:written].tobytes()
+
+
+def lz4_emit_mixed(
+    lit_pos: np.ndarray,
+    lit_bytes: np.ndarray,
+    row_d: np.ndarray,
+    seg: int,
+    n: int,
+    cap: int | None = None,
+) -> bytes | None:
+    """Emit a standard LZ4 stream from fixed-offset match records.
+
+    The device match-discovery encoder's host half: ``lit_pos``/``lit_bytes``
+    are the block's literal positions (sorted) and values; every other byte
+    of row r is a match at offset ``row_d[r]``.  O(records) work; the
+    stream decodes with any LZ4 block decoder.  Returns None when the
+    emitted stream would exceed ``cap`` (caller falls back to re-encoding).
+    """
+    _ensure()
+    lit_pos = np.ascontiguousarray(lit_pos, dtype=np.int64)
+    lit_bytes = np.ascontiguousarray(lit_bytes, dtype=np.uint8)
+    row_d = np.ascontiguousarray(row_d, dtype=np.int32)
+    if cap is None:
+        cap = n + n // 255 + 16
+    out = np.empty(cap, dtype=np.uint8)
+    written = _lib.tpb_lz4_emit_mixed(
+        _ptr(lit_pos), _ptr(lit_bytes), lit_pos.size,
+        _ptr(row_d), seg, n, _ptr(out), cap,
+    )
+    if written == -1:
+        return None
+    if written < 0:
+        raise RuntimeError(f"lz4_emit_mixed failed ({written})")
     return out[:written].tobytes()
 
 

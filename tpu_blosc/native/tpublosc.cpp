@@ -375,6 +375,77 @@ static int64_t lz4_emit_runs(const uint8_t *vals, const int64_t *lens,
   return di;
 }
 
+// Emit a valid LZ4 block stream from fixed-offset match records: the
+// uncompressed block is rows of `seg` bytes; row r reproduces as
+// out[i] = literal (at the positions listed in lit_pos, sorted,
+// block-relative) or out[i] = out[i - row_d[r]] otherwise.  Every
+// non-literal gap must lie within one row, be >= kMinMatch long, start at
+// a local offset >= row_d[r], and the block must end with >= 5 literals
+// (the device-side mask construction guarantees all of this: positions
+// < d and the last 16 bytes of each row are forced literal, and match
+// runs survive only if >= the opening window).  Used by the device match
+// pipeline: the TPU discovers matches and ships O(literals) records; the
+// host serializes tokens here in O(records).  Output decodes with ANY
+// LZ4 block decoder.
+//
+// Returns bytes written, -1 when cap is too small, -3 on malformed
+// records (defensive: indicates a device-side bug, never UB).
+static int64_t lz4_emit_mixed(const int64_t *lit_pos, const uint8_t *lit_bytes,
+                              int64_t nlit, const int32_t *row_d, int64_t seg,
+                              int64_t n, uint8_t *dst, int64_t cap) {
+  if (n <= 0 || seg <= 0 || n % seg) return -3;
+  int64_t di = 0, p = 0, j = 0;
+
+  auto emit_len_ext = [&](int64_t rem) {
+    while (rem >= 255) {
+      dst[di++] = 255;
+      rem -= 255;
+    }
+    dst[di++] = (uint8_t)rem;
+  };
+
+  while (true) {
+    if (j < nlit && lit_pos[j] < p) return -3;  // unsorted / duplicate
+    int64_t l0 = j;
+    while (j < nlit && lit_pos[j] == p) {
+      p++;
+      j++;
+    }
+    int64_t lit_len = j - l0;
+    if (j >= nlit) {
+      // final literal-only sequence must close the block exactly
+      if (p != n) return -3;
+      int64_t need = 1 + lit_len / 255 + 1 + lit_len;
+      if (di + need > cap) return -1;
+      dst[di++] = (uint8_t)((lit_len >= 15 ? 15 : lit_len) << 4);
+      if (lit_len >= 15) emit_len_ext(lit_len - 15);
+      std::memcpy(dst + di, lit_bytes + l0, (size_t)lit_len);
+      di += lit_len;
+      return di;
+    }
+    int64_t next = lit_pos[j];
+    if (next <= p || next > n - 5) return -3;
+    int64_t gap = next - p;
+    if (gap < kMinMatch) return -3;
+    int64_t row = p / seg;
+    if ((next - 1) / seg != row) return -3;  // match crosses a row
+    int64_t d = row_d[row];
+    if (d < 1 || d > 65535 || p - row * seg < d) return -3;
+    int64_t ml = gap - kMinMatch;
+    int64_t need = 1 + lit_len / 255 + 1 + lit_len + 2 + ml / 255 + 1;
+    if (di + need > cap) return -1;
+    dst[di++] = (uint8_t)(((lit_len >= 15 ? 15 : lit_len) << 4) |
+                          (ml >= 15 ? 15 : ml));
+    if (lit_len >= 15) emit_len_ext(lit_len - 15);
+    std::memcpy(dst + di, lit_bytes + l0, (size_t)lit_len);
+    di += lit_len;
+    dst[di++] = (uint8_t)(d & 0xFF);
+    dst[di++] = (uint8_t)(d >> 8);
+    if (ml >= 15) emit_len_ext(ml - 15);
+    p = next;
+  }
+}
+
 // Safe LZ4 block decoder.  Returns bytes written or negative error.
 static int64_t lz4_decompress(const uint8_t *src, int64_t n, uint8_t *dst,
                               int64_t cap) {
@@ -1317,6 +1388,12 @@ int64_t tpb_lz4_emit_runs(const uint8_t *vals, const int64_t *lens,
                           int64_t nruns, int64_t n, uint8_t *dst,
                           int64_t cap) {
   return lz4_emit_runs(vals, lens, nruns, n, dst, cap);
+}
+
+int64_t tpb_lz4_emit_mixed(const int64_t *lit_pos, const uint8_t *lit_bytes,
+                           int64_t nlit, const int32_t *row_d, int64_t seg,
+                           int64_t n, uint8_t *dst, int64_t cap) {
+  return lz4_emit_mixed(lit_pos, lit_bytes, nlit, row_d, seg, n, dst, cap);
 }
 
 int64_t tpb_snappy_compress(const uint8_t *src, int64_t n, uint8_t *dst,
