@@ -155,10 +155,10 @@ def _match_offsets(seg: int) -> tuple[int, ...]:
     )
 
 
-@partial(_jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7))
+@partial(_jax.jit, static_argnums=(1, 2, 3, 4, 5, 6))
 def _device_match_pipeline(
     x, nb: int, bs: int, type_size: int, mode: int, seg: int,
-    offsets: tuple, cap: int,
+    offsets: tuple,
 ):
     """The full device half of the match strategy in ONE compiled program.
 
@@ -166,14 +166,14 @@ def _device_match_pipeline(
     device-side match discovery, ≙ the hash-probe loop of codec.go:63-128
     restructured as data-parallel whole-array compares) → per-row argmax
     offset → literal mask → per-row literal counts → keep mask (records
-    beat bytes only below seg/10 literals) → compacted (position, byte)
-    records.
+    beat bytes only below seg/10 literals) → BIT-PACKED literal mask.
 
-    One jit on purpose: intermediate arrays crossing jit boundaries pick
-    up layouts that poison downstream kernels (a 1-D boundary array made
-    jnp.nonzero 3.3 s instead of ~0 on 256 MiB; measured 2026-08-17).
-    ``cap`` is static: keep-rows carry at most seg/10 literals each, so
-    total/8 (pow2-snapped by the caller) always suffices.
+    The mask ships packed (n/8 bytes) and the host extracts positions —
+    deliberately NOT compacted on device: every device-side compaction
+    (jnp.nonzero, full-size scatter) lowers to an O(n log n) sort on TPU,
+    measured 3.3 s on 256 MiB, while bit-packing is 8 strided-slice
+    shift-ors at memory speed.  Values are fetched by a second gather
+    program once the host knows the positions (_device_gather_vals).
     """
     import jax.numpy as jnp
 
@@ -192,10 +192,19 @@ def _device_match_pipeline(
     lit_counts = lit.sum(axis=1, dtype=jnp.int32)
     keep = lit_counts <= seg // 10
     lit = lit & keep[:, None]
-    total = nb * bs
-    pos = jnp.nonzero(lit.reshape(-1), size=cap, fill_value=total)[0]
-    vals = segs.reshape(-1)[jnp.minimum(pos, total - 1)]
-    return segs, best, lit_counts, pos, vals, tail
+    # bit-pack: packed[:, j] bit i = lit[:, 8j+i] (np.unpackbits
+    # bitorder='little' inverts on host); strided lane slices, no reshape
+    packed = lit[:, 0::8].astype(jnp.uint8)
+    for i in range(1, 8):
+        packed = packed | (lit[:, i::8].astype(jnp.uint8) << i)
+    return segs, best, lit_counts, packed, tail
+
+
+@_jax.jit
+def _device_gather_vals(segs, pos):
+    """Fetch literal bytes at host-provided flat positions (small gather)."""
+    total = segs.shape[0] * segs.shape[1]
+    return segs.reshape(-1)[_jax.numpy.minimum(pos, total - 1)]
 
 
 def _lit_mask(sub, sel, offsets: tuple, T: int):
@@ -466,9 +475,8 @@ def _compress_array_match(x, opts: Options, nb_full: int, block_size: int):
     offsets = _match_offsets(seg)
     if not offsets:
         return None
-    cap = _pow2(max((nb_full * block_size) // 8, 4096))
-    segs_d, best_d, lc_d, pos_d, vals_d, tail_d = _device_match_pipeline(
-        x, nb_full, block_size, ts, int(opts.shuffle), seg, offsets, cap
+    segs_d, best_d, lc_d, packed_d, tail_d = _device_match_pipeline(
+        x, nb_full, block_size, ts, int(opts.shuffle), seg, offsets
     )
     lit_counts = np.asarray(lc_d).astype(np.int64)
     tail = np.asarray(tail_d)
@@ -485,11 +493,22 @@ def _compress_array_match(x, opts: Options, nb_full: int, block_size: int):
 
     depth = hc_depth_for_level(opts.level) if opts.codec == Codec.LZ4HC else 1
 
-    # --- literal records for sparse rows (O(lits) link traffic) ---
+    # --- literal records for sparse rows: fetch the packed mask (n/8
+    # bytes), positions on host, then one small gather for the bytes ---
     k = sparse_idx.size
     n_real = int(lit_counts[sparse_idx].sum())
-    pos = np.asarray(pos_d[:n_real]).astype(np.int64)  # global flat positions
-    vals = np.asarray(vals_d[:n_real])
+    packed = np.asarray(packed_d)  # (nseg, seg//8)
+    bits = np.unpackbits(packed, axis=1, bitorder="little")
+    pos = np.flatnonzero(bits).astype(np.int64)  # global flat positions
+    if pos.size != n_real:  # device/host mask disagreement: bail safely
+        return None
+    # pad positions to a pow2 cap so the gather program's shape is stable
+    cap = _pow2(max(n_real, 4096))
+    pos_p = np.full(cap, nseg * seg, dtype=np.int32)
+    pos_p[:n_real] = pos
+    vals = np.asarray(
+        _device_gather_vals(segs_d, _jax.device_put(pos_p))
+    )[:n_real]
     rec_first = np.searchsorted(pos, sparse_idx.astype(np.int64) * seg)
     rec_last = np.append(rec_first[1:], n_real)
 
