@@ -64,14 +64,6 @@ def _device_filter_prep(x, nb: int, bs: int, type_size: int, mode: int):
     return filtered, x_bytes[nb * bs :]
 
 
-def _rle_cap(total: int) -> int:
-    """Static record capacity: worth the device-RLE path only when data is
-    at least ~8x run-compressible; snapped to limit compile shapes."""
-    cap = max(total // 8, 4096)
-    # snap to the next power of two for a bounded compile cache
-    return 1 << (cap - 1).bit_length()
-
-
 def _pow2(n: int) -> int:
     return 1 << max(n - 1, 0).bit_length()
 
@@ -753,27 +745,6 @@ def _compress_array_rle(x, opts: Options, nb_full: int, block_size: int):
         nbytes_comp=HEADER_SIZE + len(table) + sum(len(p) for p in payloads),
     )
     return header.to_bytes() + table + b"".join(payloads)
-
-
-@partial(_jax.jit, static_argnums=(2, 3, 4, 5, 6))
-def _device_rle_decode(
-    vals, lens, total: int, nb: int, bs: int, type_size: int, mode: int
-):
-    """Reinflate run records on device and unfilter: O(runs) link traffic.
-
-    vals/lens are zero-padded to a static cap (len 0 repeats nothing).
-    """
-    import jax.numpy as jnp
-
-    from .filters import batched as fb
-
-    flat = jnp.repeat(vals, lens, total_repeat_length=total)
-    blocks = flat.reshape(nb, bs)
-    if mode == int(Shuffle.SHUFFLE):
-        out = fb._unshuffle_batch_dev(blocks, type_size)
-    else:
-        out = fb._bit_unshuffle_batch_dev(blocks, type_size)
-    return out.reshape(-1)
 
 
 @partial(_jax.jit, static_argnums=(3, 4, 5, 6, 7, 8))
