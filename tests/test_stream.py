@@ -1,0 +1,153 @@
+"""Streaming file API: appendable record files (stream.py).
+
+The reference has no file/streaming layer (SURVEY §5); this is the
+capability-plus data-loader surface from the round-1 verdict's stretch
+item: incremental writes, reopen-append, random access via the index
+footer, sequential-scan recovery when the footer is missing.
+"""
+
+import os
+import struct
+
+import numpy as np
+import pytest
+
+import tpu_blosc as blosc
+from tpu_blosc.errors import InvalidHeaderError
+from tpu_blosc.stream import FOOTER_MAGIC, StreamReader, StreamWriter
+
+
+def _chunks():
+    rng = np.random.default_rng(42)
+    return [
+        np.arange(30_000, dtype=np.float32).tobytes(),
+        rng.integers(0, 256, 10_000, dtype=np.uint8).tobytes(),
+        (np.arange(50_000, dtype=np.int16) % 100).tobytes(),
+    ]
+
+
+def test_stream_roundtrip(tmp_path):
+    path = tmp_path / "s.tpbs"
+    chunks = _chunks()
+    with StreamWriter(path) as w:
+        for i, c in enumerate(chunks):
+            assert w.write(c) == i
+        assert len(w) == len(chunks)
+    with StreamReader(path) as r:
+        assert len(r) == len(chunks)
+        for i, c in enumerate(chunks):
+            assert r.read(i) == c
+        assert list(r) == chunks
+        assert r[1] == chunks[1]
+        comp, orig = zip(*r.sizes())
+        assert list(orig) == [len(c) for c in chunks]
+
+
+def test_stream_append_reopen(tmp_path):
+    path = tmp_path / "s.tpbs"
+    chunks = _chunks()
+    with StreamWriter(path) as w:
+        w.write(chunks[0])
+    with StreamWriter(path, append=True) as w:
+        assert len(w) == 1  # existing records visible
+        w.write(chunks[1])
+        w.write(chunks[2])
+    with StreamReader(path) as r:
+        assert list(r) == chunks
+
+
+def test_stream_footer_recovery(tmp_path):
+    """A crashed writer (no footer) still opens via sequential scan."""
+    path = tmp_path / "s.tpbs"
+    chunks = _chunks()
+    with StreamWriter(path) as w:
+        for c in chunks:
+            w.write(c)
+    raw = path.read_bytes()
+    assert raw.endswith(FOOTER_MAGIC)
+    (index_size,) = struct.unpack("<Q", raw[-12:-4])
+    path.write_bytes(raw[: len(raw) - index_size])  # strip the footer
+    with StreamReader(path) as r:
+        assert list(r) == chunks
+    # and appending to the stripped file works
+    with StreamWriter(path, append=True) as w:
+        w.write(b"tail-record-data" * 100)
+    with StreamReader(path) as r:
+        assert len(r) == len(chunks) + 1
+
+
+def test_stream_partial_trailing_record(tmp_path):
+    """A torn final record is dropped, intact records survive."""
+    path = tmp_path / "s.tpbs"
+    chunks = _chunks()
+    with StreamWriter(path) as w:
+        for c in chunks:
+            w.write(c)
+    raw = path.read_bytes()
+    (index_size,) = struct.unpack("<Q", raw[-12:-4])
+    data = raw[: len(raw) - index_size]
+    path.write_bytes(data[:-7])  # tear the last record
+    with StreamReader(path) as r:
+        assert len(r) == len(chunks) - 1
+        assert r.read(0) == chunks[0]
+
+
+def test_stream_arrays(tmp_path):
+    path = tmp_path / "a.tpbs"
+    arr = np.linspace(0, 1, 500_000, dtype=np.float32)
+    with StreamWriter(path, blosc.Options(block_size=262144)) as w:
+        w.write_array(arr)
+    with StreamReader(path) as r:
+        out = r.read_array(0, np.float32)
+        assert np.array_equal(np.asarray(out), arr)
+
+
+def test_stream_save_load_convenience(tmp_path):
+    path = tmp_path / "c.tpbs"
+    data = os.urandom(5000)
+    blosc.save(path, data)
+    assert blosc.load(path) == data
+    arr = np.arange(100_000, dtype=np.float64)
+    blosc.save_array(tmp_path / "d.tpbs", arr, blosc.Options(type_size=8))
+    out = blosc.load_array(tmp_path / "d.tpbs", np.float64)
+    assert np.array_equal(np.asarray(out), arr)
+
+
+def test_stream_not_a_stream(tmp_path):
+    path = tmp_path / "x.bin"
+    path.write_bytes(b"not a stream at all")
+    with pytest.raises(InvalidHeaderError):
+        StreamReader(path)
+
+
+def test_stream_bad_version(tmp_path):
+    path = tmp_path / "v.tpbs"
+    path.write_bytes(b"TPBS\x09\x00\x00\x00")
+    with pytest.raises(InvalidHeaderError):
+        StreamReader(path)
+
+
+def test_stream_index_errors(tmp_path):
+    path = tmp_path / "s.tpbs"
+    with StreamWriter(path) as w:
+        w.write(b"x" * 100)
+    with StreamReader(path) as r:
+        with pytest.raises(IndexError):
+            r.read(5)
+    with pytest.raises(ValueError):
+        w.write(b"after close")
+
+
+def test_stream_container_records(tmp_path):
+    """Records can be TPB2 containers (route through decompress)."""
+    from tpu_blosc import container
+
+    path = tmp_path / "big.tpbs"
+    data = np.arange(200_000, dtype=np.float32).tobytes()
+    frame = container.compress_container(
+        data, blosc.Options(block_size=65536), frame_limit=131072
+    )
+    with StreamWriter(path) as w:
+        w.write_frame(frame)
+    with StreamReader(path) as r:
+        assert r.read(0) == data

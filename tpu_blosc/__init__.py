@@ -67,6 +67,14 @@ from .format import (
 from .device import compress_array, decompress_array
 from .options import Options, default_options
 from .stats import CompressionStats, FrameStats, compress_with_stats, frame_stats
+from .stream import (
+    StreamReader,
+    StreamWriter,
+    load,
+    load_array,
+    save,
+    save_array,
+)
 
 # Convenience aliases matching the reference's enum spelling
 LZ4 = Codec.LZ4
@@ -107,6 +115,8 @@ __all__ = [
     "SHUFFLE",
     "SNAPPY",
     "Shuffle",
+    "StreamReader",
+    "StreamWriter",
     "SizeMismatchError",
     "VERSION",
     "ZLIB",
@@ -128,10 +138,14 @@ __all__ = [
     "default_options",
     "get_codec",
     "get_decompressed_size",
+    "load",
+    "load_array",
     "get_info",
     "list_codecs",
     "parse_header",
     "register_codec",
+    "save",
+    "save_array",
     "shuffle_buffer",
     "suggest_codec",
     "shuffle_bytes",

@@ -1,0 +1,273 @@
+"""Streaming file API: appendable on-disk sequences of Blosc frames.
+
+The reference is a one-shot in-memory API with no file/streaming layer at
+all (SURVEY §5: no checkpoint/IO subsystem) — this is the TPU-native
+data-loader story the round-1 verdict listed as the stretch item: write
+compressed records incrementally (activations, dataset shards, checkpoint
+pieces), reopen to append, read back by index or by iteration, optionally
+straight onto a device.
+
+File layout (all little-endian):
+
+    bytes 0-3   magic b"TPBS"
+    byte  4     stream version = 1
+    bytes 5-7   reserved (zero)
+    then        repeated records: uint64 frame_len, frame bytes
+                (each frame is any payload decompress() accepts: a plain
+                frame, a FLAG_SPLIT chunked frame, or a TPB2 container)
+    footer      uint64 count, count x uint64 record offsets,
+                uint64 index_size_bytes, magic b"TPBI"
+
+The footer makes ``StreamReader`` O(1) random access; a file whose footer
+is missing or corrupt (e.g. a crashed writer) still opens — the reader
+falls back to a sequential scan of the length-prefixed records, which is
+also how appending re-opens a footer-less file.  Appending truncates the
+footer and continues writing records; close() rewrites it.
+
+Usage:
+
+    with StreamWriter(path) as w:
+        w.write(chunk_bytes)              # host bytes
+        w.write_array(jax_array)          # device array (filter on device)
+    with StreamReader(path) as r:
+        data = r.read(0)
+        arr = r.read_array(1, np.float32, shape=(n,))
+        for chunk in r: ...
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+
+
+from .errors import InvalidDataError, InvalidHeaderError
+from .options import Options
+
+MAGIC = b"TPBS"
+FOOTER_MAGIC = b"TPBI"
+STREAM_VERSION = 1
+HEADER_SIZE = 8
+
+
+def _pack_header() -> bytes:
+    return MAGIC + bytes([STREAM_VERSION, 0, 0, 0])
+
+
+class StreamWriter:
+    """Append compressed records to a stream file.
+
+    ``opts`` are the default compression options for write()/write_array();
+    per-call overrides accepted.  Pass ``append=True`` to continue an
+    existing stream (its footer is dropped and rewritten on close).
+    """
+
+    def __init__(self, path, opts: Options | None = None, append: bool = False):
+        self._path = os.fspath(path)
+        self._opts = opts if opts is not None else Options()
+        self._offsets: list[int] = []
+        if append and os.path.exists(self._path):
+            offsets, data_end = _scan_or_index(self._path)
+            self._offsets = offsets
+            self._f = open(self._path, "r+b")
+            self._f.truncate(data_end)  # drop any footer
+            self._f.seek(data_end)
+        else:
+            self._f = open(self._path, "wb")
+            self._f.write(_pack_header())
+        self._closed = False
+
+    # -- writing ---------------------------------------------------------
+
+    def write_frame(self, frame: bytes) -> int:
+        """Append an already-compressed frame; returns its record index."""
+        if self._closed:
+            raise ValueError("stream writer is closed")
+        self._offsets.append(self._f.tell())
+        self._f.write(struct.pack("<Q", len(frame)))
+        self._f.write(frame)
+        return len(self._offsets) - 1
+
+    def write(self, data, opts: Options | None = None) -> int:
+        """Compress host bytes/ndarray and append; returns record index."""
+        from .api import compress_with_options
+
+        return self.write_frame(
+            compress_with_options(data, opts if opts is not None else self._opts)
+        )
+
+    def write_array(self, x, opts: Options | None = None,
+                    strategy: str = "transfer") -> int:
+        """Compress a (device) array via compress_array and append."""
+        from .device import compress_array
+
+        return self.write_frame(
+            compress_array(x, opts if opts is not None else self._opts,
+                           strategy=strategy)
+        )
+
+    # -- lifecycle -------------------------------------------------------
+
+    def close(self) -> None:
+        if self._closed:
+            return
+        n = len(self._offsets)
+        index = struct.pack("<Q", n) + struct.pack(f"<{n}Q", *self._offsets)
+        index += struct.pack("<Q", len(index) + 12) + FOOTER_MAGIC
+        self._f.write(index)
+        self._f.close()
+        self._closed = True
+
+    def __enter__(self) -> "StreamWriter":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    def __len__(self) -> int:
+        return len(self._offsets)
+
+
+def _scan_or_index(path: str) -> tuple[list[int], int]:
+    """Record offsets + end-of-data position, via footer or full scan."""
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        head = f.read(HEADER_SIZE)
+        if len(head) < HEADER_SIZE or head[:4] != MAGIC:
+            raise InvalidHeaderError(
+                "blosc: invalid header: not a TPBS stream file"
+            )
+        if head[4] != STREAM_VERSION:
+            raise InvalidHeaderError(
+                f"blosc: invalid version: stream version {head[4]}"
+            )
+        # try the footer first
+        if size >= HEADER_SIZE + 12:
+            f.seek(size - 12)
+            tail = f.read(12)
+            if tail[8:] == FOOTER_MAGIC:
+                (index_size,) = struct.unpack("<Q", tail[:8])
+                index_start = size - index_size
+                if HEADER_SIZE <= index_start < size:
+                    f.seek(index_start)
+                    blob = f.read(index_size - 12)
+                    if len(blob) >= 8:
+                        (n,) = struct.unpack_from("<Q", blob, 0)
+                        if len(blob) == 8 + 8 * n:
+                            offsets = list(
+                                struct.unpack_from(f"<{n}Q", blob, 8)
+                            )
+                            if all(
+                                HEADER_SIZE <= o < index_start
+                                for o in offsets
+                            ) and offsets == sorted(offsets):
+                                return offsets, index_start
+        # sequential scan fallback (crashed writer / stripped footer)
+        offsets = []
+        pos = HEADER_SIZE
+        while pos + 8 <= size:
+            f.seek(pos)
+            (flen,) = struct.unpack("<Q", f.read(8))
+            if flen < 16 or pos + 8 + flen > size:
+                break  # trailing garbage (partial record or stale footer)
+            # a record must start like something decompress() accepts
+            peek = f.read(4)
+            if not (peek[:1] == b"\x02" or peek == b"TPB2"):
+                break
+            offsets.append(pos)
+            pos += 8 + flen
+        return offsets, pos
+
+
+class StreamReader:
+    """Random + sequential access to a stream file's records."""
+
+    def __init__(self, path):
+        self._path = os.fspath(path)
+        self._offsets, self._data_end = _scan_or_index(self._path)
+        self._f = open(self._path, "rb")
+        self._closed = False
+
+    def __len__(self) -> int:
+        return len(self._offsets)
+
+    def read_frame(self, i: int) -> bytes:
+        """The i-th record's raw compressed frame bytes."""
+        if not 0 <= i < len(self._offsets):
+            raise IndexError(f"record {i} out of range ({len(self._offsets)})")
+        off = self._offsets[i]
+        self._f.seek(off)
+        (flen,) = struct.unpack("<Q", self._f.read(8))
+        frame = self._f.read(flen)
+        if len(frame) != flen:
+            raise InvalidDataError(
+                f"blosc: invalid compressed data: truncated record {i}"
+            )
+        return frame
+
+    def read(self, i: int) -> bytes:
+        """Decompress the i-th record to bytes."""
+        from .api import decompress
+
+        return decompress(self.read_frame(i))
+
+    def read_array(self, i: int, dtype, shape=None, sharding=None):
+        """Decompress the i-th record straight onto a device."""
+        from .device import decompress_array
+
+        return decompress_array(
+            self.read_frame(i), dtype, shape=shape, sharding=sharding
+        )
+
+    def sizes(self) -> list[tuple[int, int]]:
+        """(compressed, uncompressed) byte sizes per record."""
+        from .api import get_decompressed_size
+
+        out = []
+        for i in range(len(self)):
+            frame = self.read_frame(i)
+            out.append((len(frame), get_decompressed_size(frame)))
+        return out
+
+    def __getitem__(self, i: int) -> bytes:
+        return self.read(i)
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self.read(i)
+
+    def close(self) -> None:
+        if not self._closed:
+            self._f.close()
+            self._closed = True
+
+    def __enter__(self) -> "StreamReader":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
+def save(path, data, opts: Options | None = None) -> None:
+    """Write one compressed record to ``path`` (single-chunk convenience)."""
+    with StreamWriter(path, opts) as w:
+        w.write(data)
+
+
+def load(path, i: int = 0) -> bytes:
+    """Read one record from ``path`` (single-chunk convenience)."""
+    with StreamReader(path) as r:
+        return r.read(i)
+
+
+def save_array(path, x, opts: Options | None = None,
+               strategy: str = "transfer") -> None:
+    """Compress a (device) array to ``path`` via the device filter path."""
+    with StreamWriter(path, opts) as w:
+        w.write_array(x, strategy=strategy)
+
+
+def load_array(path, dtype, shape=None, sharding=None, i: int = 0):
+    """Read one record from ``path`` straight onto a device."""
+    with StreamReader(path) as r:
+        return r.read_array(i, dtype, shape=shape, sharding=sharding)
