@@ -21,20 +21,21 @@ pytestmark = pytest.mark.skipif(
     reason="pure-Python codecs are too slow for the MB-size golden configs",
 )
 
-# exact sizes from our own deterministic encoders (2026-08-17)
+# exact sizes from our own deterministic encoders
+# (2026-08-17, DEFAULT_AUTO_BLOCK = 1 MiB)
 EXACT = {
     "1MB_f32_lz4_shuffle": 13158,
     "100KB_mixed_lz4_noshuffle": 50218,
     "100KB_mixed_snappy": 52164,
-    "8MB_int16_lz4_bitshuffle": 36240,
-    "16MB_f32_lz4_bitshuffle": 3783528,
-    "64MB_f32_lz4_shuffle": 490772,
+    "8MB_int16_lz4_bitshuffle": 39564,
+    "16MB_f32_lz4_bitshuffle": 3784008,
+    "64MB_f32_lz4_shuffle": 539719,
     "1MB_f32_lz4hc9": 13298,
 }
 
 # system-library codecs: assert we never regress past these ceilings
 CEILING = {
-    "64MB_f64_zstd_shuffle_ts8": 420_000,   # measured 376336
+    "64MB_f64_zstd_shuffle_ts8": 520_000,   # measured 470649
     "1MB_f32_zlib5": 9_000,                 # measured 7896
     "1MB_f32_zstd5": 5_500,                 # measured 4398
 }

@@ -112,8 +112,11 @@ _ENTRY_MEMCPY = 0x80000000
 _ENTRY_SIZE_MASK = 0x7FFFFFFF
 
 # auto block size: large enough to amortize per-block codec overhead and to
-# fill TPU (8,128) tiles, small enough to batch many blocks per chip
-DEFAULT_AUTO_BLOCK = 2 * 1024 * 1024
+# fill TPU (8,128) tiles, small enough that block + scratch stay L2/L3
+# resident in the host pipeline (measured sweep on the 64 MiB config:
+# 1 MiB beats 2 MiB by ~30% on decompress at equal compress speed; ratio
+# 124x vs 137x on the f32 ramp — see BASELINE.md)
+DEFAULT_AUTO_BLOCK = 1024 * 1024
 MIN_BLOCK = 4096
 
 
