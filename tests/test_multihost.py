@@ -40,7 +40,7 @@ def _worker_data() -> bytes:
     return ramp + noise
 
 
-@pytest.mark.parametrize("nprocs", [2])
+@pytest.mark.parametrize("nprocs", [2, 3])
 def test_multihost_two_processes_bit_identical(tmp_path, nprocs):
     port = _free_port()
     outs = [str(tmp_path / f"frame_p{p}.bin") for p in range(nprocs)]
@@ -68,7 +68,7 @@ def test_multihost_two_processes_bit_identical(tmp_path, nprocs):
 
     frames = [open(o, "rb").read() for o in outs]
     # every process assembled the identical frame
-    assert frames[0] == frames[1]
+    assert all(f == frames[0] for f in frames[1:])
 
     # ...and it is byte-identical to the single-process compressor
     data = _worker_data()

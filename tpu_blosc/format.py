@@ -27,7 +27,7 @@ from dataclasses import dataclass
 
 from .errors import InvalidHeaderError, InvalidVersionError
 
-VERSION = "1.0.0"
+VERSION = "1.1.0"
 FORMAT_VERSION = 2
 HEADER_SIZE = 16
 MIN_HEADER_SIZE = 16
