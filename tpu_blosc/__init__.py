@@ -28,6 +28,7 @@ from .api import (
     get_decompressed_size,
     get_info,
     suggest_codec,
+    suggest_options,
 )
 from .codecs.registry import get_codec, list_codecs, register_codec
 from .errors import (
@@ -148,6 +149,7 @@ __all__ = [
     "save_array",
     "shuffle_buffer",
     "suggest_codec",
+    "suggest_options",
     "shuffle_bytes",
     "unshuffle_buffer",
     "unshuffle_bytes",

@@ -350,6 +350,56 @@ def suggest_codec(data, type_size: int = 4, sample_bytes: int = 1 << 22) -> Code
     return Codec.LZ4  # near-random: fastest attempt, memcpy fallback
 
 
+def _run_fraction(sample: np.ndarray) -> float:
+    pairs = max(sample.size - 1, 1)
+    return float(np.count_nonzero(sample[1:] == sample[:-1])) / pairs
+
+
+def suggest_options(data, type_size: int = 4,
+                    sample_bytes: int = 1 << 22) -> Options:
+    """Recommend full Options — filter AND codec — from one probe pass.
+
+    Filter choice is the bigger lever than codec choice on numeric data
+    (the 16 MiB f32 profile in BASELINE.md shows bitshuffle forcing a
+    14-byte match ceiling where byte shuffle runs 22 GB/s): the probe
+    compares the post-filter run structure of a sample under no filter,
+    byte shuffle, and bit shuffle, picks the filter whose output is most
+    run-friendly, then picks the codec for that stream the same way
+    suggest_codec does.  One O(sample) pass per filter; the result is
+    a starting point, not a guarantee.
+    """
+    raw = _coerce_bytes(data)[:sample_bytes]
+    if len(raw) == 0:
+        raise InvalidDataError("blosc: invalid compressed data: empty input")
+    type_size = type_size if type_size > 0 else 1
+
+    a = np.frombuffer(raw, dtype=np.uint8)
+    candidates: list[tuple[float, Shuffle, np.ndarray]] = [
+        (_run_fraction(a), Shuffle.NOSHUFFLE, a)
+    ]
+    if type_size > 1 and len(raw) >= 8 * type_size:
+        sh = filters.shuffle_bytes(raw, type_size)
+        candidates.append((_run_fraction(sh), Shuffle.SHUFFLE, sh))
+        bit = filters.bit_shuffle(raw, type_size)
+        candidates.append((_run_fraction(bit), Shuffle.BITSHUFFLE, bit))
+
+    # prefer the filter with the most run structure; byte shuffle wins
+    # ties (cheapest filter, longest matches — see the bitshuffle profile)
+    order = {Shuffle.SHUFFLE: 0, Shuffle.NOSHUFFLE: 1, Shuffle.BITSHUFFLE: 2}
+    best_rf, best_mode, best_stream = max(
+        candidates, key=lambda c: (c[0], -order[c[1]])
+    )
+
+    rf = best_rf
+    if rf >= 0.30:
+        codec = Codec.LZ4
+    elif rf >= 0.02:
+        codec = Codec.ZSTD
+    else:
+        codec = Codec.LZ4
+    return Options(codec=codec, shuffle=best_mode, type_size=type_size)
+
+
 def get_info(data):
     """≙ GetInfo (blosc.go:306-308): parse header without decompressing.
 

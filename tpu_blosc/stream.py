@@ -196,8 +196,18 @@ class StreamReader:
         if not 0 <= i < len(self._offsets):
             raise IndexError(f"record {i} out of range ({len(self._offsets)})")
         off = self._offsets[i]
+        if off + 8 > self._data_end:
+            raise InvalidDataError(
+                f"blosc: invalid compressed data: record {i} offset out of range"
+            )
         self._f.seek(off)
         (flen,) = struct.unpack("<Q", self._f.read(8))
+        # bound BEFORE allocating: a corrupt length field must not turn
+        # into a multi-GB read attempt (found by the corruption fuzz)
+        if flen > self._data_end - off - 8:
+            raise InvalidDataError(
+                f"blosc: invalid compressed data: record {i} length overruns file"
+            )
         frame = self._f.read(flen)
         if len(frame) != flen:
             raise InvalidDataError(
