@@ -1,0 +1,77 @@
+"""CLI (python -m tpu_blosc) smoke tests — library-only upstream, CLI is
+framework-surface plus."""
+
+import numpy as np
+import pytest
+
+import tpu_blosc as blosc
+from tpu_blosc.__main__ import main
+
+
+@pytest.fixture
+def sample(tmp_path):
+    p = tmp_path / "data.bin"
+    p.write_bytes(np.arange(50_000, dtype=np.float32).tobytes())
+    return p
+
+
+def test_cli_compress_decompress_roundtrip(sample, tmp_path, capsys):
+    out = tmp_path / "data.bl2"
+    assert main(["compress", str(sample), "-o", str(out)]) == 0
+    assert "ratio" in capsys.readouterr().out
+    dec = tmp_path / "data.out"
+    assert main(["decompress", str(out), "-o", str(dec)]) == 0
+    assert dec.read_bytes() == sample.read_bytes()
+
+
+def test_cli_codec_options(sample, tmp_path):
+    out = tmp_path / "z.bl2"
+    assert main([
+        "compress", str(sample), "-o", str(out),
+        "--codec", "zstd", "--level", "7", "--shuffle", "bit",
+        "--typesize", "4", "--block", "16384",
+    ]) == 0
+    h = blosc.get_info(out.read_bytes())
+    assert h.codec == blosc.ZSTD
+    assert h.has_bitshuffle and h.is_split
+
+
+def test_cli_auto(sample, tmp_path, capsys):
+    out = tmp_path / "a.bl2"
+    assert main(["compress", str(sample), "-o", str(out), "--auto"]) == 0
+    dec = tmp_path / "a.out"
+    assert main(["decompress", str(out), "-o", str(dec)]) == 0
+    assert dec.read_bytes() == sample.read_bytes()
+
+
+def test_cli_info(sample, tmp_path, capsys):
+    out = tmp_path / "i.bl2"
+    main(["compress", str(sample), "-o", str(out)])
+    capsys.readouterr()
+    assert main(["info", str(out)]) == 0
+    text = capsys.readouterr().out
+    assert "uncompressed: 200,000 bytes" in text
+    assert "ratio" in text
+
+
+def test_cli_suggest(sample, capsys):
+    assert main(["suggest", str(sample), "--typesize", "4"]) == 0
+    text = capsys.readouterr().out
+    assert "--codec" in text and "--shuffle byte" in text
+
+
+def test_cli_module_invocation(sample, tmp_path):
+    import subprocess, sys, os
+
+    out = tmp_path / "m.bl2"
+    env = dict(os.environ)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    r = subprocess.run(
+        [sys.executable, "-m", "tpu_blosc", "compress", str(sample),
+         "-o", str(out)],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    assert out.exists()

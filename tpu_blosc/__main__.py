@@ -1,0 +1,154 @@
+"""Command-line interface: ``python -m tpu_blosc <command>``.
+
+The reference is library-only; this small CLI rounds out the framework
+surface for shell pipelines and quick inspection.  Frames are the same
+bytes the library APIs produce (single, chunked, or 64-bit container —
+chosen automatically by size), so files interoperate with every decoder
+in the package.
+
+    python -m tpu_blosc compress   data.bin -o data.bl2 --codec zstd
+    python -m tpu_blosc decompress data.bl2 -o data.out
+    python -m tpu_blosc info       data.bl2
+    python -m tpu_blosc suggest    data.bin --typesize 4
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from .api import (
+    compress_with_options,
+    decompress,
+    get_decompressed_size,
+    get_info,
+    suggest_options,
+)
+from .format import Codec, Shuffle
+from .options import Options
+
+_CODECS = {c.name.lower(): c for c in Codec if c != Codec.BLOSCLZ}
+_SHUFFLES = {
+    "none": Shuffle.NOSHUFFLE,
+    "byte": Shuffle.SHUFFLE,
+    "bit": Shuffle.BITSHUFFLE,
+}
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="python -m tpu_blosc",
+        description="TPU-native Blosc codec CLI",
+    )
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("compress", help="compress a file into a Blosc frame")
+    c.add_argument("input")
+    c.add_argument("-o", "--output", help="default: <input>.bl2")
+    c.add_argument("--codec", choices=sorted(_CODECS), default="lz4")
+    c.add_argument("--level", type=int, default=5)
+    c.add_argument("--shuffle", choices=sorted(_SHUFFLES), default="byte")
+    c.add_argument("--typesize", type=int, default=4)
+    c.add_argument("--block", type=int, default=0,
+                   help="block size in bytes (0 = automatic)")
+    c.add_argument("--auto", action="store_true",
+                   help="probe the data and pick filter+codec automatically")
+
+    d = sub.add_parser("decompress", help="decompress a Blosc frame file")
+    d.add_argument("input")
+    d.add_argument("-o", "--output", help="default: <input>.out")
+
+    i = sub.add_parser("info", help="print frame header/metadata")
+    i.add_argument("input")
+
+    s = sub.add_parser("suggest", help="recommend options for a file")
+    s.add_argument("input")
+    s.add_argument("--typesize", type=int, default=4)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+
+    if args.cmd == "compress":
+        with open(args.input, "rb") as f:
+            data = f.read()
+        if args.auto:
+            opts = suggest_options(data, type_size=args.typesize)
+            if args.block:
+                opts = Options(
+                    codec=opts.codec, level=args.level, shuffle=opts.shuffle,
+                    type_size=opts.type_size, block_size=args.block,
+                )
+        else:
+            opts = Options(
+                codec=_CODECS[args.codec], level=args.level,
+                shuffle=_SHUFFLES[args.shuffle], type_size=args.typesize,
+                block_size=args.block,
+            )
+        t0 = time.perf_counter()
+        frame = compress_with_options(data, opts)
+        dt = time.perf_counter() - t0
+        out = args.output or args.input + ".bl2"
+        with open(out, "wb") as f:
+            f.write(frame)
+        print(
+            f"{args.input}: {len(data):,} -> {len(frame):,} bytes "
+            f"(ratio {len(data) / max(len(frame), 1):.2f}x, "
+            f"{len(data) / max(dt, 1e-9) / 1e9:.2f} GB/s) -> {out}"
+        )
+        return 0
+
+    if args.cmd == "decompress":
+        with open(args.input, "rb") as f:
+            frame = f.read()
+        t0 = time.perf_counter()
+        data = decompress(frame)
+        dt = time.perf_counter() - t0
+        out = args.output or args.input + ".out"
+        with open(out, "wb") as f:
+            f.write(data)
+        print(
+            f"{args.input}: {len(frame):,} -> {len(data):,} bytes "
+            f"({len(data) / max(dt, 1e-9) / 1e9:.2f} GB/s) -> {out}"
+        )
+        return 0
+
+    if args.cmd == "info":
+        with open(args.input, "rb") as f:
+            frame = f.read()
+        h = get_info(frame)
+        n = get_decompressed_size(frame)
+        print(f"{args.input}:")
+        for name, val in (
+            ("kind", type(h).__name__),
+            ("codec", getattr(h, "codec", None)),
+            ("type_size", getattr(h, "type_size", None)),
+            ("uncompressed", f"{n:,} bytes"),
+            ("compressed", f"{len(frame):,} bytes"),
+            ("ratio", f"{n / max(len(frame), 1):.2f}x"),
+        ):
+            print(f"  {name}: {val}")
+        for flag in ("has_shuffle", "has_bitshuffle", "is_memcpy", "is_split"):
+            v = getattr(h, flag, None)
+            if v is not None:
+                print(f"  {flag}: {v}")
+        return 0
+
+    if args.cmd == "suggest":
+        with open(args.input, "rb") as f:
+            data = f.read()
+        opts = suggest_options(data, type_size=args.typesize)
+        print(
+            f"{args.input}: --codec {opts.codec.name.lower()} "
+            f"--shuffle {'byte' if opts.shuffle == Shuffle.SHUFFLE else 'bit' if opts.shuffle == Shuffle.BITSHUFFLE else 'none'} "
+            f"--typesize {opts.type_size}"
+        )
+        return 0
+
+    return 2  # pragma: no cover - argparse enforces the choices
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -58,9 +58,15 @@ def _probe() -> None:
         from . import jaxops
     except Exception:  # pragma: no cover - jax is baked into this env
         return
+    try:
+        # default_backend() itself can raise (e.g. JAX_PLATFORMS names a
+        # plugin that isn't importable in this process); the library must
+        # still import and serve the host paths
+        platform = jax.default_backend()
+    except Exception:
+        return
     _jax = jax
     _jaxops = jaxops
-    platform = jax.default_backend()
     if platform in ("tpu", "axon"):
         try:
             from . import pallas_kernels
