@@ -49,6 +49,13 @@ def main() -> None:
     with open(out_path, "wb") as f:
         f.write(frame)
 
+    # decode direction: this process decodes only its slice of the frame
+    local, dstart, dend = multihost.decompress_chunked_multihost(frame)
+    assert (dstart, dend) == (start, end), (dstart, dend, start, end)
+    assert local == data[start:end], "decoded slice mismatch"
+    with open(out_path + ".dec", "wb") as f:
+        f.write(local)
+
 
 if __name__ == "__main__":
     main()

@@ -1,0 +1,109 @@
+"""Compressed pytree checkpoints (checkpoint.py): the persistence story."""
+
+import numpy as np
+import pytest
+
+import tpu_blosc as blosc
+from tpu_blosc import checkpoint
+from tpu_blosc.errors import InvalidDataError
+
+
+def _state():
+    rng = np.random.default_rng(9)
+    return {
+        "params": {
+            "dense": {
+                "w": rng.normal(size=(64, 128)).astype(np.float32),
+                "b": np.zeros(128, np.float32),
+            },
+            "emb": (np.arange(1000, dtype=np.int32), rng.random(50)),
+        },
+        "step": 12345,
+        "lr": 1e-3,
+        "name": "run-7",
+        "done": False,
+        "note": None,
+        "history": [1, 2.5, "x"],
+        "empty": np.empty((0, 4), np.float32),
+        "scalar": np.float32(2.5),
+    }
+
+
+def _assert_tree_equal(a, b):
+    assert type(a) is type(b) or (
+        isinstance(a, (np.ndarray, np.generic))
+        and isinstance(b, np.ndarray)  # scalars come back as 0-d arrays
+    ), (type(a), type(b))
+    if isinstance(a, dict):
+        assert a.keys() == b.keys()
+        for k in a:
+            _assert_tree_equal(a[k], b[k])
+    elif isinstance(a, (list, tuple)):
+        assert len(a) == len(b)
+        for x, y in zip(a, b):
+            _assert_tree_equal(x, y)
+    elif isinstance(a, (np.ndarray, np.generic)):
+        a = np.asarray(a)
+        assert a.dtype == b.dtype and a.shape == b.shape
+        assert np.array_equal(a, b)
+    else:
+        assert a == b
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    path = tmp_path / "ckpt.tpbs"
+    state = _state()
+    checkpoint.save_pytree(path, state)
+    out = checkpoint.load_pytree(path)
+    _assert_tree_equal(state, out)
+    # scalar leaf comes back as a 0-d array (documented coercion)
+    assert out["scalar"].shape == ()
+
+
+def test_checkpoint_device_leaves(tmp_path):
+    import jax
+
+    path = tmp_path / "dev.tpbs"
+    x = jax.device_put(np.linspace(0, 1, 300_000, dtype=np.float32))
+    checkpoint.save_pytree(path, {"x": x, "n": 3})
+    out = checkpoint.load_pytree(path, device=True)
+    assert isinstance(out["x"], jax.Array)
+    assert np.array_equal(np.asarray(out["x"]), np.asarray(x))
+    assert out["n"] == 3
+
+
+def test_checkpoint_compresses(tmp_path):
+    path = tmp_path / "c.tpbs"
+    w = np.zeros((512, 512), np.float32)
+    checkpoint.save_pytree(path, {"w": w})
+    assert path.stat().st_size < w.nbytes // 50
+
+
+def test_checkpoint_opts_passthrough(tmp_path):
+    path = tmp_path / "z.tpbs"
+    state = {"w": np.arange(100_000, dtype=np.float64)}
+    checkpoint.save_pytree(
+        path, state, blosc.Options(codec=blosc.ZSTD, level=7)
+    )
+    out = checkpoint.load_pytree(path)
+    assert np.array_equal(out["w"], state["w"])
+    assert out["w"].dtype == np.float64
+
+
+def test_checkpoint_rejects_bad_types(tmp_path):
+    with pytest.raises(TypeError):
+        checkpoint.save_pytree(tmp_path / "x.tpbs", {"bad": object()})
+    with pytest.raises(TypeError):
+        checkpoint.save_pytree(tmp_path / "y.tpbs", {1: np.zeros(3)})
+
+
+def test_checkpoint_leaf_count_validated(tmp_path):
+    from tpu_blosc.stream import StreamReader, StreamWriter
+
+    path = tmp_path / "m.tpbs"
+    checkpoint.save_pytree(path, {"w": np.arange(100, dtype=np.int32)})
+    # append an extra record: manifest leaf count no longer matches
+    with StreamWriter(path, append=True) as w:
+        w.write(b"extra" * 100)
+    with pytest.raises(InvalidDataError):
+        checkpoint.load_pytree(path)

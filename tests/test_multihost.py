@@ -75,3 +75,22 @@ def test_multihost_two_processes_bit_identical(tmp_path, nprocs):
     single = blosc.compress_with_options(data, blosc.Options(block_size=65536))
     assert frames[0] == single
     assert blosc.decompress(frames[0]) == data
+
+    # the workers' per-process decoded slices concatenate to the input
+    slices = b"".join(open(o + ".dec", "rb").read() for o in outs)
+    assert slices == data
+
+
+def test_multihost_decode_single_process():
+    """P=1 degenerate case of the sliced decoder."""
+    from tpu_blosc.dist import multihost
+
+    data = _worker_data()
+    frame = blosc.compress_with_options(data, blosc.Options(block_size=65536))
+    local, start, end = multihost.decompress_chunked_multihost(frame)
+    assert (start, end) == (0, len(data))
+    assert local == data
+    # non-split frames pass through decompress
+    small = blosc.compress(b"hello" * 100, blosc.LZ4, 5, blosc.NOSHUFFLE, 1)
+    local, start, end = multihost.decompress_chunked_multihost(small)
+    assert local == b"hello" * 100 and (start, end) == (0, 500)

@@ -68,6 +68,7 @@ from .format import (
 from .device import compress_array, decompress_array
 from .options import Options, default_options
 from .stats import CompressionStats, FrameStats, compress_with_stats, frame_stats
+from .checkpoint import load_pytree, save_pytree
 from .stream import (
     StreamReader,
     StreamWriter,
@@ -141,12 +142,14 @@ __all__ = [
     "get_decompressed_size",
     "load",
     "load_array",
+    "load_pytree",
     "get_info",
     "list_codecs",
     "parse_header",
     "register_codec",
     "save",
     "save_array",
+    "save_pytree",
     "shuffle_buffer",
     "suggest_codec",
     "suggest_options",

@@ -198,3 +198,69 @@ def compress_chunked_multihost(
         nbytes_comp=total,
     )
     return header.to_bytes() + table + b"".join(all_payloads)
+
+
+def decompress_chunked_multihost(frame) -> tuple[bytes, int, int]:
+    """Decompress THIS process's slice of a FLAG_SPLIT frame.
+
+    The decode half of the multi-host story: every process receives the
+    full frame (frames are the broadcast artifact; they are small), but
+    each decodes ONLY the blocks of its contiguous slice — the same
+    process_slice partition compress_chunked_multihost uses — so a 4 GB
+    chunk decodes with per-host work n/P and zero cross-host traffic.
+
+    Returns (local_bytes, start, end): the decoded slice and its global
+    byte range.  With one process this is simply (decompress(frame), 0, n).
+    """
+    import jax
+
+    from .. import chunk as _chunk
+    from ..format import parse_header
+
+    raw = bytes(frame)
+    header = parse_header(raw)
+    if not header.is_split:
+        from ..api import decompress
+
+        out = decompress(raw)
+        return out, 0, len(out)
+    entries, offset = _chunk.parse_block_table(raw, header)
+    n = header.nbytes_orig
+    block_size = header.block_size
+    _chunk._validate_block_layout(n, block_size, len(entries))
+
+    start, end = process_slice(
+        n, block_size, jax.process_index(), jax.process_count()
+    )
+    first_blk = start // block_size
+    last_blk = -(-end // block_size)  # exclusive
+    if first_blk >= last_blk:
+        return b"", start, start
+
+    # re-frame just the local blocks as a valid FLAG_SPLIT frame and
+    # reuse the whole-chunk native decoder (no per-block Python loop)
+    local_entries = entries[first_blk:last_blk]
+    sizes = [s for s, _ in entries]
+    pay_start = offset + sum(sizes[:first_blk])
+    pay_end = pay_start + sum(sizes[first_blk:last_blk])
+    table = struct.pack("<I", len(local_entries)) + struct.pack(
+        f"<{len(local_entries)}I",
+        *[
+            (s | (_ENTRY_MEMCPY if m else 0))
+            for s, m in local_entries
+        ],
+    )
+    local_n = end - start
+    sub_header = Header(
+        version=header.version,
+        version_lz=header.version_lz,
+        flags=header.flags,
+        type_size=header.type_size,
+        nbytes_orig=local_n,
+        block_size=block_size,
+        nbytes_comp=HEADER_SIZE + len(table) + (pay_end - pay_start),
+    )
+    sub = sub_header.to_bytes() + table + raw[pay_start:pay_end]
+    from ..api import decompress
+
+    return decompress(sub), start, end
