@@ -142,3 +142,196 @@ def load_pytree(path, device: bool = False):
             return np.frombuffer(buf, dtype=dtype).reshape(shape).copy()
 
         return _decode(meta["tree"], fetch)
+
+
+# ---------------------------------------------------------------------------
+# multi-process sharded checkpoints
+# ---------------------------------------------------------------------------
+
+
+def _slices_to_json(index, shape) -> list:
+    out = []
+    for sl, dim in zip(index, shape):
+        start = 0 if sl.start is None else int(sl.start)
+        stop = dim if sl.stop is None else int(sl.stop)
+        out.append([start, stop])
+    return out
+
+
+def save_pytree_sharded(path_prefix, tree, opts: Options | None = None) -> None:
+    """Multi-process checkpoint: every process writes its addressable shards.
+
+    Call from ALL processes with the same arguments.  Process p writes
+    ``{path_prefix}.p{p}.tpbs`` containing one compressed record per
+    addressable shard of each sharded leaf (device-filtered via
+    compress_array), with the global dtype/shape and shard byte-ranges in
+    the manifest.  Fully-replicated leaves and host values are written by
+    process 0 only.  load_pytree_sharded reassembles from all files.
+    """
+    import jax
+
+    pid = jax.process_index()
+    leaves: list = []
+    skeleton = _encode_sharded(tree, leaves, pid)
+    records: list = []
+    manifest_leaves = []
+    for kind, obj in leaves:
+        if kind == "replicated":
+            manifest_leaves.append({"k": "replicated", "n": 1 if obj is not None else 0})
+            if obj is not None:
+                records.append(("host", obj))
+        else:  # sharded jax array: this process's addressable shards
+            shards = [
+                s for s in obj.addressable_shards
+                if getattr(s, "replica_id", 0) == 0
+            ]
+            manifest_leaves.append({
+                "k": "sharded",
+                "n": len(shards),
+                "spans": [
+                    _slices_to_json(s.index, obj.shape) for s in shards
+                ],
+            })
+            for s in shards:
+                records.append(("device", s.data))
+
+    manifest = json.dumps({
+        "version": _MANIFEST_VERSION,
+        "tree": skeleton,
+        "leaf_records": manifest_leaves,
+        "process": pid,
+    }).encode()
+    with StreamWriter(f"{path_prefix}.p{pid}.tpbs", opts) as w:
+        w.write(manifest, Options(type_size=1))
+        for kind, data in records:
+            itemsize = np.dtype(data.dtype).itemsize
+            base = opts if opts is not None else Options()
+            leaf_opts = Options(
+                codec=base.codec, level=base.level, shuffle=base.shuffle,
+                type_size=itemsize, block_size=base.block_size,
+                num_threads=base.num_threads,
+            )
+            if kind == "host":
+                w.write(np.ascontiguousarray(data), leaf_opts)
+            else:
+                w.write_array(data, leaf_opts)
+
+
+def _encode_sharded(obj, leaves: list, pid: int):
+    try:
+        import jax
+
+        is_jax = isinstance(obj, jax.Array)
+    except Exception:  # pragma: no cover
+        is_jax = False
+    if is_jax and not obj.is_fully_replicated:
+        leaves.append(("sharded", obj))
+        return {
+            "t": "sharded_array",
+            "i": len(leaves) - 1,
+            "dtype": str(obj.dtype),
+            "shape": list(obj.shape),
+        }
+    if isinstance(obj, np.generic):
+        obj = np.asarray(obj)
+    if _is_array(obj):
+        if is_jax:
+            obj = np.asarray(obj)  # replicated: process 0 stores it
+        if obj.size == 0:
+            return {"t": "array0", "dtype": str(obj.dtype), "shape": list(obj.shape)}
+        leaves.append(("replicated", obj if pid == 0 else None))
+        return {
+            "t": "array",
+            "i": len(leaves) - 1,
+            "dtype": str(obj.dtype),
+            "shape": list(obj.shape),
+        }
+    if isinstance(obj, dict):
+        items = []
+        for k, v in obj.items():
+            if not isinstance(k, str):
+                raise TypeError("checkpoint dict keys must be strings")
+            items.append([k, _encode_sharded(v, leaves, pid)])
+        return {"t": "dict", "items": items}
+    if isinstance(obj, (list, tuple)):
+        return {
+            "t": "list" if isinstance(obj, list) else "tuple",
+            "items": [_encode_sharded(v, leaves, pid) for v in obj],
+        }
+    if obj is None or isinstance(obj, (bool, int, float, str)):
+        return {"t": "raw", "v": obj}
+    raise TypeError(f"unsupported checkpoint leaf type: {type(obj)!r}")
+
+
+def load_pytree_sharded(path_prefix, num_processes: int):
+    """Reassemble a sharded checkpoint from all process files (host arrays)."""
+    files = [f"{path_prefix}.p{p}.tpbs" for p in range(num_processes)]
+    readers = [StreamReader(f) for f in files]
+    try:
+        metas = [json.loads(r.read(0)) for r in readers]
+        for m in metas:
+            if m.get("version") != _MANIFEST_VERSION:
+                raise InvalidDataError(
+                    "blosc: invalid version: sharded checkpoint manifest"
+                )
+        # per-process record cursors (record 0 is the manifest)
+        cursors = [1] * num_processes
+
+        def fetch_leaf(i: int, dtype, shape, t: str):
+            if t == "array":  # replicated: stored by process 0 only
+                out = None
+                for p, m in enumerate(metas):
+                    info = m["leaf_records"][i]
+                    if info["n"]:
+                        buf = readers[p].read(cursors[p])
+                        out = np.frombuffer(buf, dtype=dtype).reshape(shape).copy()
+                    cursors[p] += info["n"]
+                if out is None:
+                    raise InvalidDataError(
+                        "blosc: invalid compressed data: replicated leaf missing"
+                    )
+                return out
+            # sharded: gather every process's spans
+            out = np.empty(shape, dtype=dtype)
+            filled = np.zeros(shape, dtype=bool) if out.size else None
+            for p, m in enumerate(metas):
+                info = m["leaf_records"][i]
+                for span in info.get("spans", []):
+                    buf = readers[p].read(cursors[p])
+                    cursors[p] += 1
+                    sub_shape = tuple(b - a for a, b in span)
+                    piece = np.frombuffer(buf, dtype=dtype).reshape(sub_shape)
+                    idx = tuple(slice(a, b) for a, b in span)
+                    out[idx] = piece
+                    if filled is not None:
+                        filled[idx] = True
+            if filled is not None and not filled.all():
+                raise InvalidDataError(
+                    "blosc: invalid compressed data: sharded leaf has holes"
+                )
+            return out
+
+        def fetch(node):
+            t = node["t"]
+            if t in ("array", "sharded_array"):
+                return fetch_leaf(
+                    node["i"], np.dtype(node["dtype"]), tuple(node["shape"]), t
+                )
+            if t == "array0":
+                return np.empty(tuple(node["shape"]), np.dtype(node["dtype"]))
+            if t == "dict":
+                return {k: fetch(v) for k, v in node["items"]}
+            if t == "list":
+                return [fetch(v) for v in node["items"]]
+            if t == "tuple":
+                return tuple(fetch(v) for v in node["items"])
+            if t == "raw":
+                return node["v"]
+            raise InvalidDataError(
+                f"blosc: invalid compressed data: manifest node {t!r}"
+            )
+
+        return fetch(metas[0]["tree"])
+    finally:
+        for r in readers:
+            r.close()
