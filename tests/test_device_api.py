@@ -331,3 +331,17 @@ def test_decompress_array_match_records_path():
     assert np.array_equal(np.asarray(out), data)
     plain = blosc.decompress_array(frame, np.float32, strategy="transfer")
     assert np.array_equal(np.asarray(out), np.asarray(plain))
+
+
+def test_compress_array_match_bitshuffle_mode():
+    """Match discovery under the bitshuffle filter (int16 pattern data)."""
+    rng = np.random.default_rng(8)
+    n = 1024 * 1024
+    pattern = rng.integers(0, 1 << 12, 64, np.int16)
+    data = np.tile(pattern, n // 64)
+    frame = blosc.compress_array(
+        data,
+        Options(shuffle=blosc.BITSHUFFLE, type_size=2, block_size=512 * 1024),
+        strategy="match",
+    )
+    assert blosc.decompress(frame) == data.tobytes()
