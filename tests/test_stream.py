@@ -193,3 +193,36 @@ def test_stream_corruption_never_crashes(tmp_path_factory, data):
                 assert len(out) < 10_000_000
     except (blosc.BloscError, IndexError):
         pass
+
+
+def test_stream_iter_arrays_prefetch(tmp_path):
+    """Prefetching device iterator yields every record in order."""
+    path = tmp_path / "it.tpbs"
+    batches = [
+        np.arange(i * 100, i * 100 + 25_000, dtype=np.float32)
+        for i in range(6)
+    ]
+    with StreamWriter(path, blosc.Options(block_size=32768)) as w:
+        for b in batches:
+            w.write(b.tobytes())
+    with StreamReader(path) as r:
+        it = r.iter_arrays(np.float32, prefetch=3)
+        assert len(it) == 6
+        out = list(it)
+        for got, want in zip(out, batches):
+            assert np.array_equal(np.asarray(got), want)
+        # iterable is re-usable
+        assert len(list(it)) == 6
+
+
+def test_stream_iter_arrays_error_propagates(tmp_path):
+    path = tmp_path / "bad.tpbs"
+    with StreamWriter(path) as w:
+        w.write(b"ok" * 5000)
+    raw = bytearray(path.read_bytes())
+    raw[40] ^= 0xFF  # corrupt inside the first record payload
+    path.write_bytes(bytes(raw))
+    with StreamReader(path) as r:
+        with pytest.raises(Exception):
+            for _ in r.iter_arrays(np.uint8):
+                pass

@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import os
 import struct
+import threading
 
 
 from .errors import InvalidDataError, InvalidHeaderError
@@ -186,6 +187,7 @@ class StreamReader:
         self._path = os.fspath(path)
         self._offsets, self._data_end = _scan_or_index(self._path)
         self._f = open(self._path, "rb")
+        self._lock = threading.Lock()  # iter_arrays prefetches on a thread
         self._closed = False
 
     def __len__(self) -> int:
@@ -200,15 +202,17 @@ class StreamReader:
             raise InvalidDataError(
                 f"blosc: invalid compressed data: record {i} offset out of range"
             )
-        self._f.seek(off)
-        (flen,) = struct.unpack("<Q", self._f.read(8))
-        # bound BEFORE allocating: a corrupt length field must not turn
-        # into a multi-GB read attempt (found by the corruption fuzz)
-        if flen > self._data_end - off - 8:
-            raise InvalidDataError(
-                f"blosc: invalid compressed data: record {i} length overruns file"
-            )
-        frame = self._f.read(flen)
+        with self._lock:
+            self._f.seek(off)
+            (flen,) = struct.unpack("<Q", self._f.read(8))
+            # bound BEFORE allocating: a corrupt length field must not
+            # turn into a multi-GB read (found by the corruption fuzz)
+            if flen > self._data_end - off - 8:
+                raise InvalidDataError(
+                    f"blosc: invalid compressed data: record {i} "
+                    "length overruns file"
+                )
+            frame = self._f.read(flen)
         if len(frame) != flen:
             raise InvalidDataError(
                 f"blosc: invalid compressed data: truncated record {i}"
@@ -228,6 +232,17 @@ class StreamReader:
         return decompress_array(
             self.read_frame(i), dtype, shape=shape, sharding=sharding
         )
+
+    def iter_arrays(self, dtype, shape=None, sharding=None,
+                    prefetch: int = 2):
+        """Iterate records as device arrays with background prefetch.
+
+        The data-loader hot path: while step k computes, record k+1 is
+        decoded on the host and staged to the device by a worker thread
+        (decode + transfer overlap compute).  ``prefetch`` bounds the
+        number of in-flight arrays (device memory = prefetch x record).
+        """
+        return _ArrayIterator(self, dtype, shape, sharding, prefetch)
 
     def sizes(self) -> list[tuple[int, int]]:
         """(compressed, uncompressed) byte sizes per record."""
@@ -281,3 +296,60 @@ def load_array(path, dtype, shape=None, sharding=None, i: int = 0):
     """Read one record from ``path`` straight onto a device."""
     with StreamReader(path) as r:
         return r.read_array(i, dtype, shape=shape, sharding=sharding)
+
+
+def _iter_prefetch(make_item, n: int, prefetch: int):
+    """Run make_item(i) a few steps ahead on a worker thread."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=max(prefetch, 1))
+    stop = threading.Event()
+
+    def producer():
+        for i in range(n):
+            if stop.is_set():
+                return
+            try:
+                q.put((i, make_item(i), None))
+            except Exception as exc:  # propagate to the consumer
+                q.put((i, None, exc))
+                return
+        q.put((None, None, None))
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    try:
+        while True:
+            i, item, exc = q.get()
+            if exc is not None:
+                raise exc
+            if i is None:
+                return
+            yield item
+    finally:
+        stop.set()
+
+
+class _ArrayIterator:
+    """Iterable over a stream's records as device arrays with prefetch."""
+
+    def __init__(self, reader: "StreamReader", dtype, shape, sharding,
+                 prefetch: int):
+        self._r = reader
+        self._dtype = dtype
+        self._shape = shape
+        self._sharding = sharding
+        self._prefetch = prefetch
+
+    def __len__(self) -> int:
+        return len(self._r)
+
+    def __iter__(self):
+        return _iter_prefetch(
+            lambda i: self._r.read_array(
+                i, self._dtype, shape=self._shape, sharding=self._sharding
+            ),
+            len(self._r),
+            self._prefetch,
+        )
