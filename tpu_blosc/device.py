@@ -192,6 +192,22 @@ def _device_match_pipeline(
     return segs, best, lit_counts, packed, tail
 
 
+def _unpack_positions(packed_flat: np.ndarray) -> np.ndarray:
+    """Set-bit positions of a little-endian bit-packed mask (sorted).
+
+    Sparse-aware: expands only the nonzero mask bytes (a full
+    np.unpackbits over n bits costs ~0.7 s at 256 MiB; this is ~0.2 s at
+    the typical <20% nonzero-byte density)."""
+    nzb = np.flatnonzero(packed_flat)
+    if nzb.size == 0:
+        return np.empty(0, np.int64)
+    bits8 = np.unpackbits(
+        packed_flat[nzb][:, None], axis=1, bitorder="little"
+    ).astype(bool)
+    base = (nzb.astype(np.int64) * 8)[:, None] + np.arange(8, dtype=np.int64)
+    return base[bits8]
+
+
 @_jax.jit
 def _device_gather_vals(segs, pos):
     """Fetch literal bytes at host-provided flat positions (small gather)."""
@@ -490,17 +506,15 @@ def _compress_array_match(x, opts: Options, nb_full: int, block_size: int):
     k = sparse_idx.size
     n_real = int(lit_counts[sparse_idx].sum())
     packed = np.asarray(packed_d)  # (nseg, seg//8)
-    bits = np.unpackbits(packed, axis=1, bitorder="little")
-    pos = np.flatnonzero(bits).astype(np.int64)  # global flat positions
+    pos = _unpack_positions(packed.reshape(-1))  # global flat positions
     if pos.size != n_real:  # device/host mask disagreement: bail safely
         return None
     # pad positions to a pow2 cap so the gather program's shape is stable
     cap = _pow2(max(n_real, 4096))
     pos_p = np.full(cap, nseg * seg, dtype=np.int32)
     pos_p[:n_real] = pos
-    vals = np.asarray(
-        _device_gather_vals(segs_d, _jax.device_put(pos_p))
-    )[:n_real]
+    vals_d = _device_gather_vals(segs_d, _jax.device_put(pos_p))
+    vals = np.asarray(vals_d[:n_real])  # slice on device, fetch n_real only
     rec_first = np.searchsorted(pos, sparse_idx.astype(np.int64) * seg)
     rec_last = np.append(rec_first[1:], n_real)
 
