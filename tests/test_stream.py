@@ -226,3 +226,101 @@ def test_stream_iter_arrays_error_propagates(tmp_path):
         with pytest.raises(Exception):
             for _ in r.iter_arrays(np.uint8):
                 pass
+
+
+# ---------------------------------------------------------------------------
+# dictionary streams
+# ---------------------------------------------------------------------------
+
+
+def _jsonish_records(n=40):
+    rng = np.random.default_rng(13)
+    return [
+        (
+            b'{"user_id": %d, "event": "click", "ts": 1700000%03d, '
+            b'"session": "abcdef%04d", "payload": {"x": %d, "y": %d}}'
+            % (int(rng.integers(1e6)), i, i, int(rng.integers(1920)),
+               int(rng.integers(1080)))
+        ) * 8
+        for i in range(n)
+    ]
+
+
+def test_stream_dict_training_roundtrip(tmp_path):
+    path = tmp_path / "d.tpbs"
+    recs = _jsonish_records()
+    with StreamWriter(path, train_dict=16) as w:
+        for r in recs:
+            w.write(r)
+        assert len(w) == len(recs)
+    with StreamReader(path) as r:
+        assert len(r) == len(recs)
+        assert list(r) == recs
+        # dict actually engaged: ratio beats the plain stream
+    plain = tmp_path / "p.tpbs"
+    with StreamWriter(plain) as w:
+        for rec in recs:
+            w.write(rec)
+    assert path.stat().st_size < plain.stat().st_size
+
+
+def test_stream_dict_append_reuses_dict(tmp_path):
+    path = tmp_path / "d.tpbs"
+    recs = _jsonish_records(30)
+    with StreamWriter(path, train_dict=10) as w:
+        for r in recs[:20]:
+            w.write(r)
+    with StreamWriter(path, append=True) as w:
+        for r in recs[20:]:
+            w.write(r)
+    with StreamReader(path) as r:
+        assert list(r) == recs
+
+
+def test_stream_dict_mixed_records(tmp_path):
+    """write_frame/write_array records stay plain alongside dict records."""
+    path = tmp_path / "m.tpbs"
+    recs = _jsonish_records(12)
+    arr = np.arange(30_000, dtype=np.float32)
+    with StreamWriter(path, train_dict=8) as w:
+        for r in recs[:6]:
+            w.write(r)
+        w.write_array(arr)  # buffered as a plain frame, order preserved
+        for r in recs[6:]:
+            w.write(r)
+    with StreamReader(path) as r:
+        assert len(r) == 13
+        for i in range(6):
+            assert r.read(i) == recs[i]
+        assert r.read(6) == arr.tobytes()
+        got = r.read_array(6, np.float32)
+        assert np.array_equal(np.asarray(got), arr)
+        for i in range(6, 12):
+            assert r.read(i + 1) == recs[i]
+        comp, orig = zip(*r.sizes())
+        assert orig[6] == arr.nbytes
+
+
+def test_stream_dict_pretrained(tmp_path):
+    import zstandard as zstd
+
+    recs = _jsonish_records(25)
+    d = zstd.train_dictionary(16384, recs).as_bytes()
+    path = tmp_path / "pre.tpbs"
+    with StreamWriter(path, dictionary=d) as w:
+        for r in recs:
+            w.write(r)
+    with StreamReader(path) as r:
+        assert list(r) == recs
+
+
+def test_stream_dict_too_few_samples_falls_back(tmp_path):
+    """Closing before the training target: plain frames, still readable."""
+    path = tmp_path / "few.tpbs"
+    with StreamWriter(path, train_dict=100) as w:
+        w.write(b"only" * 100)
+        w.write(b"three" * 100)
+        w.write(b"records" * 100)
+    with StreamReader(path) as r:
+        assert len(r) == 3
+        assert r.read(2) == b"records" * 100

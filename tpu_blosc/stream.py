@@ -42,13 +42,28 @@ import struct
 import threading
 
 
-from .errors import InvalidDataError, InvalidHeaderError
+from .errors import (
+    DecompressionFailedError,
+    InvalidDataError,
+    InvalidHeaderError,
+    SizeMismatchError,
+)
 from .options import Options
 
 MAGIC = b"TPBS"
 FOOTER_MAGIC = b"TPBI"
 STREAM_VERSION = 1
 HEADER_SIZE = 8
+
+# Dictionary records (stream-level feature, one dict per stream):
+#   definition record: b"TPBD" 0x00 <zstd dict bytes>
+#   payload record:    b"TPBD" 0x01 <uint64 orig_size> <zstd dict-compressed>
+# Definition records live in the data region but are excluded from the
+# logical record index; payload records decode only via the stream API
+# (the core decompress() doesn't know the dict).
+DICT_MAGIC = b"TPBD"
+_DICT_DEF = 0
+_DICT_PAYLOAD = 1
 
 
 def _pack_header() -> bytes:
@@ -61,41 +76,127 @@ class StreamWriter:
     ``opts`` are the default compression options for write()/write_array();
     per-call overrides accepted.  Pass ``append=True`` to continue an
     existing stream (its footer is dropped and rewritten on close).
+
+    Dictionary mode (many-small-record streams): pass ``train_dict=N`` to
+    buffer the first N write() payloads, train a zstd dictionary on them,
+    and compress them (and every later record) against it — typically a
+    large ratio win for few-KB records that share structure.  Or pass a
+    pre-trained ``dictionary`` (bytes).  One dictionary per stream;
+    dictionary records decode through StreamReader (the core decompress()
+    has no dict).  write_frame()/write_array() always store plain frames.
     """
 
-    def __init__(self, path, opts: Options | None = None, append: bool = False):
+    def __init__(self, path, opts: Options | None = None, append: bool = False,
+                 dictionary: bytes | None = None, train_dict: int = 0,
+                 dict_size: int = 64 * 1024):
         self._path = os.fspath(path)
         self._opts = opts if opts is not None else Options()
         self._offsets: list[int] = []
+        self._dict: bytes | None = None
+        self._dict_written = False
+        self._train_target = max(int(train_dict), 0)
+        self._dict_size = dict_size
+        self._pending: list | None = [] if self._train_target else None
         if append and os.path.exists(self._path):
             offsets, data_end = _scan_or_index(self._path)
             self._offsets = offsets
+            existing = _find_dict(self._path, data_end)
+            if existing is not None:
+                self._dict = existing
+                self._dict_written = True
+                self._pending = None  # dict exists: no training pass
             self._f = open(self._path, "r+b")
             self._f.truncate(data_end)  # drop any footer
             self._f.seek(data_end)
         else:
             self._f = open(self._path, "wb")
             self._f.write(_pack_header())
+        if dictionary is not None and self._dict is None:
+            self._dict = bytes(dictionary)
+            self._pending = None
         self._closed = False
 
     # -- writing ---------------------------------------------------------
 
-    def write_frame(self, frame: bytes) -> int:
-        """Append an already-compressed frame; returns its record index."""
-        if self._closed:
-            raise ValueError("stream writer is closed")
+    def _emit(self, frame: bytes) -> int:
         self._offsets.append(self._f.tell())
         self._f.write(struct.pack("<Q", len(frame)))
         self._f.write(frame)
         return len(self._offsets) - 1
 
-    def write(self, data, opts: Options | None = None) -> int:
-        """Compress host bytes/ndarray and append; returns record index."""
+    def _emit_dict_def(self) -> None:
+        if self._dict is None or self._dict_written:
+            return
+        blob = DICT_MAGIC + bytes([_DICT_DEF]) + self._dict
+        # a definition record: length-prefixed like data records but NOT
+        # added to the logical index
+        self._f.write(struct.pack("<Q", len(blob)))
+        self._f.write(blob)
+        self._dict_written = True
+
+    def _dict_record(self, raw: bytes, opts: Options) -> bytes:
+        import zstandard as zstd
+
+        comp = zstd.ZstdCompressor(
+            level=opts.clamped().level,
+            dict_data=zstd.ZstdCompressionDict(self._dict),
+        ).compress(raw)
+        return (
+            DICT_MAGIC + bytes([_DICT_PAYLOAD])
+            + struct.pack("<Q", len(raw)) + comp
+        )
+
+    def _flush_pending(self) -> None:
+        """Train (if possible) and write out the buffered records."""
+        if self._pending is None:
+            return
+        pending, self._pending = self._pending, None
+        samples = [raw for kind, raw, _ in pending if kind == "data"]
+        if self._dict is None and len(samples) >= 7:
+            try:
+                import zstandard as zstd
+
+                self._dict = zstd.train_dictionary(
+                    self._dict_size, samples
+                ).as_bytes()
+            except Exception:
+                self._dict = None  # not enough/too-uniform data: plain frames
+        self._emit_dict_def()
         from .api import compress_with_options
 
-        return self.write_frame(
-            compress_with_options(data, opts if opts is not None else self._opts)
-        )
+        for kind, payload, opts in pending:
+            if kind == "frame":
+                self._emit(payload)
+            elif self._dict is not None:
+                self._emit(self._dict_record(payload, opts))
+            else:
+                self._emit(compress_with_options(payload, opts))
+
+    def write_frame(self, frame: bytes) -> int:
+        """Append an already-compressed frame; returns its record index."""
+        if self._closed:
+            raise ValueError("stream writer is closed")
+        if self._pending is not None:
+            self._pending.append(("frame", bytes(frame), None))
+            return self._logical_count() - 1
+        return self._emit(frame)
+
+    def write(self, data, opts: Options | None = None) -> int:
+        """Compress host bytes/ndarray and append; returns record index."""
+        opts = opts if opts is not None else self._opts
+        raw = bytes(data) if isinstance(data, (bytes, bytearray, memoryview)) \
+            else data.tobytes()
+        if self._pending is not None:
+            self._pending.append(("data", raw, opts))
+            if len(self._pending) >= self._train_target:
+                self._flush_pending()
+            return self._logical_count() - 1
+        if self._dict is not None:
+            self._emit_dict_def()
+            return self._emit(self._dict_record(raw, opts))
+        from .api import compress_with_options
+
+        return self._emit(compress_with_options(raw, opts))
 
     def write_array(self, x, opts: Options | None = None,
                     strategy: str = "transfer") -> int:
@@ -107,11 +208,17 @@ class StreamWriter:
                            strategy=strategy)
         )
 
+    def _logical_count(self) -> int:
+        return len(self._offsets) + (
+            len(self._pending) if self._pending is not None else 0
+        )
+
     # -- lifecycle -------------------------------------------------------
 
     def close(self) -> None:
         if self._closed:
             return
+        self._flush_pending()
         n = len(self._offsets)
         index = struct.pack("<Q", n) + struct.pack(f"<{n}Q", *self._offsets)
         index += struct.pack("<Q", len(index) + 12) + FOOTER_MAGIC
@@ -126,7 +233,24 @@ class StreamWriter:
         self.close()
 
     def __len__(self) -> int:
-        return len(self._offsets)
+        return self._logical_count()
+
+
+def _find_dict(path: str, data_end: int) -> bytes | None:
+    """Scan the data region for the stream's dictionary definition record."""
+    with open(path, "rb") as f:
+        pos = HEADER_SIZE
+        while pos + 8 <= data_end:
+            f.seek(pos)
+            (flen,) = struct.unpack("<Q", f.read(8))
+            if flen < 5 or pos + 8 + flen > data_end:
+                return None
+            peek = f.read(5)
+            if peek[:4] == DICT_MAGIC and peek[4] == _DICT_DEF:
+                f.seek(pos + 8 + 5)
+                return f.read(flen - 5)
+            pos += 8 + flen
+    return None
 
 
 def _scan_or_index(path: str) -> tuple[list[int], int]:
@@ -169,11 +293,19 @@ def _scan_or_index(path: str) -> tuple[list[int], int]:
         while pos + 8 <= size:
             f.seek(pos)
             (flen,) = struct.unpack("<Q", f.read(8))
-            if flen < 16 or pos + 8 + flen > size:
+            if flen < 5 or pos + 8 + flen > size:
                 break  # trailing garbage (partial record or stale footer)
-            # a record must start like something decompress() accepts
-            peek = f.read(4)
-            if not (peek[:1] == b"\x02" or peek == b"TPB2"):
+            # a record must start like something the stream can decode
+            peek = f.read(5)
+            if peek[:4] == DICT_MAGIC:
+                if peek[4] == _DICT_DEF:
+                    pos += 8 + flen  # definition: skip, not a logical record
+                    continue
+                if peek[4] != _DICT_PAYLOAD:
+                    break
+            elif not (
+                (peek[:1] == b"\x02" and flen >= 16) or peek[:4] == b"TPB2"
+            ):
                 break
             offsets.append(pos)
             pos += 8 + flen
@@ -188,7 +320,40 @@ class StreamReader:
         self._offsets, self._data_end = _scan_or_index(self._path)
         self._f = open(self._path, "rb")
         self._lock = threading.Lock()  # iter_arrays prefetches on a thread
+        self._dict: bytes | None = None
+        self._dict_loaded = False
         self._closed = False
+
+    def _get_dict(self) -> bytes:
+        if not self._dict_loaded:
+            self._dict = _find_dict(self._path, self._data_end)
+            self._dict_loaded = True
+        if self._dict is None:
+            raise InvalidDataError(
+                "blosc: invalid compressed data: dictionary record missing"
+            )
+        return self._dict
+
+    def _decode_dict_record(self, frame: bytes) -> bytes:
+        import zstandard as zstd
+
+        if len(frame) < 13 or frame[4] != _DICT_PAYLOAD:
+            raise InvalidDataError(
+                "blosc: invalid compressed data: malformed dictionary record"
+            )
+        (orig,) = struct.unpack_from("<Q", frame, 5)
+        try:
+            out = zstd.ZstdDecompressor(
+                dict_data=zstd.ZstdCompressionDict(self._get_dict())
+            ).decompress(frame[13:], max_output_size=max(orig, 1))
+        except zstd.ZstdError as exc:
+            raise DecompressionFailedError(f"zstd: {exc}") from exc
+        if len(out) != orig:
+            raise SizeMismatchError(
+                f"blosc: decompressed size mismatch: got {len(out)}, "
+                f"expected {orig}"
+            )
+        return out
 
     def __len__(self) -> int:
         return len(self._offsets)
@@ -221,17 +386,30 @@ class StreamReader:
 
     def read(self, i: int) -> bytes:
         """Decompress the i-th record to bytes."""
+        frame = self.read_frame(i)
+        if frame[:4] == DICT_MAGIC:
+            return self._decode_dict_record(frame)
         from .api import decompress
 
-        return decompress(self.read_frame(i))
+        return decompress(frame)
 
     def read_array(self, i: int, dtype, shape=None, sharding=None):
         """Decompress the i-th record straight onto a device."""
+        frame = self.read_frame(i)
+        if frame[:4] == DICT_MAGIC:
+            import jax
+            import numpy as np
+
+            buf = self._decode_dict_record(frame)
+            arr = np.frombuffer(buf, dtype=dtype)
+            if shape is not None:
+                arr = arr.reshape(shape)
+            if sharding is not None:
+                return jax.device_put(arr, sharding)
+            return jax.device_put(arr)
         from .device import decompress_array
 
-        return decompress_array(
-            self.read_frame(i), dtype, shape=shape, sharding=sharding
-        )
+        return decompress_array(frame, dtype, shape=shape, sharding=sharding)
 
     def iter_arrays(self, dtype, shape=None, sharding=None,
                     prefetch: int = 2):
@@ -251,7 +429,11 @@ class StreamReader:
         out = []
         for i in range(len(self)):
             frame = self.read_frame(i)
-            out.append((len(frame), get_decompressed_size(frame)))
+            if frame[:4] == DICT_MAGIC:
+                (orig,) = struct.unpack_from("<Q", frame, 5)
+                out.append((len(frame), orig))
+            else:
+                out.append((len(frame), get_decompressed_size(frame)))
         return out
 
     def __getitem__(self, i: int) -> bytes:
