@@ -129,3 +129,41 @@ def test_example_chunked_frame():
     assert info.block_size == 65536
     restored = np.frombuffer(blosc.decompress(frame), dtype=np.float32)
     assert np.array_equal(restored, data)
+
+
+def test_example_stream_loader(tmp_path):
+    """Doc example: write dataset shards, iterate them onto the device."""
+    import tpu_blosc as blosc
+
+    shards = [
+        np.linspace(i, i + 1, 10_000, dtype=np.float32) for i in range(4)
+    ]
+    with blosc.StreamWriter(tmp_path / "shards.tpbs") as w:
+        for s in shards:
+            w.write(s.tobytes())
+    with blosc.StreamReader(tmp_path / "shards.tpbs") as r:
+        total = 0.0
+        for batch in r.iter_arrays(np.float32, prefetch=2):
+            total += float(batch.sum())
+    assert total > 0
+
+
+def test_example_checkpoint(tmp_path):
+    """Doc example: persist training state, restore it."""
+    import tpu_blosc as blosc
+
+    state = {"params": {"w": np.full((32, 32), 0.5, np.float32)}, "step": 10}
+    blosc.save_pytree(tmp_path / "ckpt.tpbs", state)
+    restored = blosc.load_pytree(tmp_path / "ckpt.tpbs")
+    assert restored["step"] == 10
+    assert np.array_equal(restored["params"]["w"], state["params"]["w"])
+
+
+def test_example_suggest_options():
+    """Doc example: let the advisor pick the filter + codec."""
+    import tpu_blosc as blosc
+
+    data = np.arange(100_000, dtype=np.float32).tobytes()
+    opts = blosc.suggest_options(data, type_size=4)
+    frame = blosc.compress_with_options(data, opts)
+    assert blosc.decompress(frame) == data
