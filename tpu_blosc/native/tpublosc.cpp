@@ -156,36 +156,32 @@ static inline int64_t lz4_emit(uint8_t *dst, int64_t di, int64_t cap,
 // (≙ lz4.CompressBlockHC effort tiers, see codecs/lz4_ref.hc_depth_for_level).
 // Callers may pass per-thread tables (head: 1<<kHashLog u32, chain: 65536
 // u32) to avoid per-block allocation; pass nullptr for one-shot use.
-static int64_t lz4_compress_t(const uint8_t *src, int64_t n, uint8_t *dst,
-                              int64_t cap, int depth, uint32_t *head_ext,
-                              uint32_t *chain_ext) {
-  if (n == 0) return 0;
+//
+// TAGGED mode (epoch > 0): head/chain entries carry an 8-bit epoch in
+// their top byte and the per-call 256 KiB table memset is skipped —
+// entries from other calls simply fail the epoch check.  That memset is
+// 66% of a 100 KB encode (measured), so the scratch-reusing pipelines
+// pass a per-scratch epoch counter (BlockScratch::next_epoch clears on
+// wrap).  Match discovery — and therefore the output stream — is
+// byte-identical to the memset mode.  Requires n + 1 < 2^24.
+template <bool TAGGED>
+static int64_t lz4_compress_impl(const uint8_t *src, int64_t n, uint8_t *dst,
+                                 int64_t cap, int depth, uint32_t *head,
+                                 uint32_t *chain, uint32_t epoch) {
   int64_t di = 0;
-  if (n < kMfLimit + 1) {
-    return lz4_emit(dst, di, cap, src, n, 0, 0);
-  }
+  const uint32_t tag = epoch << 24;
 
-  // head[h] = last position + 1 with hash h (0 = empty).
-  // chain[pos & 0xFFFF] = previous position + 1 in the same bucket; the
-  // 64K window matches the LZ4 offset range.  uint32 positions cap block
-  // sizes below 4 GiB — guaranteed by the uint32 frame format.
-  const int64_t head_sz = (int64_t)1 << kHashLog;
-  uint32_t *head = head_ext;
-  uint32_t *chain = chain_ext;
-  bool owned = false;
-  if (!head) {
-    head = (uint32_t *)std::malloc((size_t)head_sz * 4);
-    chain = depth > 1 ? (uint32_t *)std::malloc(65536 * 4) : nullptr;
-    owned = true;
-    if (!head || (depth > 1 && !chain)) {
-      std::free(head);
-      std::free(chain);
-      return -2;
+  // entry -> candidate position (or -1); TAGGED validates the epoch byte
+  auto epos = [&](uint32_t e) -> int64_t {
+    if (TAGGED) {
+      if ((e >> 24) != epoch) return -1;
+      return (int64_t)(e & 0xFFFFFF) - 1;
     }
-  }
-  std::memset(head, 0, (size_t)head_sz * 4);
-  if (depth > 1 && chain) std::memset(chain, 0, 65536 * 4);
-  if (depth <= 1) chain = nullptr;
+    return (int64_t)e - 1;
+  };
+  auto etag = [&](int64_t pos) -> uint32_t {
+    return TAGGED ? (tag | (uint32_t)(pos + 1)) : (uint32_t)(pos + 1);
+  };
 
   const int64_t limit = n - kMfLimit;        // last valid match start
   const int64_t match_limit = n - kLastLiterals;
@@ -197,9 +193,9 @@ static int64_t lz4_compress_t(const uint8_t *src, int64_t n, uint8_t *dst,
     uint32_t h = lz4_hash(seq);
     int64_t best_ref = -1, best_len = 0;
 
-    int64_t cand = (int64_t)head[h] - 1;
+    int64_t cand = epos(head[h]);
     int d = depth;
-    while (cand >= 0 && d > 0 && i - cand <= kMaxOffset) {
+    while (cand >= 0 && cand < i && d > 0 && i - cand <= kMaxOffset) {
       if (read32(src + cand) == seq) {
         int64_t mlen = kMinMatch;
         // fast extension: 32-byte AVX2 compares (long matches dominate on
@@ -239,11 +235,11 @@ static int64_t lz4_compress_t(const uint8_t *src, int64_t n, uint8_t *dst,
       }
       if (!chain) break;
       d--;
-      cand = (int64_t)chain[cand & 0xFFFF] - 1;
+      cand = epos(chain[cand & 0xFFFF]);
     }
 
     if (chain) chain[i & 0xFFFF] = head[h];
-    head[h] = (uint32_t)(i + 1);
+    head[h] = etag(i);
 
     if (best_len >= kMinMatch) {
       int64_t ref = best_ref;
@@ -260,7 +256,7 @@ static int64_t lz4_compress_t(const uint8_t *src, int64_t n, uint8_t *dst,
       if (i + 2 <= limit) {
         uint32_t h2 = lz4_hash(read32(src + i + 2));
         if (chain) chain[(i + 2) & 0xFFFF] = head[h2];
-        head[h2] = (uint32_t)(i + 3);
+        head[h2] = etag(i + 2);
       }
       i += best_len;
       anchor = i;
@@ -272,12 +268,53 @@ static int64_t lz4_compress_t(const uint8_t *src, int64_t n, uint8_t *dst,
     }
   }
 
+  if (di < 0) return -1;
+  return lz4_emit(dst, di, cap, src + anchor, n - anchor, 0, 0);
+}
+
+// Dispatcher: allocates/clears tables as needed and picks the tagged or
+// memset table mode.  ``epoch`` > 0 selects tagged mode (caller manages
+// the counter via BlockScratch::next_epoch and guarantees n+1 < 2^24).
+static int64_t lz4_compress_t(const uint8_t *src, int64_t n, uint8_t *dst,
+                              int64_t cap, int depth, uint32_t *head_ext,
+                              uint32_t *chain_ext, uint32_t epoch = 0) {
+  if (n == 0) return 0;
+  if (n < kMfLimit + 1) {
+    int64_t di = 0;
+    return lz4_emit(dst, di, cap, src, n, 0, 0);
+  }
+  // head[h] = last position + 1 with hash h (0 = empty).
+  // chain[pos & 0xFFFF] = previous position + 1 in the same bucket; the
+  // 64K window matches the LZ4 offset range.
+  const int64_t head_sz = (int64_t)1 << kHashLog;
+  uint32_t *head = head_ext;
+  uint32_t *chain = chain_ext;
+  bool owned = false;
+  if (!head) {
+    head = (uint32_t *)std::malloc((size_t)head_sz * 4);
+    chain = depth > 1 ? (uint32_t *)std::malloc(65536 * 4) : nullptr;
+    owned = true;
+    if (!head || (depth > 1 && !chain)) {
+      std::free(head);
+      std::free(chain);
+      return -2;
+    }
+    epoch = 0;  // one-shot tables: memset mode
+  }
+  if (depth <= 1) chain = nullptr;
+  int64_t out;
+  if (epoch > 0 && n + 1 <= 0xFFFFFF) {
+    out = lz4_compress_impl<true>(src, n, dst, cap, depth, head, chain, epoch);
+  } else {
+    std::memset(head, 0, (size_t)head_sz * 4);
+    if (chain) std::memset(chain, 0, 65536 * 4);
+    out = lz4_compress_impl<false>(src, n, dst, cap, depth, head, chain, 0);
+  }
   if (owned) {
     std::free(head);
     std::free(chain);
   }
-  if (di < 0) return -1;
-  return lz4_emit(dst, di, cap, src + anchor, n - anchor, 0, 0);
+  return out;
 }
 
 static int64_t lz4_compress(const uint8_t *src, int64_t n, uint8_t *dst,
@@ -1276,7 +1313,8 @@ enum ShuffleMode { kNoShuffle = 0, kByteShuffle = 1, kBitShuffle = 2 };
 static int64_t codec_compress(int codec, int level_or_depth,
                               const uint8_t *src, int64_t n, uint8_t *dst,
                               int64_t cap, uint32_t *lz4_head = nullptr,
-                              uint32_t *lz4_chain = nullptr) {
+                              uint32_t *lz4_chain = nullptr,
+                              uint32_t lz4_epoch = 0) {
   switch (codec) {
     case kCodecSnappy:
       return snappy_compress(src, n, dst, cap);
@@ -1294,7 +1332,7 @@ static int64_t codec_compress(int codec, int level_or_depth,
     default:
       return lz4_compress_t(src, n, dst, cap,
                             codec == kCodecLz4Hc ? level_or_depth : 1,
-                            lz4_head, lz4_chain);
+                            lz4_head, lz4_chain, lz4_epoch);
   }
 }
 
@@ -1336,6 +1374,7 @@ struct BlockScratch {
   int64_t cap = 0;
   uint32_t *head = nullptr;   // per-thread LZ4 hash table
   uint32_t *chain = nullptr;  // per-thread LZ4HC chain table
+  uint32_t epoch = 0;         // tagged-entry generation (see lz4_compress_impl)
   ~BlockScratch() {
     std::free(buf);
     std::free(head);
@@ -1349,14 +1388,30 @@ struct BlockScratch {
     }
     return buf;
   }
+  // calloc: tag byte 0 never matches a live epoch (epochs are 1..255)
   uint32_t *lz4_head() {
-    if (!head)
-      head = (uint32_t *)std::malloc(((size_t)1 << kHashLog) * 4);
+    if (!head) head = (uint32_t *)std::calloc((size_t)1 << kHashLog, 4);
     return head;
   }
   uint32_t *lz4_chain() {
-    if (!chain) chain = (uint32_t *)std::malloc(65536 * 4);
+    if (!chain) chain = (uint32_t *)std::calloc(65536, 4);
     return chain;
+  }
+  // Fresh epoch for a tagged encode of n bytes; 0 = caller must use the
+  // memset mode (n too large for 24-bit positions), in which case the
+  // tables get raw-position entries, so the next tagged use forces a
+  // clearing wrap.
+  uint32_t next_epoch(int64_t n) {
+    if (n + 1 > 0xFFFFFF) {
+      epoch = 255;
+      return 0;
+    }
+    if (++epoch >= 256) {
+      if (head) std::memset(head, 0, ((size_t)1 << kHashLog) * 4);
+      if (chain) std::memset(chain, 0, 65536 * 4);
+      epoch = 1;
+    }
+    return epoch;
   }
 };
 
@@ -1466,9 +1521,12 @@ int64_t tpb_compress_blocks(const uint8_t *src, int64_t n, int64_t block_size,
         to_compress = sb;
       }
       uint8_t *slot = out + i * slot_stride;
+      uint32_t ep = (codec == kCodecLz4 || codec == kCodecLz4Hc)
+                        ? scratch.next_epoch(bs)
+                        : 0;
       int64_t written = codec_compress(
           codec, depth, to_compress, bs, slot, slot_stride,
-          scratch.lz4_head(), depth > 1 ? scratch.lz4_chain() : nullptr);
+          scratch.lz4_head(), depth > 1 ? scratch.lz4_chain() : nullptr, ep);
       if (written < 0) { err.store(written, std::memory_order_relaxed); continue; }
       if (written >= bs) {
         // memcpy fallback per block: raw pre-filter bytes
@@ -1572,9 +1630,12 @@ int64_t tpb_compress_frame(const uint8_t *src, int64_t n, int ts,
   }
   uint8_t *payload = dst + 16;
   int64_t cap = codec_bound(codec, n);
+  uint32_t ep = (codec == kCodecLz4 || codec == kCodecLz4Hc)
+                    ? scratch.next_epoch(n)
+                    : 0;
   int64_t written = codec_compress(
       codec, depth, to_compress, n, payload, cap,
-      scratch.lz4_head(), depth > 1 ? scratch.lz4_chain() : nullptr);
+      scratch.lz4_head(), depth > 1 ? scratch.lz4_chain() : nullptr, ep);
   int flags = 0;
   if (written < 0 || written >= n) {
     // memcpy fallback: raw pre-filter bytes, shuffle flags cleared
