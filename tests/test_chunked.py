@@ -147,3 +147,22 @@ def test_num_threads_option_identical_frames():
     assert one == base
     assert two == base
     assert blosc.decompress(one) == data
+
+
+def test_epoch_taint_after_large_block():
+    """Blocks past the 24-bit position cap run the memset table mode and
+    taint the scratch; tagged compressions afterwards must still produce
+    byte-identical frames (the epoch wrap clears the raw-position
+    entries)."""
+    big = (np.arange(34_000_000) % 250).astype(np.uint8).tobytes()
+    small = np.arange(200_000, dtype=np.float32).tobytes()
+    opts_small = blosc.Options(block_size=65536)
+    expected_small = blosc.compress_with_options(small, opts_small)
+    # 17 MiB blocks exceed the tagged-position cap -> untagged mode
+    f_big = blosc.compress_with_options(
+        big, blosc.Options(type_size=1, block_size=17 * 1024 * 1024)
+    )
+    assert blosc.decompress(f_big) == big
+    # same-thread scratch now tainted; tagged path must clear + match
+    for _ in range(3):
+        assert blosc.compress_with_options(small, opts_small) == expected_small
