@@ -14,9 +14,60 @@ from __future__ import annotations
 
 import json
 import os
+import signal
+
+import threading
 import time
 
 import numpy as np
+
+# ---------------------------------------------------------------------------
+# Watchdog: the TPU tunnel can hang indefinitely (observed: device_put of
+# 4 KB stuck >2 min) and a jax backend init hang would stall even the
+# import below.  Whatever happens, the driver gets ONE JSON line: the
+# watchdog prints the best record collected so far and exits.
+# ---------------------------------------------------------------------------
+_RECORD = {
+    "metric": "shuffle_lz4_compress_throughput",
+    "value": 0.0,
+    "unit": "GB/s",
+    "vs_baseline": 0.0,
+    "watchdog": "fired before host bench completed",
+}
+
+
+def _watchdog(signum, frame):  # pragma: no cover - only fires on hangs
+    print(json.dumps(_RECORD), flush=True)
+    os._exit(0)
+
+
+signal.signal(signal.SIGALRM, _watchdog)
+signal.alarm(1200)
+
+
+def _run_with_timeout(fn, seconds: float):
+    """Run fn() on a daemon thread; {} + error field on timeout/crash.
+
+    Device benches go through here so a hung tunnel costs bounded time
+    (the stuck thread dies with the process).
+    """
+    box = {}
+
+    def target():
+        try:
+            box["result"] = fn()
+        except Exception as exc:  # pragma: no cover - defensive
+            box["error"] = str(exc)[:100]
+
+    t = threading.Thread(target=target, daemon=True)
+    t.start()
+    t.join(seconds)
+    if "result" in box:
+        return box["result"]
+    if "error" in box:
+        return {"device_error": box["error"]}
+    return {"device_error": f"device bench timed out ({seconds:.0f}s)"}
+
 
 try:  # persistent compiled-program cache: tunnel compiles cost minutes
     import jax as _jax_cfg
@@ -111,26 +162,12 @@ def bench_device_match() -> dict:
     """Device match-discovery codec vs plain transfer on 256 MiB of
     dense-but-compressible f32 (tiled pattern + 1% noise): the data the
     RLE strategy can't help, the BASELINE north-star dense-segment case."""
-    import signal
-
-    class _Timeout(Exception):
-        pass
-
-    def _alarm(signum, frame):
-        raise _Timeout()
-
     try:
         import jax
 
         if jax.default_backend() == "cpu":
             return {}
         from tpu_blosc import device as tbdev
-
-        # a cold compile of the match pipeline costs minutes over the
-        # tunnel; bound it so the driver's bench window can't starve
-        # (the persistent cache makes later runs fast)
-        signal.signal(signal.SIGALRM, _alarm)
-        signal.alarm(420)
 
         rng = np.random.default_rng(5)
         n_el = 64 * 1024 * 1024  # 256 MiB of f32
@@ -148,39 +185,35 @@ def bench_device_match() -> dict:
             lambda: tbdev.compress_array(x, opts, strategy="transfer"), reps=2
         )
         assert blosc.decompress(fm) == blosc.decompress(ft)
-        signal.alarm(0)
         return {
             "device_match_s": round(t_match, 2),
             "device_transfer_s": round(t_xfer, 2),
             "device_match_speedup": round(t_xfer / t_match, 2),
         }
-    except _Timeout:
-        return {"device_match_error": "cold-compile budget exceeded (420s)"}
     except Exception as exc:  # pragma: no cover - device bench best-effort
         return {"device_match_error": str(exc)[:100]}
-    finally:
-        try:
-            signal.alarm(0)
-        except Exception:
-            pass
 
 
 def main() -> None:
     host = bench_host_pipeline()
-    device = bench_device_filter()
-    device.update(bench_device_match())
     value = round(host["compress_gbps"], 3)
-    record = {
-        "metric": "shuffle_lz4_compress_throughput",
+    _RECORD.update({
         "value": value,
-        "unit": "GB/s",
         "vs_baseline": round(value / BASELINE_LZ4_COMPRESS_GBPS, 3),
         "decompress_gbps": round(host["decompress_gbps"], 3),
         "ratio": round(host["ratio"], 1),
         "backend": blosc.backend_name(),
-        **{k: (round(v, 1) if isinstance(v, float) else v) for k, v in device.items()},
-    }
-    print(json.dumps(record))
+    })
+    _RECORD["watchdog"] = "fired during device benches (host numbers valid)"
+    device = _run_with_timeout(bench_device_filter, 180)
+    device.update(_run_with_timeout(bench_device_match, 420))
+    _RECORD.update(
+        {k: (round(v, 1) if isinstance(v, float) else v)
+         for k, v in device.items()}
+    )
+    del _RECORD["watchdog"]
+    signal.alarm(0)
+    print(json.dumps(_RECORD))
 
 
 if __name__ == "__main__":
