@@ -345,3 +345,21 @@ def test_compress_array_match_bitshuffle_mode():
         strategy="match",
     )
     assert blosc.decompress(frame) == data.tobytes()
+
+
+def test_decompress_array_records_many_offsets_falls_back():
+    """>4 distinct match offsets would blow HBM in the decode fill
+    program; the records path must fall back to transfer and still be
+    correct."""
+    rng = np.random.default_rng(21)
+    bs = 256 * 1024
+    parts = []
+    for blk, period in enumerate([4, 8, 16, 32, 64, 128]):
+        pattern = rng.random(period).astype(np.float32)
+        parts.append(np.tile(pattern, bs // 4 // period))
+    data = np.concatenate(parts)
+    frame = blosc.compress_with_options(
+        data.tobytes(), Options(type_size=4, block_size=bs)
+    )
+    out = blosc.decompress_array(frame, np.float32, strategy="records")
+    assert np.array_equal(np.asarray(out), data)
