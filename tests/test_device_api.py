@@ -267,6 +267,10 @@ def test_compress_array_match_beats_transfer_on_link_bytes():
     """The point of the strategy: record rows ship O(literals), not bytes.
     Assert the frame is materially smaller than the raw bytes AND that the
     emitter path engaged (streams differ from the plain-transfer frame)."""
+    from tpu_blosc.native import backend as nb
+
+    if not nb.available():
+        pytest.skip("match strategy needs the native emitter")
     data = _tiled_pattern(2 * 1024 * 1024)
     match = blosc.compress_array(
         data, Options(block_size=1024 * 1024), strategy="match"
