@@ -44,6 +44,26 @@ def test_cli_auto(sample, tmp_path, capsys):
     assert dec.read_bytes() == sample.read_bytes()
 
 
+def test_cli_auto_honors_level_without_block(sample, tmp_path, monkeypatch):
+    """Regression (round-2 advisor): ``--auto --level 9`` silently used
+    the default level unless --block was also given."""
+    import tpu_blosc.__main__ as cli
+
+    seen = {}
+    real = cli.compress_with_options
+
+    def spy(data, opts):
+        seen["opts"] = opts
+        return real(data, opts)
+
+    monkeypatch.setattr(cli, "compress_with_options", spy)
+    out = tmp_path / "a.bl2"
+    assert main([
+        "compress", str(sample), "-o", str(out), "--auto", "--level", "9",
+    ]) == 0
+    assert seen["opts"].level == 9
+
+
 def test_cli_info(sample, tmp_path, capsys):
     out = tmp_path / "i.bl2"
     main(["compress", str(sample), "-o", str(out)])

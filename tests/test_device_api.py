@@ -351,10 +351,12 @@ def test_compress_array_match_bitshuffle_mode():
     assert blosc.decompress(frame) == data.tobytes()
 
 
-def test_decompress_array_records_many_offsets_falls_back():
-    """>4 distinct match offsets would blow HBM in the decode fill
-    program; the records path must fall back to transfer and still be
-    correct."""
+def test_decompress_array_records_many_offsets_on_device():
+    """6 distinct match offsets in one frame: the row-group-chunked fill
+    keeps every offset HBM-resident, so the records path decodes on
+    device (round 2 fell back to transfer past 4 offsets)."""
+    from tpu_blosc import device as dv
+
     rng = np.random.default_rng(21)
     bs = 256 * 1024
     parts = []
@@ -365,5 +367,35 @@ def test_decompress_array_records_many_offsets_falls_back():
     frame = blosc.compress_with_options(
         data.tobytes(), Options(type_size=4, block_size=bs)
     )
-    out = blosc.decompress_array(frame, np.float32, strategy="records")
+    calls = []
+    real = dv._device_match_decode
+
+    def spy(*a, **k):
+        calls.append(a[3])  # the offsets tuple
+        return real(*a, **k)
+
+    dv._device_match_decode = spy
+    try:
+        out = blosc.decompress_array(frame, np.float32, strategy="records")
+    finally:
+        dv._device_match_decode = real
+    assert np.array_equal(np.asarray(out), data)
+    assert calls and len(calls[0]) >= 5, calls
+
+
+def test_device_match_decode_huge_segment_no_key_overflow():
+    """Regression (round-2 advisor, high): with seg/d >= 2**23 the old
+    packed int32-key cummax overflowed to negative and silently dropped
+    literals.  The pair-scan fill must stay exact at any segment size."""
+    n_elems = 8 * 1024 * 1024  # seg = 16 MiB / 2 = 2**23 rows at d=1
+    data = np.full(n_elems, 7, np.uint16)
+    rng = np.random.default_rng(0)
+    idx = rng.choice(n_elems, 42, replace=False)
+    data[idx] = 12345
+    frame = blosc.compress_array(
+        data,
+        Options(type_size=2, block_size=16 * 1024 * 1024),
+        strategy="match",
+    )
+    out = blosc.decompress_array(frame, np.uint16, strategy="records")
     assert np.array_equal(np.asarray(out), data)

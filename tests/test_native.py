@@ -213,3 +213,43 @@ def test_chunked_api_native_matches_python_frames():
             out += blockdata
         pos += this
     assert bytes(out) == d
+
+
+# ---------------------------------------------------------------------------
+# LZ4 end-of-block spec enforcement in the record emitter
+# ---------------------------------------------------------------------------
+
+
+def test_emit_mixed_rejects_match_starting_in_last_12_bytes():
+    """The LZ4 block spec requires the last match to START >= 12 bytes
+    before end-of-block; the emitter must reject such records even though
+    tpu_blosc producers never generate them (round-2 advisor, low)."""
+    n, seg = 64, 64
+    p = 54  # in (n-12, n-9]: end-rule-legal (ends at 58 <= n-5) but
+    #         start-rule-illegal (54 > n-12 = 52)
+    lit_pos = np.concatenate(
+        [np.arange(p), np.arange(58, n)]
+    ).astype(np.int64)
+    lit_bytes = np.arange(lit_pos.size, dtype=np.uint8)
+    row_d = np.array([1], np.int32)
+    with pytest.raises(RuntimeError):
+        nb.lz4_emit_mixed(lit_pos, lit_bytes, row_d, seg, n)
+
+
+def test_emit_mixed_accepts_match_ending_at_spec_boundary():
+    """A match starting at exactly n-12 is the last legal start; the
+    emitter must accept it and the stream must decode everywhere."""
+    n, seg = 64, 64
+    p = n - 12
+    lit_pos = np.concatenate(
+        [np.arange(p), np.arange(p + 4, n)]
+    ).astype(np.int64)
+    vals = (np.arange(n) % 7).astype(np.uint8)
+    lit_bytes = vals[lit_pos]
+    row_d = np.array([7], np.int32)
+    stream = nb.lz4_emit_mixed(lit_pos, lit_bytes, row_d, seg, n)
+    assert stream is not None
+    out = lz4_ref.decompress_block(stream, n)
+    expect = vals.copy()
+    expect[p : p + 4] = expect[p - 7 : p - 7 + 4]
+    assert bytes(out) == expect.tobytes()

@@ -215,6 +215,34 @@ def test_stream_iter_arrays_prefetch(tmp_path):
         assert len(list(it)) == 6
 
 
+def test_stream_iter_prefetch_abandoned_consumer_stops_producer():
+    """Regression (round-2 advisor): abandoning iteration with the queue
+    full must not leave the producer thread blocked in q.put forever."""
+    import threading
+    import time
+
+    from tpu_blosc.stream import _iter_prefetch
+
+    before = set(threading.enumerate())
+
+    it = _iter_prefetch(lambda i: i, 1000, prefetch=1)
+    next(it)  # start the producer; queue (maxsize 1) fills behind us
+    time.sleep(0.2)  # let the producer reach the blocking q.put
+    it.close()  # abandon: generator finally sets stop
+    deadline = time.monotonic() + 5
+    while time.monotonic() < deadline:
+        leaked = [
+            t for t in threading.enumerate()
+            if t not in before and t.is_alive()
+        ]
+        if not leaked:
+            break
+        time.sleep(0.05)
+    assert not leaked, (
+        "prefetch producer thread leaked after consumer abandonment"
+    )
+
+
 def test_stream_iter_arrays_error_propagates(tmp_path):
     path = tmp_path / "bad.tpbs"
     with StreamWriter(path) as w:

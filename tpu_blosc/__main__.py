@@ -75,12 +75,13 @@ def main(argv: list[str] | None = None) -> int:
         with open(args.input, "rb") as f:
             data = f.read()
         if args.auto:
+            # the probe picks codec+filter; level/block always come from
+            # the flags (suggest_options never chooses a level)
             opts = suggest_options(data, type_size=args.typesize)
-            if args.block:
-                opts = Options(
-                    codec=opts.codec, level=args.level, shuffle=opts.shuffle,
-                    type_size=opts.type_size, block_size=args.block,
-                )
+            opts = Options(
+                codec=opts.codec, level=args.level, shuffle=opts.shuffle,
+                type_size=opts.type_size, block_size=args.block,
+            )
         else:
             opts = Options(
                 codec=_CODECS[args.codec], level=args.level,

@@ -480,6 +480,8 @@ def _compress_array_match(x, opts: Options, nb_full: int, block_size: int):
     seg = block_size // ts
     if seg < 256:
         return None
+    if nb_full * block_size >= 2**31:
+        return None  # literal positions are int32 flat indices
     offsets = _match_offsets(seg)
     if not offsets:
         return None
@@ -761,6 +763,17 @@ def _compress_array_rle(x, opts: Options, nb_full: int, block_size: int):
     return header.to_bytes() + table + b"".join(payloads)
 
 
+def _decode_row_chunk(nseg: int, seg: int, target_bytes: int = 32 << 20) -> int:
+    """Rows per fill chunk: largest divisor of nseg whose chunk stays under
+    ``target_bytes`` of row data, so per-offset scan intermediates are
+    HBM-bounded no matter how many distinct offsets a frame uses."""
+    cap = max(1, target_bytes // max(seg, 1))
+    c = min(nseg, cap)
+    while nseg % c:
+        c -= 1
+    return c
+
+
 @partial(_jax.jit, static_argnums=(3, 4, 5, 6, 7, 8))
 def _device_match_decode(
     vals, pos, sel, offsets: tuple, nseg: int, seg: int,
@@ -770,11 +783,15 @@ def _device_match_decode(
 
     out[i] = literal where present else out[i - d_row]; per offset d the
     residue reshape (d | seg) turns the recurrence into a forward fill,
-    done as a cummax over packed (index, value) keys — no gathers, no jit
-    boundaries (both poison TPU performance; see _device_match_pipeline).
-    The fill runs for every candidate offset and a per-row one-hot select
-    picks the right one — len(offsets) elementwise passes beat one
-    gather-based pass by orders of magnitude here.
+    done as a last-valid-value ``associative_scan`` over (literal?, byte)
+    pairs — no gathers, no jit boundaries (both poison TPU performance;
+    see _device_match_pipeline).  The pair scan replaces round 2's packed
+    int32-key cummax: it cannot overflow (the key packing silently
+    corrupted rows once seg/d reached 2**23) and its intermediates are
+    2 B/elt instead of 4.  The fill runs for every offset present in the
+    frame and a per-row one-hot select picks the right one; a ``lax.scan``
+    over row groups bounds peak memory so ANY number of distinct offsets
+    compiles (round 2 capped at 4 — lifted).
     """
     import jax
     import jax.numpy as jnp
@@ -782,20 +799,35 @@ def _device_match_decode(
     total = nseg * seg
     flat = jnp.zeros(total, jnp.uint8).at[pos].set(vals, mode="drop")
     lit = jnp.zeros(total, bool).at[pos].set(True, mode="drop")
-    v2 = flat.reshape(nseg, seg).astype(jnp.int32)
-    l2 = lit.reshape(nseg, seg)
-    out = jnp.zeros((nseg, seg), jnp.uint8)
-    for i, d in enumerate(offsets):
-        m = seg // d
-        key = jnp.where(
-            l2.reshape(nseg, m, d),
-            ((jnp.arange(m, dtype=jnp.int32)[None, :, None] + 1) << 8)
-            | v2.reshape(nseg, m, d),
-            0,
-        )
-        key = jax.lax.cummax(key, axis=1)
-        fill_d = (key & 0xFF).astype(jnp.uint8).reshape(nseg, seg)
-        out = jnp.where(sel[:, i : i + 1], fill_d, out)
+    c = _decode_row_chunk(nseg, seg)
+    g = nseg // c
+    v3 = flat.reshape(g, c, seg)
+    l3 = lit.reshape(g, c, seg)
+    s3 = sel.reshape(g, c, -1)
+
+    def _last_valid(a, b):
+        af, av = a
+        bf, bv = b
+        return af | bf, jnp.where(bf, bv, av)
+
+    def _fill_chunk(_, xs):
+        vc, lc, sc = xs  # (c, seg) uint8 / bool, (c, K) bool
+        out = jnp.zeros_like(vc)
+        for i, d in enumerate(offsets):
+            m = seg // d
+            _, fill = jax.lax.associative_scan(
+                _last_valid,
+                (lc.reshape(c, m, d), vc.reshape(c, m, d)),
+                axis=1,
+            )
+            out = jnp.where(sc[:, i : i + 1], fill.reshape(c, seg), out)
+        return None, out
+
+    if g == 1:
+        _, out = _fill_chunk(None, (v3[0], l3[0], s3[0]))
+    else:
+        _, chunks = jax.lax.scan(_fill_chunk, None, (v3, l3, s3))
+        out = chunks.reshape(nseg, seg)
 
     from .filters import batched as fb
 
@@ -924,6 +956,8 @@ def _decompress_array_rle(data, n: int, dt, shape):
     seg = header.block_size // header.type_size
     if seg < 256 or n % seg:
         return None
+    if n >= 2**31:
+        return _host_fallback()  # literal positions are int32 flat indices
     offsets_c = _match_offsets(seg)
     if not offsets_c:
         return None
@@ -942,13 +976,10 @@ def _decompress_array_rle(data, n: int, dt, shape):
 
     # single-jit device reconstruction: scatter literals, forward-fill per
     # PRESENT offset, per-row select, unfilter — O(literals) link traffic.
-    # Only the offsets that actually won a row are compiled in (each fill
-    # materializes int32 keys ~4x the data; all 11 candidates would blow
-    # HBM at 256 MiB — observed compile-time OOM).  Many distinct offsets
-    # is rare; past 4 the host transfer path is the safer trade.
+    # Only the offsets that actually won a row are compiled in; the fill
+    # is row-group-chunked (see _device_match_decode) so any number of
+    # distinct offsets stays HBM-resident (round 2 capped at 4).
     present = tuple(sorted(int(d) for d in np.unique(d_all)))
-    if len(present) > 4:
-        return _host_fallback()
     relpos = np.flatnonzero(lit).astype(np.int32)
     vals = rows2d.reshape(-1)[relpos]
     cap = _pow2(max(relpos.size, 4096))

@@ -461,7 +461,11 @@ static int64_t lz4_emit_mixed(const int64_t *lit_pos, const uint8_t *lit_bytes,
       return di;
     }
     int64_t next = lit_pos[j];
-    if (next <= p || next > n - 5) return -3;
+    // LZ4 end-of-block rules, enforced defensively so emitted streams
+    // decode with ANY spec-compliant decoder regardless of producer:
+    // last 5 bytes are literals (match end <= n-5) AND the last match
+    // must START at least 12 bytes before end-of-block (p <= n-12).
+    if (next <= p || next > n - 5 || p > n - 12) return -3;
     int64_t gap = next - p;
     if (gap < kMinMatch) return -3;
     int64_t row = p / seg;

@@ -27,7 +27,11 @@ class Options:
     shuffle: Shuffle = Shuffle.SHUFFLE
     type_size: int = 4
     block_size: int = 0  # 0 = automatic
-    num_threads: int = 0  # reserved, parity with reference (blosc.go:233)
+    # 0 = automatic (all host cores).  Unlike the reference, where
+    # NumThreads is declared and unused (blosc.go:233), this knob is LIVE:
+    # it caps the OpenMP team of the native block pipelines
+    # (chunk.py → native tpb_set_num_threads).
+    num_threads: int = 0
 
     def clamped(self) -> "Options":
         """Apply the reference's option clamping (blosc.go:273-282)."""

@@ -488,16 +488,30 @@ def _iter_prefetch(make_item, n: int, prefetch: int):
     q: "queue.Queue" = queue.Queue(maxsize=max(prefetch, 1))
     stop = threading.Event()
 
+    def put_checked(entry) -> bool:
+        # never block forever: if the consumer abandoned iteration while
+        # the queue is full, a plain q.put would pin this thread (and the
+        # prefetched device arrays it holds) for the process lifetime
+        while not stop.is_set():
+            try:
+                q.put(entry, timeout=0.1)
+                return True
+            except queue.Full:
+                pass
+        return False
+
     def producer():
         for i in range(n):
             if stop.is_set():
                 return
             try:
-                q.put((i, make_item(i), None))
+                entry = (i, make_item(i), None)
             except Exception as exc:  # propagate to the consumer
-                q.put((i, None, exc))
+                put_checked((i, None, exc))
                 return
-        q.put((None, None, None))
+            if not put_checked(entry):
+                return
+        put_checked((None, None, None))
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
