@@ -5,9 +5,17 @@ BASELINE config-3-style input (64 MiB f32 ramp, level 5, byte shuffle,
 typeSize 4) — directly comparable to the reference's published LZ4
 compress number (3.31 GB/s on Apple M3 Max, README.md:119; BASELINE.md).
 
-Extra fields report decompress throughput, the device (TPU) filter
+Extra fields report decompress throughput, device (TPU) filter/codec
 throughput, compression ratio, and backend details; the single required
 schema keys are metric/value/unit/vs_baseline.
+
+Architecture (round 3): every DEVICE bench runs in its own killable
+subprocess.  Round 2's in-thread timeouts left a daemon thread stuck in a
+tunnel call, and the TPU runtime aborted the whole process at interpreter
+exit (rc=134) — losing the flagship device_match_speedup from the driver
+artifact.  A child process group can be SIGKILLed no matter what its
+threads are doing, children os._exit(0) after printing (no runtime
+teardown), and the parent os._exit(0)s after its one JSON line.
 """
 
 from __future__ import annotations
@@ -15,17 +23,15 @@ from __future__ import annotations
 import json
 import os
 import signal
-
-import threading
+import subprocess
+import sys
 import time
 
 import numpy as np
 
 # ---------------------------------------------------------------------------
-# Watchdog: the TPU tunnel can hang indefinitely (observed: device_put of
-# 4 KB stuck >2 min) and a jax backend init hang would stall even the
-# import below.  Whatever happens, the driver gets ONE JSON line: the
-# watchdog prints the best record collected so far and exits.
+# Watchdog: if anything in the PARENT hangs (even jax import via the
+# tunnel), the driver still gets ONE JSON line with whatever was measured.
 # ---------------------------------------------------------------------------
 _RECORD = {
     "metric": "shuffle_lz4_compress_throughput",
@@ -41,46 +47,25 @@ def _watchdog(signum, frame):  # pragma: no cover - only fires on hangs
     os._exit(0)
 
 
-signal.signal(signal.SIGALRM, _watchdog)
-signal.alarm(1200)
+def _enable_compile_cache() -> None:
+    """Persistent compiled-program cache: tunnel compiles of the big device
+    pipelines cost 100-500 s uncached; cached reloads are seconds."""
+    try:
+        import jax as _jax_cfg
 
+        os.makedirs("/root/.cache/jax_comp", exist_ok=True)
+        _jax_cfg.config.update(
+            "jax_compilation_cache_dir", "/root/.cache/jax_comp"
+        )
+        _jax_cfg.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 0.0
+        )
+        _jax_cfg.config.update(
+            "jax_persistent_cache_min_entry_size_bytes", -1
+        )
+    except Exception:  # pragma: no cover - cache is an optimization only
+        pass
 
-def _run_with_timeout(fn, seconds: float):
-    """Run fn() on a daemon thread; {} + error field on timeout/crash.
-
-    Device benches go through here so a hung tunnel costs bounded time
-    (the stuck thread dies with the process).
-    """
-    box = {}
-
-    def target():
-        try:
-            box["result"] = fn()
-        except Exception as exc:  # pragma: no cover - defensive
-            box["error"] = str(exc)[:100]
-
-    t = threading.Thread(target=target, daemon=True)
-    t.start()
-    t.join(seconds)
-    if "result" in box:
-        return box["result"]
-    if "error" in box:
-        return {"device_error": box["error"]}
-    return {"device_error": f"device bench timed out ({seconds:.0f}s)"}
-
-
-try:  # persistent compiled-program cache: tunnel compiles cost minutes
-    import jax as _jax_cfg
-
-    os.makedirs("/root/.cache/jax_comp", exist_ok=True)
-    _jax_cfg.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
-    _jax_cfg.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    _jax_cfg.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-except Exception:  # pragma: no cover - cache is an optimization only
-    pass
-
-import tpu_blosc as blosc
-from tpu_blosc.options import Options
 
 BASELINE_LZ4_COMPRESS_GBPS = 3.310  # reference README.md:119
 N = 64 * 1024 * 1024
@@ -101,6 +86,9 @@ def _best(fn, reps=REPS):
 
 
 def bench_host_pipeline() -> dict:
+    import tpu_blosc as blosc
+    from tpu_blosc.options import Options
+
     data = np.arange(N // 4, dtype=np.float32).tobytes()
     opts = Options(block_size=BLOCK)  # LZ4, level 5, SHUFFLE, ts 4
 
@@ -115,86 +103,201 @@ def bench_host_pipeline() -> dict:
         "compress_gbps": N / t_comp / 1e9,
         "decompress_gbps": N / t_dec / 1e9,
         "ratio": N / len(comp),
+        "backend": blosc.backend_name(),
     }
 
 
-def bench_device_filter() -> dict:
+# ---------------------------------------------------------------------------
+# device stages (each runs in its own subprocess — see module docstring)
+# ---------------------------------------------------------------------------
+
+
+def _match_bench_data() -> np.ndarray:
+    """256 MiB of dense-but-compressible f32: tiled 256-element pattern +
+    1% noise — data the RLE strategy can't touch, the BASELINE dense-
+    segment north-star case."""
+    rng = np.random.default_rng(5)
+    n_el = 64 * 1024 * 1024
+    pattern = rng.random(256).astype(np.float32)
+    data = np.tile(pattern, n_el // 256)
+    hit = rng.choice(data.size, data.size // 100, replace=False)
+    data[hit] += rng.random(hit.size).astype(np.float32) * 0.01
+    return data
+
+
+def stage_device_filter() -> dict:
     """Device (TPU) batched shuffle throughput — the Pallas/XLA kernel path."""
-    try:
-        import jax
+    import jax
 
-        from tpu_blosc.filters import batched as fb
+    from tpu_blosc.filters import batched as fb
 
-        if jax.default_backend() == "cpu":
-            return {}
-        arr = jax.device_put(
-            np.arange(N // 4, dtype=np.int32)
-            .view(np.uint8)
-            .reshape(N // BLOCK, BLOCK)
-        )
-        fn = fb._shuffle_batch_dev
+    if jax.default_backend() == "cpu":
+        return {}
+    arr = jax.device_put(
+        np.arange(N // 4, dtype=np.int32)
+        .view(np.uint8)
+        .reshape(N // BLOCK, BLOCK)
+    )
+    out = {"device": jax.devices()[0].device_kind}
+    for key, fn in (
+        ("device_shuffle_gbps", fb._shuffle_batch_dev),
+        ("device_bitshuffle_gbps", fb._bit_shuffle_batch_dev),
+    ):
         r = fn(arr, 4)
         jax.block_until_ready(r)
+        np.asarray(r[0, :8])  # force a fetch: async timings lie before one
         t0 = time.perf_counter()
         reps = 10
         for _ in range(reps):
             r = fn(arr, 4)
         jax.block_until_ready(r)
-        dt = (time.perf_counter() - t0) / reps
-        bit = fb._bit_shuffle_batch_dev
-        r = bit(arr, 4)
-        jax.block_until_ready(r)
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            r = bit(arr, 4)
-        jax.block_until_ready(r)
-        dt_bit = (time.perf_counter() - t0) / reps
-        return {
-            "device_shuffle_gbps": N / dt / 1e9,
-            "device_bitshuffle_gbps": N / dt_bit / 1e9,
-            "device": jax.devices()[0].device_kind,
-        }
-    except Exception as exc:  # pragma: no cover - device bench is best-effort
-        return {"device_error": str(exc)[:100]}
+        out[key] = N / ((time.perf_counter() - t0) / reps) / 1e9
+    return out
 
 
-def bench_device_match() -> dict:
-    """Device match-discovery codec vs plain transfer on 256 MiB of
-    dense-but-compressible f32 (tiled pattern + 1% noise): the data the
-    RLE strategy can't help, the BASELINE north-star dense-segment case."""
+def stage_device_match() -> dict:
+    """Device match-discovery codec vs plain transfer (compress direction)."""
+    import jax
+
+    import tpu_blosc as blosc
+    from tpu_blosc import device as tbdev
+    from tpu_blosc.options import Options
+
+    if jax.default_backend() == "cpu":
+        return {}
+    x = jax.device_put(_match_bench_data())
+    jax.block_until_ready(x)
+    opts = Options(block_size=BLOCK)
+    t_match, fm = _best(
+        lambda: tbdev.compress_array(x, opts, strategy="match"), reps=3
+    )
+    t_xfer, ft = _best(
+        lambda: tbdev.compress_array(x, opts, strategy="transfer"), reps=2
+    )
+    assert blosc.decompress(fm) == blosc.decompress(ft)
+    return {
+        "device_match_s": round(t_match, 2),
+        "device_transfer_s": round(t_xfer, 2),
+        "device_match_speedup": round(t_xfer / t_match, 2),
+    }
+
+
+def stage_device_decode() -> dict:
+    """Decode direction: records decode end-to-end vs plain upload, plus
+    the ON-DEVICE reconstruct throughput (excluding the link) — the number
+    the 'records decode stays for symmetric links' claim rests on."""
+    import jax
+
+    import tpu_blosc as blosc
+    from tpu_blosc import device as tbdev
+    from tpu_blosc.options import Options
+
+    if jax.default_backend() == "cpu":
+        return {}
+    data = _match_bench_data()
+    frame = blosc.compress_with_options(
+        data.tobytes(), Options(block_size=BLOCK)
+    )
+    nbytes = data.size * 4
+
+    captured = {}
+    real = tbdev._device_match_decode
+
+    def spy(*a):
+        captured["a"] = a
+        return real(*a)
+
+    tbdev._device_match_decode = spy
     try:
-        import jax
+        t0 = time.perf_counter()
+        out = tbdev.decompress_array(frame, np.float32, strategy="records")
+        np.asarray(out[:8])  # sync
+        t_records = time.perf_counter() - t0
+    finally:
+        tbdev._device_match_decode = real
+    if "a" not in captured:
+        return {"device_decode_error": "records path did not engage"}
+    assert np.array_equal(np.asarray(out[:1024]), data[:1024])
 
-        if jax.default_backend() == "cpu":
-            return {}
-        from tpu_blosc import device as tbdev
+    t0 = time.perf_counter()
+    out2 = tbdev.decompress_array(frame, np.float32, strategy="transfer")
+    np.asarray(out2[:8])
+    t_transfer = time.perf_counter() - t0
 
-        rng = np.random.default_rng(5)
-        n_el = 64 * 1024 * 1024  # 256 MiB of f32
-        pattern = rng.random(256).astype(np.float32)
-        data = np.tile(pattern, n_el // 256)
-        hit = rng.choice(data.size, data.size // 100, replace=False)
-        data[hit] += rng.random(hit.size).astype(np.float32) * 0.01
-        x = jax.device_put(data)
-        jax.block_until_ready(x)
-        opts = Options(block_size=BLOCK)
-        t_match, fm = _best(
-            lambda: tbdev.compress_array(x, opts, strategy="match"), reps=3
+    # on-device reconstruct program alone (records already resident)
+    args = captured["a"]
+    r = real(*args)
+    jax.block_until_ready(r)
+    np.asarray(r[:8])  # honest-timing fetch
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        r = real(*args)
+    jax.block_until_ready(r)
+    dt = (time.perf_counter() - t0) / reps
+    return {
+        "device_decode_records_s": round(t_records, 2),
+        "device_decode_transfer_s": round(t_transfer, 2),
+        "device_decode_fill_gbps": round(nbytes / dt / 1e9, 1),
+    }
+
+
+STAGES = {
+    "device_filter": (stage_device_filter, 300),
+    "device_match": (stage_device_match, 600),
+    "device_decode": (stage_device_decode, 360),
+}
+
+
+def _run_stage_subprocess(name: str, timeout: float) -> dict:
+    """Run one device stage in a killable subprocess (own process group:
+    SIGKILL reaches even threads wedged inside tunnel calls)."""
+    try:
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--stage", name],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+            start_new_session=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
         )
-        t_xfer, ft = _best(
-            lambda: tbdev.compress_array(x, opts, strategy="transfer"), reps=2
+        try:
+            out, _ = proc.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            try:
+                os.killpg(proc.pid, signal.SIGKILL)
+            except OSError:
+                pass
+            proc.wait()
+            return {f"{name}_error": f"timed out ({timeout:.0f}s), killed"}
+        line = next(
+            (
+                ln
+                for ln in reversed(out.decode(errors="replace").splitlines())
+                if ln.startswith("{")
+            ),
+            None,
         )
-        assert blosc.decompress(fm) == blosc.decompress(ft)
-        return {
-            "device_match_s": round(t_match, 2),
-            "device_transfer_s": round(t_xfer, 2),
-            "device_match_speedup": round(t_xfer / t_match, 2),
-        }
-    except Exception as exc:  # pragma: no cover - device bench best-effort
-        return {"device_match_error": str(exc)[:100]}
+        if line is None:
+            return {f"{name}_error": f"no output (rc={proc.returncode})"}
+        return json.loads(line)
+    except Exception as exc:  # pragma: no cover - defensive
+        return {f"{name}_error": str(exc)[:100]}
+
+
+def _child_main(name: str) -> None:
+    _enable_compile_cache()
+    try:
+        result = STAGES[name][0]()
+    except Exception as exc:
+        result = {f"{name}_error": str(exc)[:100]}
+    print(json.dumps(result), flush=True)
+    os._exit(0)  # never run TPU runtime teardown
 
 
 def main() -> None:
+    signal.signal(signal.SIGALRM, _watchdog)
+    signal.alarm(1380)
+    _enable_compile_cache()
     host = bench_host_pipeline()
     value = round(host["compress_gbps"], 3)
     _RECORD.update({
@@ -202,19 +305,35 @@ def main() -> None:
         "vs_baseline": round(value / BASELINE_LZ4_COMPRESS_GBPS, 3),
         "decompress_gbps": round(host["decompress_gbps"], 3),
         "ratio": round(host["ratio"], 1),
-        "backend": blosc.backend_name(),
+        "backend": host["backend"],
     })
     _RECORD["watchdog"] = "fired during device benches (host numbers valid)"
-    device = _run_with_timeout(bench_device_filter, 180)
-    device.update(_run_with_timeout(bench_device_match, 420))
-    _RECORD.update(
-        {k: (round(v, 1) if isinstance(v, float) else v)
-         for k, v in device.items()}
-    )
+
+    try:
+        import jax
+
+        device_present = jax.default_backend() != "cpu"
+    except Exception:
+        device_present = False
+    _RECORD["device_present"] = device_present
+    if device_present:
+        for name, (_, timeout) in STAGES.items():
+            result = _run_stage_subprocess(name, timeout)
+            _RECORD.update(
+                {
+                    k: (round(v, 1) if isinstance(v, float) else v)
+                    for k, v in result.items()
+                }
+            )
+
     del _RECORD["watchdog"]
     signal.alarm(0)
-    print(json.dumps(_RECORD))
+    print(json.dumps(_RECORD), flush=True)
+    os._exit(0)  # skip interpreter/TPU-runtime teardown (rc=134 in round 2)
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--stage":
+        _child_main(sys.argv[2])
+    else:
+        main()

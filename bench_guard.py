@@ -26,6 +26,17 @@ FLOORS = {
     "ratio": 50.0,             # typical ~137 on the 64 MiB f32 ramp
 }
 
+# enforced only when the bench ran with a real accelerator attached
+# ("device_present": true) — CPU-only CI runners skip these.  A timing-out
+# or erroring device bench leaves the key missing and FAILS here (round 2's
+# silent loss of device_match_speedup is exactly what this catches).
+DEVICE_FLOORS = {
+    "device_shuffle_gbps": 100.0,     # typical 1400-2700
+    "device_bitshuffle_gbps": 100.0,  # typical 1200-2000
+    "device_match_speedup": 1.5,      # typical 2.5-2.7
+    "device_decode_fill_gbps": 10.0,  # on-device reconstruct program
+}
+
 
 def main() -> int:
     text = (
@@ -41,7 +52,10 @@ def main() -> int:
     record = json.loads(line)
     print(line)  # pass the record through for the driver/CI log
     failures = []
-    for key, floor in FLOORS.items():
+    floors = dict(FLOORS)
+    if record.get("device_present"):
+        floors.update(DEVICE_FLOORS)
+    for key, floor in floors.items():
         got = record.get(key)
         if got is None:
             failures.append(f"{key}: missing from bench output")

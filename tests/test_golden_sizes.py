@@ -28,7 +28,9 @@ EXACT = {
     "100KB_mixed_lz4_noshuffle": 50218,
     "100KB_mixed_snappy": 52164,
     "8MB_int16_lz4_bitshuffle": 39564,
-    "16MB_f32_lz4_bitshuffle": 3784008,
+    # round 3: the fixed-offset scan encoder engages on this config (one
+    # shared offset beats greedy's per-position churn) — 16% smaller
+    "16MB_f32_lz4_bitshuffle": 3166358,
     "64MB_f32_lz4_shuffle": 539719,
     "1MB_f32_lz4hc9": 13298,
 }

@@ -253,3 +253,106 @@ def test_emit_mixed_accepts_match_ending_at_spec_boundary():
     expect = vals.copy()
     expect[p : p + 4] = expect[p - 7 : p - 7 + 4]
     assert bytes(out) == expect.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# fixed-offset scan LZ4 encoder (engages inside the block pipelines)
+# ---------------------------------------------------------------------------
+
+
+def _pipeline_lz4(data: bytes, bs: int = 1024 * 1024) -> list[bytes]:
+    payloads, memf = nb.compress_blocks(
+        np.frombuffer(data, np.uint8), bs, 1, 0, nb.NATIVE_LZ4, 1
+    )
+    assert not any(memf)
+    return payloads
+
+
+@pytest.mark.parametrize("period", [3, 96, 32, 384])
+def test_scan_encoder_periodic_roundtrip(period):
+    """Periodic streams (incl. NON-pow2 3-byte and 96-byte struct pitches)
+    compress via the scan path and decode with both decoders."""
+    rng = np.random.default_rng(period)
+    n = 1024 * 1024
+    pattern = rng.integers(0, 256, period, np.uint8)
+    data = np.tile(pattern, n // period + 1)[:n].copy()
+    # clumped noise spans (the scan's home turf: dense break regions the
+    # greedy encoder cannot bridge either)
+    starts = rng.choice(n - 8, n // 256, replace=False)
+    for w in range(6):
+        data[starts + w] ^= rng.integers(1, 256, starts.size, np.uint8)
+    raw = data.tobytes()
+    (stream,) = _pipeline_lz4(raw)
+    # decodes with the native decoder AND the from-scratch Python decoder
+    out = nb.lz4_decompress(np.frombuffer(stream, np.uint8), n)
+    assert out == raw
+    assert lz4_ref.decompress_block(stream, n) == raw
+    # the scan path must not LOSE to greedy on its home turf
+    import os
+    import subprocess
+    import sys
+
+    code = (
+        "import numpy as np, sys; sys.path.insert(0, '/root/repo');"
+        "from tpu_blosc.native import backend as nb;"
+        "d = np.frombuffer(sys.stdin.buffer.read(), np.uint8);"
+        "p, m = nb.compress_blocks(d, %d, 1, 0, nb.NATIVE_LZ4, 1);"
+        "print(sum(len(x) for x in p))" % (1024 * 1024)
+    )
+    env = dict(os.environ, TPU_BLOSC_NO_SCAN="1", JAX_PLATFORM_NAME="cpu")
+    greedy_total = int(
+        subprocess.run(
+            [sys.executable, "-c", code], input=raw, capture_output=True,
+            env=env, check=True,
+        ).stdout
+    )
+    assert len(stream) <= greedy_total * 1.02, (len(stream), greedy_total)
+
+
+def test_scan_encoder_respects_end_of_block_rules():
+    """Scan output must honor last-5-literals / last-match-start rules for
+    every tail shape (prefix sizes straddling the 64-bit mask words)."""
+    rng = np.random.default_rng(7)
+    base = np.tile(rng.integers(0, 256, 32, np.uint8), 16 * 1024)
+    for n in (262144, 262145, 262207, 262208, 524287, 524288 - 63):
+        raw = base[:n].tobytes()
+        payloads, memf = nb.compress_blocks(
+            np.frombuffer(raw, np.uint8), n, 1, 0, nb.NATIVE_LZ4, 1
+        )
+        stream = payloads[0]
+        if not memf[0]:
+            assert lz4_ref.decompress_block(stream, n) == raw
+
+
+def test_scan_encoder_declines_random_and_runs():
+    """Random data and long-run data must take the greedy path (identical
+    output with and without TPU_BLOSC_NO_SCAN would over-test; we assert
+    the cheap observable: valid streams + sane sizes)."""
+    rng = np.random.default_rng(3)
+    n = 512 * 1024
+    rand = rng.integers(0, 256, n, np.uint8).tobytes()
+    payloads, memf = nb.compress_blocks(
+        np.frombuffer(rand, np.uint8), n, 1, 0, nb.NATIVE_LZ4, 1
+    )
+    assert memf[0]  # incompressible: memcpy fallback as before
+    runs = np.repeat(rng.integers(0, 256, 512, np.uint8), n // 512).tobytes()
+    (stream,) = _pipeline_lz4(runs, n)
+    assert lz4_ref.decompress_block(stream, n) == runs
+    assert len(stream) < n // 100
+
+
+def test_scan_encoder_declines_isolated_corruption():
+    """Lone corrupted bytes in periodic data are greedy's home turf (it
+    bridges them at 2x the offset); the probe's isolated-break counter
+    must send such blocks to the greedy path, keeping compressed size at
+    (or under) what the reference's greedy encoder would produce."""
+    rng = np.random.default_rng(11)
+    n = 1024 * 1024
+    data = np.tile(rng.integers(0, 256, 96, np.uint8), n // 96 + 1)[:n].copy()
+    hits = rng.choice(n, n // 64, replace=False)
+    data[hits] ^= 0x5A
+    raw = data.tobytes()
+    (stream,) = _pipeline_lz4(raw)
+    greedy = nb.lz4_compress(np.frombuffer(raw, np.uint8), depth=1)
+    assert len(stream) <= len(greedy) * 1.02
+    assert lz4_ref.decompress_block(stream, n) == raw
