@@ -399,3 +399,76 @@ def test_device_match_decode_huge_segment_no_key_overflow():
     )
     out = blosc.decompress_array(frame, np.uint16, strategy="records")
     assert np.array_equal(np.asarray(out), data)
+
+
+# ---------------------------------------------------------------------------
+# non-pow2 match offsets (round 3: pow2-only model generalized)
+# ---------------------------------------------------------------------------
+
+
+def _periodic_planes(n_elems: int, period: int, dtype, seed=9):
+    """Elements tiled with an ELEMENT period, so every shuffled byte-plane
+    row is periodic with that period; plus clumped noise spans."""
+    rng = np.random.default_rng(seed)
+    info = np.iinfo(dtype)
+    pattern = rng.integers(info.min, info.max, period, dtype)
+    data = np.tile(pattern, n_elems // period + 1)[:n_elems].copy()
+    starts = rng.choice(n_elems - 8, max(n_elems // 512, 1), replace=False)
+    for w in range(4):
+        data[starts + w] ^= dtype(rng.integers(1, 127))
+    return data
+
+
+def test_match_strategy_3_byte_period():
+    """3-element period (a 3-channel interleave): offset 3 is not pow2 and
+    never divides the pow2 segment — the generalized candidate list must
+    engage and the frame must undercut half the raw bytes (the >=2x
+    link-reduction bar), decoding everywhere."""
+    data = _periodic_planes(1024 * 1024, 3, np.int32)  # 4 MiB
+    opts = Options(type_size=4, block_size=512 * 1024)
+    frame = blosc.compress_array(data, opts, strategy="match")
+    transfer = blosc.compress_array(data, opts, strategy="transfer")
+    assert frame != transfer  # emitter path engaged
+    assert len(frame) < data.nbytes // 2
+    assert blosc.decompress(frame) == data.tobytes()
+    # decode half: the padded residue fill reconstructs on device
+    out = blosc.decompress_array(frame, np.int32, strategy="records")
+    assert np.array_equal(np.asarray(out), data)
+
+
+def test_match_strategy_96_byte_struct_pitch():
+    """96-byte struct records as uint16 (element period 48): 48 = 3*16 is
+    in the generalized candidate family."""
+    data = _periodic_planes(2 * 1024 * 1024, 48, np.uint16)  # 4 MiB
+    opts = Options(type_size=2, block_size=512 * 1024)
+    frame = blosc.compress_array(data, opts, strategy="match")
+    transfer = blosc.compress_array(data, opts, strategy="transfer")
+    assert frame != transfer
+    assert len(frame) < data.nbytes // 2
+    assert blosc.decompress(frame) == data.tobytes()
+    out = blosc.decompress_array(frame, np.uint16, strategy="records")
+    assert np.array_equal(np.asarray(out), data)
+
+
+def test_reconstruct_match_row_non_dividing_offset():
+    """Unit check: the padded residue reshape fills rows whose length is
+    not a multiple of the offset."""
+    from tpu_blosc.device import _reconstruct_match_row
+
+    rng = np.random.default_rng(0)
+    for seg, d in [(256, 3), (256, 48), (1000, 96), (512, 7)]:
+        row = np.tile(rng.integers(0, 256, d, np.uint8), seg // d + 1)[:seg]
+        # corrupt some positions and mark them (plus the first d) literal
+        lit = np.zeros(seg, bool)
+        lit[:d] = True
+        bad = rng.choice(np.arange(d, seg), 10, replace=False)
+        row = row.copy()
+        row[bad] = 77
+        lit[bad] = True
+        # every non-literal position must satisfy row[i] == row[i-d]
+        for i in range(d, seg):
+            if not lit[i]:
+                row[i] = row[i - d]
+        pos = np.flatnonzero(lit)
+        got = _reconstruct_match_row(seg, d, pos, row[pos])
+        assert np.array_equal(got, row), (seg, d)

@@ -134,16 +134,20 @@ _ROW_TAIL_LITERALS = 16
 
 
 def _match_offsets(seg: int) -> tuple[int, ...]:
-    """Candidate match offsets: powers of two dividing the row size.
+    """Candidate match offsets: pow2 AND 3*pow2 strides up to 1024.
 
     Powers of two cover the periodic structures byte-planes inherit from
-    tiled/interleaved numeric data and divide ``seg``, which the
-    host/device reconstructions exploit (residue reshape).
+    tiled/interleaved numeric data; the 3*pow2 family adds 3-channel
+    interleaves and 96-byte-struct pitches (round-2 verdict item: the
+    pow2-only model left those with zero benefit).  Divisibility by seg
+    is NOT required — the residue reshapes in the reconstruction paths
+    pad the row to a multiple of d and slice back.
     """
     return tuple(
         d
-        for d in (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024)
-        if d < seg and seg % d == 0
+        for d in (1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96,
+                  128, 192, 256, 384, 512, 768, 1024)
+        if d < seg
     )
 
 
@@ -436,22 +440,26 @@ def _reconstruct_match_row(
     seg: int, d: int, rel_pos: np.ndarray, vals: np.ndarray
 ) -> np.ndarray:
     """Rebuild a filtered row from literal records: out[i] = literal or
-    out[i-d].  Vectorized via the residue reshape (d | seg): each residue
-    column is a forward fill from its literal entries; positions < d are
-    always literal, so every column head is seeded."""
-    row = np.zeros(seg, np.uint8)
-    row[rel_pos] = vals
+    out[i-d].  Vectorized via the residue reshape; rows whose length is
+    not a multiple of d are padded to one and sliced back (non-pow2
+    periods like 3/96 never divide pow2 segments).  Positions < d are
+    always literal, so every residue column head is seeded."""
     if d == 1:
+        row = np.zeros(seg, np.uint8)
+        row[rel_pos] = vals
         idx = np.zeros(seg, np.int64)
         idx[rel_pos] = rel_pos
         np.maximum.accumulate(idx, out=idx)
         return row[idx]
-    m = seg // d
-    mask = np.zeros(seg, bool)
+    m = -(-seg // d)  # ceil
+    row = np.zeros(m * d, np.uint8)
+    row[rel_pos] = vals
+    mask = np.zeros(m * d, bool)
     mask[rel_pos] = True
     idxm = np.where(mask.reshape(m, d), np.arange(m)[:, None], 0)
     np.maximum.accumulate(idxm, axis=0, out=idxm)
-    return np.take_along_axis(row.reshape(m, d), idxm, axis=0).reshape(-1)
+    out = np.take_along_axis(row.reshape(m, d), idxm, axis=0).reshape(-1)
+    return out[:seg]
 
 
 def _compress_array_match(x, opts: Options, nb_full: int, block_size: int):
@@ -814,13 +822,17 @@ def _device_match_decode(
         vc, lc, sc = xs  # (c, seg) uint8 / bool, (c, K) bool
         out = jnp.zeros_like(vc)
         for i, d in enumerate(offsets):
-            m = seg // d
+            m = -(-seg // d)  # ceil: pad rows when d does not divide seg
+            pad = m * d - seg
+            vp = jnp.pad(vc, ((0, 0), (0, pad))) if pad else vc
+            lp = jnp.pad(lc, ((0, 0), (0, pad))) if pad else lc
             _, fill = jax.lax.associative_scan(
                 _last_valid,
-                (lc.reshape(c, m, d), vc.reshape(c, m, d)),
+                (lp.reshape(c, m, d), vp.reshape(c, m, d)),
                 axis=1,
             )
-            out = jnp.where(sc[:, i : i + 1], fill.reshape(c, seg), out)
+            fill = fill.reshape(c, m * d)[:, :seg]
+            out = jnp.where(sc[:, i : i + 1], fill, out)
         return None, out
 
     if g == 1:
