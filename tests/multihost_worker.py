@@ -43,11 +43,16 @@ def main() -> None:
     opts = Options(block_size=65536)
     block_size = choose_block_size(len(data), opts.type_size, opts.block_size)
     start, end = multihost.process_slice(len(data), block_size, pid, nprocs)
+    stats: dict = {}
     frame = multihost.compress_chunked_multihost(
-        len(data), data[start:end], opts
+        len(data), data[start:end], opts, stats=stats
     )
     with open(out_path, "wb") as f:
         f.write(frame)
+    import json
+
+    with open(out_path + ".stats.json", "w") as f:
+        json.dump(stats, f)
 
     # decode direction: this process decodes only its slice of the frame
     local, dstart, dend = multihost.decompress_chunked_multihost(frame)

@@ -80,6 +80,20 @@ def test_multihost_two_processes_bit_identical(tmp_path, nprocs):
     slices = b"".join(open(o + ".dec", "rb").read() for o in outs)
     assert slices == data
 
+    # work division: every process handled ~n/P bytes (within one block) —
+    # the measured datapoint behind the linear-scaling claim (BASELINE.md)
+    import json
+
+    stats = [json.load(open(o + ".stats.json")) for o in outs]
+    n = len(data)
+    for s in stats:
+        assert s["num_processes"] == nprocs
+        assert abs(s["local_bytes"] - n / nprocs) <= 65536 + 1, s
+        assert s["local_compress_s"] >= 0.0
+    assert sum(s["local_bytes"] for s in stats) == n
+    total_blocks = sum(s["local_blocks"] for s in stats)
+    assert max(s["local_blocks"] for s in stats) <= total_blocks // nprocs + 1
+
 
 def test_multihost_decode_single_process():
     """P=1 degenerate case of the sliced decoder."""

@@ -148,13 +148,22 @@ def allgather_payloads(
 
 
 def compress_chunked_multihost(
-    global_n: int, local_data, opts: Options
+    global_n: int, local_data, opts: Options, stats: dict | None = None
 ) -> bytes:
     """Compress a globally-sharded byte stream into one FLAG_SPLIT frame.
 
     Every process passes the same ``global_n`` and its own slice (see
     process_slice); all processes return the identical frame.
+
+    ``stats``, when given, receives this process's work-division record —
+    local_bytes / local_compress_s (the parallel phase) and gather_s (the
+    collective, which includes waiting for stragglers).  This is the
+    scaling observability the reference cannot have (no distributed
+    layer, SURVEY §5): linear scaling means local_compress_s ≈ the
+    single-process time × local_bytes/global_n.
     """
+    import time as _time
+
     import jax
 
     opts = opts.clamped()
@@ -171,8 +180,20 @@ def compress_chunked_multihost(
             f"expected {end - start}"
         )
 
+    t0 = _time.perf_counter()
     payloads, memf = _compress_local_blocks(local, block_size, opts)
+    t1 = _time.perf_counter()
     all_payloads, all_memf = allgather_payloads(payloads, memf)
+    if stats is not None:
+        stats.update(
+            process=pid,
+            num_processes=num_processes,
+            local_bytes=len(local),
+            global_bytes=global_n,
+            local_blocks=len(payloads),
+            local_compress_s=t1 - t0,
+            gather_s=_time.perf_counter() - t1,
+        )
 
     entries = [
         (len(pl) | (_ENTRY_MEMCPY if m else 0))

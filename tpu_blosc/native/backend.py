@@ -25,7 +25,10 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "tpublosc.cpp")
-_LIB_PATH = os.path.join(_HERE, "libtpublosc.so")
+# TPU_BLOSC_LIB: explicit path to a prebuilt library (sanitizer builds in
+# CI, cross-build testing); when set, the staleness auto-rebuild is skipped.
+_LIB_OVERRIDE = os.environ.get("TPU_BLOSC_LIB")
+_LIB_PATH = _LIB_OVERRIDE or os.path.join(_HERE, "libtpublosc.so")
 
 _lib = None
 _lock = threading.Lock()
@@ -68,7 +71,10 @@ def _load() -> None:
         _tried = True
         if os.environ.get("TPU_BLOSC_NO_NATIVE"):
             return
-        if not os.path.exists(_LIB_PATH) or (
+        if _LIB_OVERRIDE:
+            if not os.path.exists(_LIB_PATH):
+                return
+        elif not os.path.exists(_LIB_PATH) or (
             os.path.exists(_SRC)
             and os.path.getmtime(_SRC) > os.path.getmtime(_LIB_PATH)
         ):
