@@ -228,6 +228,9 @@ def stage_device_decode() -> dict:
 
     tbdev._device_match_decode = spy
     try:
+        # warm: compiles the decode programs (minutes over a cold tunnel)
+        out = tbdev.decompress_array(frame, np.float32, strategy="records")
+        np.asarray(out[:8])
         t0 = time.perf_counter()
         out = tbdev.decompress_array(frame, np.float32, strategy="records")
         np.asarray(out[:8])  # sync
@@ -263,8 +266,8 @@ def stage_device_decode() -> dict:
 
 STAGES = {
     "device_filter": (stage_device_filter, 240),
-    "device_match": (stage_device_match, 480),
-    "device_decode": (stage_device_decode, 540),  # first compile ~5-8 min
+    "device_match": (stage_device_match, 540),   # first compile ~8 min but
+    "device_decode": (stage_device_decode, 540),  # cached after one run
 }
 
 

@@ -356,3 +356,22 @@ def test_scan_encoder_declines_isolated_corruption():
     greedy = nb.lz4_compress(np.frombuffer(raw, np.uint8), depth=1)
     assert len(stream) <= len(greedy) * 1.02
     assert lz4_ref.decompress_block(stream, n) == raw
+
+
+def test_pair_interleaved_pipeline_byte_identical_to_single():
+    """The pair-interleaved greedy path must produce blocks byte-identical
+    to independent single-block encodes (same algorithm, same inserts)."""
+    rng = np.random.default_rng(5)
+    parts = []
+    for kind in ("ramp", "rand", "period3", "ramp", "zeros"):
+        parts.append(np.frombuffer(_data(65536, kind), np.uint8))
+    d = np.concatenate(parts)  # 5 blocks -> 2 pairs + odd tail
+    payloads, memf = nb.compress_blocks(d, 65536, 1, 0, nb.NATIVE_LZ4, 1)
+    for i in range(5):
+        blk = d[i * 65536 : (i + 1) * 65536].tobytes()
+        single = nb.lz4_compress(np.frombuffer(blk, np.uint8), depth=1)
+        if memf[i]:
+            assert len(single) >= 65536  # single also incompressible
+            assert payloads[i] == blk
+        else:
+            assert payloads[i] == single, f"block {i} diverged"

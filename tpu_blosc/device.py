@@ -164,6 +164,12 @@ def _device_match_pipeline(
     offset → literal mask → per-row literal counts → keep mask (records
     beat bytes only below seg/10 literals) → BIT-PACKED literal mask.
 
+    The per-offset passes run inside ``fori_loop``s over a TRACED offset
+    array (the shifted view is a fixed-size dynamic_slice of a left-padded
+    copy), so the compiled program size is independent of the candidate
+    count — round 3 grew the list to 20 offsets and the unrolled form
+    stopped compiling in bounded time over the tunnel.
+
     The mask ships packed (n/8 bytes) and the host extracts positions —
     deliberately NOT compacted on device: every device-side compaction
     (jnp.nonzero, full-size scatter) lowers to an O(n log n) sort on TPU,
@@ -171,20 +177,44 @@ def _device_match_pipeline(
     shift-ors at memory speed.  Values are fetched by a second gather
     program once the host knows the positions (_device_gather_vals).
     """
+    import jax
     import jax.numpy as jnp
 
     filtered, tail = _device_filter_prep(x, nb, bs, type_size, mode)
     segs = filtered.reshape(-1, seg)
-    eqc = jnp.stack(
-        [
-            (segs[:, d:] == segs[:, :-d]).sum(axis=1, dtype=jnp.int32)
-            for d in offsets
-        ],
-        axis=1,
+    nseg = segs.shape[0]
+    dmax = max(offsets)
+    offs_arr = jnp.asarray(offsets, jnp.int32)
+    padded = jnp.concatenate(
+        [jnp.zeros((nseg, dmax), jnp.uint8), segs], axis=1
     )
-    best = jnp.argmax(eqc, axis=1)
-    sel = best[:, None] == jnp.arange(len(offsets))[None, :]
-    lit = _lit_mask(segs, sel, offsets, _MATCH_T)
+    col = jnp.arange(seg, dtype=jnp.int32)[None, :]
+
+    def eq_at(d):
+        shifted = jax.lax.dynamic_slice(
+            padded, (jnp.int32(0), jnp.int32(dmax) - d), (nseg, seg)
+        )
+        return (segs == shifted) & (col >= d)
+
+    def _count_body(i, carry):
+        best_c, best_i = carry
+        c = eq_at(offs_arr[i]).sum(axis=1, dtype=jnp.int32)
+        better = c > best_c
+        return (
+            jnp.where(better, c, best_c),
+            jnp.where(better, jnp.int32(i), best_i),
+        )
+
+    zero = jnp.zeros((nseg,), jnp.int32)
+    _, best = jax.lax.fori_loop(0, len(offsets), _count_body, (zero, zero))
+
+    def _select_body(i, eq):
+        return jnp.where((best == i)[:, None], eq_at(offs_arr[i]), eq)
+
+    eq = jax.lax.fori_loop(
+        0, len(offsets), _select_body, jnp.zeros((nseg, seg), bool)
+    )
+    lit = _open_mask(eq, _MATCH_T)
     lit_counts = lit.sum(axis=1, dtype=jnp.int32)
     keep = lit_counts <= seg // 10
     lit = lit & keep[:, None]
@@ -219,26 +249,15 @@ def _device_gather_vals(segs, pos):
     return segs.reshape(-1)[_jax.numpy.minimum(pos, total - 1)]
 
 
-def _lit_mask(sub, sel, offsets: tuple, T: int):
-    """Literal mask for rows under per-row offsets: a position is a match
+def _open_mask(eq, T: int):
+    """Literal mask from a per-row equality mask: a position is a match
     only inside an equality run of length >= T (morphological opening),
-    never at local offset < d, never in the forced row tail.
-
-    ``sel`` is a (nrows, len(offsets)) one-hot row→offset selector.  All
-    data movement is static shifts (slice + concat) — TPU gathers and
-    reduce_window lower poorly (measured 6 s on 256 MiB vs ~10 ms for
-    this formulation), so per-row offsets are handled by select, not
-    gather.
-    """
+    never in the forced row tail.  All data movement is static shifts
+    (slice + concat) — TPU gathers and reduce_window lower poorly
+    (measured 6 s on 256 MiB vs ~10 ms for this formulation)."""
     import jax.numpy as jnp
 
-    nrows, seg = sub.shape
-    eq = jnp.zeros((nrows, seg), bool)
-    for i, d in enumerate(offsets):
-        eq_d = jnp.concatenate(
-            [jnp.zeros((nrows, d), bool), sub[:, d:] == sub[:, :-d]], axis=1
-        )
-        eq = jnp.where(sel[:, i : i + 1], eq_d, eq)
+    nrows, seg = eq.shape
     eq = eq & (jnp.arange(seg)[None, :] < seg - _ROW_TAIL_LITERALS)
     # opening by T via static shifts: erosion (AND of T shifted views)
     # then dilation (OR of T shifted views)
@@ -826,11 +845,29 @@ def _device_match_decode(
             pad = m * d - seg
             vp = jnp.pad(vc, ((0, 0), (0, pad))) if pad else vc
             lp = jnp.pad(lc, ((0, 0), (0, pad))) if pad else lc
-            _, fill = jax.lax.associative_scan(
-                _last_valid,
-                (lp.reshape(c, m, d), vp.reshape(c, m, d)),
-                axis=1,
-            )
+            if m + 1 < 2**23:
+                # fast path: single fused cummax over packed int32
+                # (index+1)<<8 | value keys — safe below the 23-bit index
+                # bound (every standard block/type-size combination)
+                key = jnp.where(
+                    lp.reshape(c, m, d),
+                    (
+                        (jnp.arange(m, dtype=jnp.int32)[None, :, None] + 1)
+                        << 8
+                    )
+                    | vp.reshape(c, m, d).astype(jnp.int32),
+                    0,
+                )
+                key = jax.lax.cummax(key, axis=1)
+                fill = (key & 0xFF).astype(jnp.uint8)
+            else:
+                # giant residue columns: overflow-free pair scan (slower —
+                # log2(m) tuple passes — but exact at any size)
+                _, fill = jax.lax.associative_scan(
+                    _last_valid,
+                    (lp.reshape(c, m, d), vp.reshape(c, m, d)),
+                    axis=1,
+                )
             fill = fill.reshape(c, m * d)[:, :seg]
             out = jnp.where(sc[:, i : i + 1], fill, out)
         return None, out
