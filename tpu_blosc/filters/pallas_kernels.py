@@ -111,8 +111,10 @@ def probe_ready(data) -> jax.Array:
 
     Snapping keeps the pallas_call grid one of three shapes, so the
     compile cache is bounded (each new grid costs a ~25 s TPU compile over
-    the tunnel); inputs beyond 4 MiB are sampled — probe statistics, not
-    exact counts, are the contract.
+    the tunnel); inputs beyond 4 MiB are sampled with EIGHT evenly-spaced
+    windows spanning the whole buffer (round-2 verdict: a prefix-only
+    sample mis-advises heterogeneous data) — probe statistics, not exact
+    counts, are the contract.
     """
     host = np.frombuffer(
         data.tobytes() if isinstance(data, np.ndarray) else bytes(data),
@@ -121,8 +123,16 @@ def probe_ready(data) -> jax.Array:
     tile_bytes = _TILE_ROWS * _LANES * 4
     tiles_needed = -(-max(host.size, 1) // tile_bytes)
     tiles = 1 if tiles_needed <= 1 else 2 if tiles_needed <= 2 else 4
-    host = host[: tiles * tile_bytes]
-    buf = np.zeros(tiles * tile_bytes, dtype=np.uint8)
+    budget = tiles * tile_bytes
+    if host.size > budget:
+        # strided multi-window sample across the full input
+        nwin = 8
+        win = budget // nwin
+        step = (host.size - win) // (nwin - 1)
+        host = np.concatenate(
+            [host[k * step : k * step + win] for k in range(nwin)]
+        )
+    buf = np.zeros(budget, dtype=np.uint8)
     buf[: host.size] = host
     return jax.device_put(buf.view(np.int32).reshape(-1, _LANES))
 
