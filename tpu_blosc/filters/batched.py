@@ -10,12 +10,17 @@ All functions take/return host numpy arrays of shape (nb, bs) with bs a
 multiple of type_size (bit variants: of 8*type_size); ragged tails never
 reach this layer (chunk.py keeps the final short block on the host path).
 
-Performance note (measured on the attached TPU, 64 MiB batches): the XLA
-reshape-transpose formulation of byte shuffle runs at 1.4-2.7 TB/s
-processed (~speed-of-light for ts 2/8 against the chip's ~2.6 TB/s copy
-ceiling) and the shift/mask bitshuffle at 1.6-2.0 TB/s, so these are left
-to XLA's fuser; hand-written Pallas equivalents of the lane regroupings do
-not currently lower through Mosaic (strided lane slice → gather).
+Performance note (measured on the attached TPU v5e, 64 MiB batches,
+loop-slope timing — per-call timings are async-contaminated, see
+CLAUDE.md): byte shuffle ts=4 runs ~80 GB/s processed with the two-stage
+sub-tile decomposition (vs 60 for the plain reshape-transpose), inverse
+~55, bitshuffle ~38 with the unrolled shift/or bit transpose.  Byte-
+granular relayouts are the cost — the streaming ceiling on this chip is
+~400 GB/s (819 GB/s HBM, read+write) and elementwise loop bodies that
+stay VMEM-resident measure in TB/s.  Earlier TB/s claims for these
+transposes were artifacts of per-call timing.  Hand-written Pallas
+equivalents of the lane regroupings do not lower through Mosaic
+(strided lane slice → gather; see pallas_kernels.py's record).
 """
 
 from __future__ import annotations
@@ -33,6 +38,12 @@ from . import jaxops
 def _shuffle_batch_dev(x: jax.Array, type_size: int) -> jax.Array:
     nb, bs = x.shape
     ne = bs // type_size
+    P = jaxops._SHUF_PAYLOAD
+    if ne % P == 0:
+        # two-stage: local (P, ts) sub-tile transpose, then a whole-payload
+        # permute — see jaxops._SHUF_PAYLOAD for the measured rationale
+        t = x.reshape(nb, ne // P, P, type_size)
+        return jnp.swapaxes(t, 2, 3).swapaxes(1, 2).reshape(nb, bs)
     return jnp.swapaxes(x.reshape(nb, ne, type_size), 1, 2).reshape(nb, bs)
 
 
@@ -40,6 +51,10 @@ def _shuffle_batch_dev(x: jax.Array, type_size: int) -> jax.Array:
 def _unshuffle_batch_dev(x: jax.Array, type_size: int) -> jax.Array:
     nb, bs = x.shape
     ne = bs // type_size
+    P = jaxops._SHUF_PAYLOAD
+    if ne % P == 0:
+        t = x.reshape(nb, type_size, ne // P, P)
+        return jnp.swapaxes(t, 1, 2).swapaxes(2, 3).reshape(nb, bs)
     return jnp.swapaxes(x.reshape(nb, type_size, ne), 1, 2).reshape(nb, bs)
 
 
