@@ -790,15 +790,24 @@ def _compress_array_rle(x, opts: Options, nb_full: int, block_size: int):
     return header.to_bytes() + table + b"".join(payloads)
 
 
-def _decode_row_chunk(nseg: int, seg: int, target_bytes: int = 32 << 20) -> int:
+def _decode_row_chunk(nseg: int, seg: int, target_bytes: int = 512 << 20) -> int:
     """Rows per fill chunk: largest divisor of nseg whose chunk stays under
     ``target_bytes`` of row data, so per-offset scan intermediates are
-    HBM-bounded no matter how many distinct offsets a frame uses."""
+    HBM-bounded no matter how many distinct offsets a frame uses.  Offsets
+    are processed sequentially inside a chunk, so peak memory is a few
+    multiples of the chunk, not K of them — 512 MiB chunks leave ample
+    headroom on a 16 GiB-HBM chip while avoiding lax.scan serialization
+    for typical inputs."""
     cap = max(1, target_bytes // max(seg, 1))
     c = min(nseg, cap)
     while nseg % c:
         c -= 1
     return c
+
+
+# level-1 block length for the two-level forward fill: (idx+1)<<8 | value
+# keys fit uint16 (129<<8 | 255 = 33023), halving scan traffic vs int32
+_FILL_L1 = 128
 
 
 @partial(_jax.jit, static_argnums=(3, 4, 5, 6, 7, 8))
@@ -809,27 +818,39 @@ def _device_match_decode(
     """Reconstruct + unfilter from literal records in ONE compiled program.
 
     out[i] = literal where present else out[i - d_row]; per offset d the
-    residue reshape (d | seg) turns the recurrence into a forward fill,
-    done as a last-valid-value ``associative_scan`` over (literal?, byte)
-    pairs — no gathers, no jit boundaries (both poison TPU performance;
-    see _device_match_pipeline).  The pair scan replaces round 2's packed
-    int32-key cummax: it cannot overflow (the key packing silently
-    corrupted rows once seg/d reached 2**23) and its intermediates are
-    2 B/elt instead of 4.  The fill runs for every offset present in the
-    frame and a per-row one-hot select picks the right one; a ``lax.scan``
-    over row groups bounds peak memory so ANY number of distinct offsets
-    compiles (round 2 capped at 4 — lifted).
+    residue reshape (d | seg) turns the recurrence into a forward fill.
+    No gathers, no jit boundaries (both poison TPU performance; see
+    _device_match_pipeline).
+
+    Round-3 measured rework (256 MiB tiled-f32 bench case, 263 -> ~180 ms):
+    - ONE uint16 scatter of 0x100|value (literal flag in bit 8) replaces
+      the uint8+bool scatter pair — scatter costs ~6 ns/update on this
+      chip and dominated the old program at 113 of 264 ms.  Positions
+      from np.flatnonzero are sorted and unique, so XLA gets both hints.
+    - Forward fill is TWO-LEVEL when the residue height m >= 1024:
+      cummax of uint16 (idx+1)<<8|value keys within _FILL_L1-row blocks
+      (half the traffic of int32), then an int32 cummax over per-block
+      last keys, then a where-combine.  This also removes the 2**23
+      index-overflow regime for every practical shape (level-2 indices
+      are m/128); the overflow-free pair scan remains only for absurd
+      residue heights (seg/d >= 2**30).
+    - Small m takes a single int32-key cummax (few passes, not worth
+      blocking); K == 1 frames skip the one-hot select entirely.
+    A ``lax.scan`` over row groups still bounds peak memory so ANY number
+    of distinct offsets compiles (round 2 capped at 4 — lifted).
     """
     import jax
     import jax.numpy as jnp
 
     total = nseg * seg
-    flat = jnp.zeros(total, jnp.uint8).at[pos].set(vals, mode="drop")
-    lit = jnp.zeros(total, bool).at[pos].set(True, mode="drop")
+    comb = vals.astype(jnp.uint16) | jnp.uint16(0x100)
+    grid = jnp.zeros(total, jnp.uint16).at[pos].set(
+        comb, mode="drop", unique_indices=True, indices_are_sorted=True
+    )
+    K = len(offsets)
     c = _decode_row_chunk(nseg, seg)
     g = nseg // c
-    v3 = flat.reshape(g, c, seg)
-    l3 = lit.reshape(g, c, seg)
+    g3 = grid.reshape(g, c, seg)
     s3 = sel.reshape(g, c, -1)
 
     def _last_valid(a, b):
@@ -837,45 +858,67 @@ def _device_match_decode(
         bf, bv = b
         return af | bf, jnp.where(bf, bv, av)
 
+    def _fill_offset(gc, d):
+        """Forward-fill one offset's residue reshape of the (c, seg) u16
+        grid; returns the filled (c, seg) uint8."""
+        m = -(-seg // d)  # ceil: pad rows when d does not divide seg
+        L1 = _FILL_L1
+        if m >= 1024 and (m * d) < 2**30:
+            m1 = -(-m // L1)
+            pad = m1 * L1 * d - seg
+            gp = jnp.pad(gc, ((0, 0), (0, pad))) if pad else gc
+            gr = gp.reshape(c, m1, L1, d)
+            idx2 = jnp.arange(L1, dtype=jnp.uint16)[None, None, :, None]
+            l1 = jnp.where(gr != 0, ((idx2 + 1) << 8) | (gr & 0xFF), 0)
+            l1 = jax.lax.cummax(l1, axis=2)
+            last = l1[:, :, -1, :]  # (c, m1, d) u16
+            idx1 = jnp.arange(m1, dtype=jnp.int32)[None, :, None]
+            k2 = jnp.where(
+                last != 0,
+                ((idx1 + 1) << 8) | (last & 0xFF).astype(jnp.int32),
+                0,
+            )
+            k2 = jax.lax.cummax(k2, axis=1)
+            prev = jnp.concatenate(
+                [jnp.zeros((c, 1, d), jnp.int32), k2[:, :-1, :]], axis=1
+            )
+            prev_val = (prev & 0xFF).astype(jnp.uint8)[:, :, None, :]
+            fill = jnp.where(l1 != 0, (l1 & 0xFF).astype(jnp.uint8), prev_val)
+            return fill.reshape(c, m1 * L1 * d)[:, :seg]
+        pad = m * d - seg
+        gp = jnp.pad(gc, ((0, 0), (0, pad))) if pad else gc
+        gr = gp.reshape(c, m, d)
+        if m + 1 < 2**23:
+            key = jnp.where(
+                gr != 0,
+                ((jnp.arange(m, dtype=jnp.int32)[None, :, None] + 1) << 8)
+                | (gr & 0xFF).astype(jnp.int32),
+                0,
+            )
+            key = jax.lax.cummax(key, axis=1)
+            fill = (key & 0xFF).astype(jnp.uint8)
+        else:  # pragma: no cover - needs seg/d >= 2**30
+            _, fill = jax.lax.associative_scan(
+                _last_valid, (gr != 0, (gr & 0xFF).astype(jnp.uint8)), axis=1
+            )
+        return fill.reshape(c, m * d)[:, :seg]
+
     def _fill_chunk(_, xs):
-        vc, lc, sc = xs  # (c, seg) uint8 / bool, (c, K) bool
-        out = jnp.zeros_like(vc)
+        gc, sc = xs  # (c, seg) uint16, (c, K) bool
+        out = None
         for i, d in enumerate(offsets):
-            m = -(-seg // d)  # ceil: pad rows when d does not divide seg
-            pad = m * d - seg
-            vp = jnp.pad(vc, ((0, 0), (0, pad))) if pad else vc
-            lp = jnp.pad(lc, ((0, 0), (0, pad))) if pad else lc
-            if m + 1 < 2**23:
-                # fast path: single fused cummax over packed int32
-                # (index+1)<<8 | value keys — safe below the 23-bit index
-                # bound (every standard block/type-size combination)
-                key = jnp.where(
-                    lp.reshape(c, m, d),
-                    (
-                        (jnp.arange(m, dtype=jnp.int32)[None, :, None] + 1)
-                        << 8
-                    )
-                    | vp.reshape(c, m, d).astype(jnp.int32),
-                    0,
-                )
-                key = jax.lax.cummax(key, axis=1)
-                fill = (key & 0xFF).astype(jnp.uint8)
+            fill = _fill_offset(gc, d)
+            if K == 1:
+                out = fill
             else:
-                # giant residue columns: overflow-free pair scan (slower —
-                # log2(m) tuple passes — but exact at any size)
-                _, fill = jax.lax.associative_scan(
-                    _last_valid,
-                    (lp.reshape(c, m, d), vp.reshape(c, m, d)),
-                    axis=1,
-                )
-            fill = fill.reshape(c, m * d)[:, :seg]
-            out = jnp.where(sc[:, i : i + 1], fill, out)
+                o = jnp.zeros((c, seg), jnp.uint8) if out is None else out
+                out = jnp.where(sc[:, i : i + 1], fill, o)
         return None, out
 
     if g == 1:
-        _, out = _fill_chunk(None, (v3[0], l3[0], s3[0]))
+        _, out = _fill_chunk(None, (g3[0], s3[0]))
     else:
-        _, chunks = jax.lax.scan(_fill_chunk, None, (v3, l3, s3))
+        _, chunks = jax.lax.scan(_fill_chunk, None, (g3, s3))
         out = chunks.reshape(nseg, seg)
 
     from .filters import batched as fb
