@@ -151,12 +151,29 @@ def _match_offsets(seg: int) -> tuple[int, ...]:
     )
 
 
-@partial(_jax.jit, static_argnums=(1, 2, 3, 4, 5, 6))
 def _device_match_pipeline(
     x, nb: int, bs: int, type_size: int, mode: int, seg: int,
     offsets: tuple,
 ):
-    """The full device half of the match strategy in ONE compiled program.
+    """The device half of the match strategy: filter program + match program.
+
+    TWO compiled programs, deliberately: fusing the shuffle transpose into
+    the match program made XLA materialize the payload-transpose
+    intermediate (minor dim 8) at 16x tile padding — 16 GiB for a 256 MiB
+    input, a compile-time HBM OOM (bench r3).  Standalone, the same
+    shuffle lowers fine; the split costs one extra HBM round-trip of the
+    filtered bytes (~1 ms against a ~100 ms pipeline).
+    """
+    filtered, tail = _device_filter_prep(x, nb, bs, type_size, mode)
+    segs, best, lit_counts, packed = _device_match_core(
+        filtered, seg, offsets
+    )
+    return segs, best, lit_counts, packed, tail
+
+
+@partial(_jax.jit, static_argnums=(1, 2))
+def _device_match_core(filtered, seg: int, offsets: tuple):
+    """Match discovery over a filtered (nb, bs) batch in ONE program.
 
     filter → per-row equality counts for every candidate offset (the
     device-side match discovery, ≙ the hash-probe loop of codec.go:63-128
@@ -176,54 +193,77 @@ def _device_match_pipeline(
     measured 3.3 s on 256 MiB, while bit-packing is 8 strided-slice
     shift-ors at memory speed.  Values are fetched by a second gather
     program once the host knows the positions (_device_gather_vals).
+
+    All per-row work runs inside a ``lax.scan`` over row chunks: XLA
+    stores the loop-carried bool eq mask as 4 B/elt pred with a further
+    16x tile-padding expansion, so the unchunked form needed 21.5 GiB of
+    HBM at 256 MiB input (compile-time OOM, found by bench r3).  Rows are
+    independent, so chunking costs nothing but the scan trip count.
     """
     import jax
     import jax.numpy as jnp
 
-    filtered, tail = _device_filter_prep(x, nb, bs, type_size, mode)
     segs = filtered.reshape(-1, seg)
     nseg = segs.shape[0]
     dmax = max(offsets)
     offs_arr = jnp.asarray(offsets, jnp.int32)
-    padded = jnp.concatenate(
-        [jnp.zeros((nseg, dmax), jnp.uint8), segs], axis=1
-    )
     col = jnp.arange(seg, dtype=jnp.int32)[None, :]
+    rows = _decode_row_chunk(nseg, seg, target_bytes=16 << 20)
+    g = nseg // rows
 
-    def eq_at(d):
-        shifted = jax.lax.dynamic_slice(
-            padded, (jnp.int32(0), jnp.int32(dmax) - d), (nseg, seg)
-        )
-        return (segs == shifted) & (col >= d)
-
-    def _count_body(i, carry):
-        best_c, best_i = carry
-        c = eq_at(offs_arr[i]).sum(axis=1, dtype=jnp.int32)
-        better = c > best_c
-        return (
-            jnp.where(better, c, best_c),
-            jnp.where(better, jnp.int32(i), best_i),
+    def _chunk(_, segs_c):
+        padded = jnp.concatenate(
+            [jnp.zeros((rows, dmax), jnp.uint8), segs_c], axis=1
         )
 
-    zero = jnp.zeros((nseg,), jnp.int32)
-    _, best = jax.lax.fori_loop(0, len(offsets), _count_body, (zero, zero))
+        def eq_at(d):
+            shifted = jax.lax.dynamic_slice(
+                padded, (jnp.int32(0), jnp.int32(dmax) - d), (rows, seg)
+            )
+            return (segs_c == shifted) & (col >= d)
 
-    def _select_body(i, eq):
-        return jnp.where((best == i)[:, None], eq_at(offs_arr[i]), eq)
+        def _count_body(i, carry):
+            best_c, best_i = carry
+            c = eq_at(offs_arr[i]).sum(axis=1, dtype=jnp.int32)
+            better = c > best_c
+            return (
+                jnp.where(better, c, best_c),
+                jnp.where(better, jnp.int32(i), best_i),
+            )
 
-    eq = jax.lax.fori_loop(
-        0, len(offsets), _select_body, jnp.zeros((nseg, seg), bool)
-    )
-    lit = _open_mask(eq, _MATCH_T)
-    lit_counts = lit.sum(axis=1, dtype=jnp.int32)
-    keep = lit_counts <= seg // 10
-    lit = lit & keep[:, None]
-    # bit-pack: packed[:, j] bit i = lit[:, 8j+i] (np.unpackbits
-    # bitorder='little' inverts on host); strided lane slices, no reshape
-    packed = lit[:, 0::8].astype(jnp.uint8)
-    for i in range(1, 8):
-        packed = packed | (lit[:, i::8].astype(jnp.uint8) << i)
-    return segs, best, lit_counts, packed, tail
+        zero = jnp.zeros((rows,), jnp.int32)
+        _, best = jax.lax.fori_loop(
+            0, len(offsets), _count_body, (zero, zero)
+        )
+
+        def _select_body(i, eq):
+            return jnp.where((best == i)[:, None], eq_at(offs_arr[i]), eq)
+
+        eq = jax.lax.fori_loop(
+            0, len(offsets), _select_body, jnp.zeros((rows, seg), bool)
+        )
+        lit = _open_mask(eq, _MATCH_T)
+        lit_counts = lit.sum(axis=1, dtype=jnp.int32)
+        keep = lit_counts <= seg // 10
+        lit = lit & keep[:, None]
+        # bit-pack: packed[:, j] bit i = lit[:, 8j+i] (np.unpackbits
+        # bitorder='little' inverts on host); strided lane slices, no
+        # reshape
+        packed = lit[:, 0::8].astype(jnp.uint8)
+        for i in range(1, 8):
+            packed = packed | (lit[:, i::8].astype(jnp.uint8) << i)
+        return None, (best, lit_counts, packed)
+
+    if g == 1:
+        _, (best, lit_counts, packed) = _chunk(None, segs)
+    else:
+        _, (best, lit_counts, packed) = jax.lax.scan(
+            _chunk, None, segs.reshape(g, rows, seg)
+        )
+        best = best.reshape(nseg)
+        lit_counts = lit_counts.reshape(nseg)
+        packed = packed.reshape(nseg, -1)
+    return segs, best, lit_counts, packed
 
 
 def _unpack_positions(packed_flat: np.ndarray) -> np.ndarray:

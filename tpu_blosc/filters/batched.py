@@ -49,12 +49,11 @@ def _shuffle_batch_dev(x: jax.Array, type_size: int) -> jax.Array:
 
 @partial(jax.jit, static_argnums=(1,))
 def _unshuffle_batch_dev(x: jax.Array, type_size: int) -> jax.Array:
+    # plain transpose: measured 77.8 GB/s vs 51.5 (P8) / 60.5 (P128) for
+    # the payload decomposition — the inverse direction gains nothing
+    # from sub-tiling (see jaxops._SHUF_PAYLOAD note)
     nb, bs = x.shape
     ne = bs // type_size
-    P = jaxops._SHUF_PAYLOAD
-    if ne % P == 0:
-        t = x.reshape(nb, type_size, ne // P, P)
-        return jnp.swapaxes(t, 1, 2).swapaxes(2, 3).reshape(nb, bs)
     return jnp.swapaxes(x.reshape(nb, type_size, ne), 1, 2).reshape(nb, bs)
 
 

@@ -27,8 +27,10 @@ _BIT_WEIGHTS = None
 # (P, ts) sub-tiles locally, then permute whole P-byte payloads.  TPU
 # transposes cost by granularity — the big (ne/P, ts) permute moves P-byte
 # units instead of single bytes.  Measured on the attached v5e (64 MiB,
-# loop-slope timing): P=8 lifts ts=4 shuffle 60 -> 80 GB/s and the inverse
-# to ~55; P in {4..32} is a plateau, P<4 loses.
+# loop-slope timing): ts=4 shuffle P8 81.9 / P32 72.5 / P128 45.7 /
+# P512 48.5 / plain 64.5 / u32 shift-pack 21.2 GB/s.  The INVERSE prefers
+# the plain transpose (77.8 vs 51.5 at P8 / 60.5 at P128) — decomposing
+# the gather direction only adds passes, so unshuffle does not use this.
 _SHUF_PAYLOAD = 8
 
 
@@ -46,10 +48,6 @@ def shuffle_bytes_body(x: jax.Array, type_size: int) -> jax.Array:
 @partial(jax.jit, static_argnums=(1,))
 def unshuffle_bytes_body(x: jax.Array, type_size: int) -> jax.Array:
     ne = x.shape[0] // type_size
-    P = _SHUF_PAYLOAD
-    if ne % P == 0:
-        t = x.reshape(type_size, ne // P, P)
-        return jnp.swapaxes(t, 0, 1).swapaxes(1, 2).reshape(-1)
     return x.reshape(type_size, ne).T.reshape(-1)
 
 
