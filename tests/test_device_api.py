@@ -472,3 +472,46 @@ def test_reconstruct_match_row_non_dividing_offset():
         pos = np.flatnonzero(lit)
         got = _reconstruct_match_row(seg, d, pos, row[pos])
         assert np.array_equal(got, row), (seg, d)
+
+
+def test_fused_match_core_equals_xla_core():
+    """The Pallas fused literal-mask stage is bit-identical to the XLA
+    formulation (interpret mode on CPU) across structured + random data."""
+    import jax.numpy as jnp
+
+    from tpu_blosc.device import (
+        _device_match_core,
+        _device_match_core_fused,
+        _match_offsets,
+    )
+    from tpu_blosc.filters.pallas_kernels import match_fusable
+
+    rng = np.random.default_rng(11)
+    seg = 16384  # smallest fusable geometry (64 KiB blocks, ts=4)
+    offs = _match_offsets(seg)
+    assert match_fusable(seg, offs)
+    nseg = 16
+    base = rng.integers(0, 6, (nseg, seg), dtype=np.uint8)
+    for i in range(0, nseg, 2):  # half the rows strongly periodic
+        d = offs[(i * 3 + 1) % len(offs)]
+        row = base[i]
+        keep = rng.random(seg) > 0.01
+        for p in range(d, seg):
+            if keep[p]:
+                row[p] = row[p - d]
+    filtered = jnp.asarray(base)
+    ref = _device_match_core(filtered, seg, offs)
+    got = _device_match_core_fused(filtered, seg, offs)
+    for name, a, b in zip(
+        ("segs", "best", "lit_counts", "packed"), ref, got
+    ):
+        assert np.array_equal(np.asarray(a), np.asarray(b)), name
+
+
+def test_fused_match_gate_geometry():
+    from tpu_blosc.filters.pallas_kernels import match_fusable
+
+    assert match_fusable(262144, (1, 2, 4, 1024))
+    assert not match_fusable(262144 + 4, (1, 2))  # not 16384-aligned
+    assert not match_fusable(8192, (1, 2))        # SL < 8
+    assert not match_fusable(262144, (1, 2048))   # offset beyond a lane row

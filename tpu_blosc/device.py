@@ -17,6 +17,8 @@ a pinned buffer and device_put.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from . import filters
@@ -165,10 +167,94 @@ def _device_match_pipeline(
     filtered bytes (~1 ms against a ~100 ms pipeline).
     """
     filtered, tail = _device_filter_prep(x, nb, bs, type_size, mode)
-    segs, best, lit_counts, packed = _device_match_core(
-        filtered, seg, offsets
-    )
+    from .filters import pallas_kernels as _pk
+
+    if _pk.match_fusable(seg, offsets) and not os.environ.get(
+        "TPU_BLOSC_NO_FUSED_MATCH"
+    ):
+        segs, best, lit_counts, packed = _device_match_core_fused(
+            filtered, seg, offsets
+        )
+    else:
+        segs, best, lit_counts, packed = _device_match_core(
+            filtered, seg, offsets
+        )
     return segs, best, lit_counts, packed, tail
+
+
+@partial(_jax.jit, static_argnums=(1, 2))
+def _device_match_core_fused(filtered, seg: int, offsets: tuple):
+    """Match core with the literal-mask stage as ONE fused Pallas kernel.
+
+    The count phase (per-row best offset) stays XLA — it needs per-row
+    reductions, which Mosaic compiles pathologically (>1 reduction chain
+    per kernel hangs; see pallas_kernels.py's record) — chunked exactly
+    like _device_match_core.  The select + opening + bit-pack subchain
+    (~44 XLA passes, ~100 ms at 256 MiB) becomes
+    pallas_kernels.match_select_open_nibble (11 ms) plus two cheap XLA
+    passes (nibble popcount for lit_counts, nibble-pair pack).  Output is
+    bit-identical to _device_match_core (tests enforce).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .filters import pallas_kernels as _pk
+
+    segs = filtered.reshape(-1, seg)
+    nseg = segs.shape[0]
+    dmax = max(offsets)
+    offs_arr = jnp.asarray(offsets, jnp.int32)
+    col = jnp.arange(seg, dtype=jnp.int32)[None, :]
+    rows = _decode_row_chunk(nseg, seg, target_bytes=16 << 20)
+    g = nseg // rows
+
+    def _chunk_count(_, segs_c):
+        padded = jnp.concatenate(
+            [jnp.zeros((rows, dmax), jnp.uint8), segs_c], axis=1
+        )
+
+        def eq_at(d):
+            shifted = jax.lax.dynamic_slice(
+                padded, (jnp.int32(0), jnp.int32(dmax) - d), (rows, seg)
+            )
+            return (segs_c == shifted) & (col >= d)
+
+        def _count_body(i, carry):
+            best_c, best_i = carry
+            c = eq_at(offs_arr[i]).sum(axis=1, dtype=jnp.int32)
+            better = c > best_c
+            return (
+                jnp.where(better, c, best_c),
+                jnp.where(better, jnp.int32(i), best_i),
+            )
+
+        zero = jnp.zeros((rows,), jnp.int32)
+        _, best = jax.lax.fori_loop(
+            0, len(offsets), _count_body, (zero, zero)
+        )
+        return None, best
+
+    if g == 1:
+        _, best = _chunk_count(None, segs)
+    else:
+        _, bests = jax.lax.scan(
+            _chunk_count, None, segs.reshape(g, rows, seg)
+        )
+        best = bests.reshape(nseg)
+
+    bd = jnp.stack([best, offs_arr[best]], axis=1)
+    nib = _pk.match_select_open_nibble(
+        segs, bd, seg, offsets, _ROW_TAIL_LITERALS, _MATCH_T
+    )
+    ones = (
+        (nib & 1) + ((nib >> 1) & 1) + ((nib >> 2) & 1) + ((nib >> 3) & 1)
+    )
+    lit_counts = ones.sum(axis=1, dtype=jnp.int32)
+    keep = lit_counts <= seg // 10
+    packed = (nib[:, 0::2] | (nib[:, 1::2] << 4)) & jnp.where(
+        keep, jnp.uint8(0xFF), jnp.uint8(0)
+    )[:, None]
+    return segs, best, lit_counts, packed
 
 
 @partial(_jax.jit, static_argnums=(1, 2))

@@ -9,13 +9,14 @@ What lives here
 2. Re-exports of the XLA shuffle bodies (jaxops) as the device filter
    path — a deliberate, measured decision, not an omission.
 
-Kernel experiment record (this chip, 64 MiB, GB/s *processed*; measured
-copy ceiling 2.59 TB/s):
+Kernel experiment record (this chip; round-2 numbers were per-call timed
+and async-contaminated — everything re-measured round 3 with loop-slope
+timing at 64 MiB; the honest streaming ceiling is ~400 GB/s processed on
+819 GB/s HBM):
 
-    XLA reshape-transpose shuffle   ts=4: 1464   ts=2: 2620   ts=8: 2715
-    XLA shift/mask+strided pack     ts=4: 1030
-    XLA bitshuffle (shift/unpack)   ts=4: 1607 (inverse 2071)
-    Pallas elementwise (x*2)              2979  ← beats XLA's own ceiling
+    round-2 per-call numbers (KEPT FOR HISTORY, inflated ~20-30x):
+    XLA reshape-transpose shuffle   ts=4: "1464"  — honest: 60-82
+    Pallas elementwise (x*2)              "2979"  — honest: ~213
     Pallas shift/mask contig-pack   ts=4:  153
     Pallas uint8 (T,4)->(4,T) .T          Mosaic crash (HTTP 500)
     Pallas int32-cast block .T            Mosaic crash
@@ -26,16 +27,36 @@ copy ceiling 2.59 TB/s):
     Pallas 5 reductions in one kernel     compile hang (>400 s)
     Pallas 1 reduction per kernel         compiles 0.5 s, 15-22 GB/s
 
-Conclusions encoded below: (a) Mosaic (as shipped here) cannot lower the
-cross-lane byte regroupings a byte-plane transpose needs, and XLA's own
-transpose codegen already runs at 0.55-1.0x the copy ceiling — so the
-shuffle/bitshuffle device path delegates to XLA (filters/jaxops.py,
-filters/batched.py); (b) reduction kernels are VPU-int-op bound at tens
-of GB/s — fine for *probing* sampled data, wrong for full streams;
-(c) keep exactly one reduction chain per kernel and avoid lane rolls.
+    round-3 slope-timed (GB/s processed, 64 MiB):
+    XLA shuffle ts=4 (P=8 payload)         81.9  (P32 72.5, plain 64.5,
+                                                  P128 45.7, u32pack 21.2)
+    XLA unshuffle ts=4 (plain transpose)   77.8  (P8 51.5, P128 60.5)
+    XLA bitshuffle ts=4 (unrolled 64-op)   38    (u64 butterfly 8.8 —
+                                                  u64 ops are emulated)
+    Pallas elementwise u32 (x*2)           213
+    Pallas CONTIGUOUS lane slice + concat  232   ← lowers fine!
+    Pallas contiguous sublane slice        250
+    Pallas cross-word byte shift (<<8|>>24) 252
+    Pallas narrow sublane concat (127x1)   Mosaic crash (vpad vector)
+    Pallas fused match select+open+nibble  23.8  (11.3 ms/256 MiB — the
+          20-offset eq recompute is VPU-bound; replaces an ~100 ms XLA
+          subchain of ~44 passes, ~9x on that stage)
+
+Conclusions encoded below: (a) Mosaic cannot lower cross-lane byte
+REGROUPINGS (strided slices, minor-dim reshapes, rolls) — but CONTIGUOUS
+lane/sublane slices + concats lower cleanly at near-ceiling speed, which
+is what the fused match kernel (match_select_open_nibble) is built from;
+(b) XLA's transpose codegen keeps the shuffle/bitshuffle device path
+(filters/jaxops.py, filters/batched.py); (c) reduction kernels are
+VPU-int-op bound — fine for probing, wrong for full streams; keep one
+reduction chain per kernel and avoid lane rolls; (d) byte-granular
+predicates are cheapest as 0x80-per-byte masks in u32 lanes (the
+haszero trick), not as bool arrays.
 """
 
 from __future__ import annotations
+
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -172,3 +193,167 @@ def stream_probe(data) -> dict:
         "mean_byte": bsum / max(n, 1),
         "n": n,
     }
+
+
+# ---------------------------------------------------------------------------
+# fused match kernel: per-row best-offset equality + opening(T) + nibble mask
+# ---------------------------------------------------------------------------
+
+_MF_LANES = 512  # u32 lanes per sublane row of the kernel's segment view
+
+
+def _make_match_kernel(offsets: tuple, SL: int, seg: int, tail: int, T: int):
+    """Kernel: ONE grid step = one segment, viewed as (SL, 512) u32.
+
+    The TPU half of the match-strategy literal-mask stage (the Go
+    reference's encoder inner loop, codec.go:63-128, restructured as a
+    data-parallel single pass).  For the row's chosen offset d the kernel
+    computes the byte-equality mask eq[p] = (x[p] == x[p-d]), erodes and
+    dilates it to runs >= T (the literal-island rule of
+    device._open_mask), and emits the literal mask as one nibble per u32
+    word — all in VMEM, one HBM read + n/4 write.  Replaces an ~44-pass
+    XLA subchain (measured 9x on the stage; see the module record).
+
+    Built exclusively from the Mosaic-lowerable vocabulary: contiguous
+    lane/sublane slices + concats, in-word shifts, the 0x80-haszero byte
+    equality.  The per-row offset is DATA (scalar-prefetched), so eq is
+    computed for every candidate offset and where-selected — VPU ops are
+    ~50x cheaper than the HBM passes they replace.
+    """
+    LN = _MF_LANES
+
+    def _shift_builder(src, down):
+        """bytes-shift(src, s): stream-right when down else stream-left.
+        Narrow sublane-dim concats crash Mosaic (vpad on vector<Nx1>), so
+        the sublane carry is ONE full-width shifted copy; each word shift
+        is then a single lane-dim concat of two contiguous slices."""
+        if down:
+            carry = jnp.concatenate(
+                [jnp.zeros((1, LN), jnp.uint32), src[:-1, :]], axis=0
+            )
+        else:
+            carry = jnp.concatenate(
+                [src[1:, :], jnp.zeros((1, LN), jnp.uint32)], axis=0
+            )
+        cache = {}
+
+        def ws(k):
+            if k == 0:
+                return src
+            if k not in cache:
+                if down:
+                    cache[k] = jnp.concatenate(
+                        [carry[:, LN - k:], src[:, :LN - k]], axis=1
+                    )
+                else:
+                    cache[k] = jnp.concatenate(
+                        [src[:, k:], carry[:, :k]], axis=1
+                    )
+            return cache[k]
+
+        def sh(s):
+            kw, b = divmod(s, 4)
+            if b == 0:
+                return ws(kw)
+            if down:
+                return (ws(kw) << (8 * b)) | (ws(kw + 1) >> (8 * (4 - b)))
+            return (ws(kw) >> (8 * b)) | (ws(kw + 1) << (8 * (4 - b)))
+
+        return sh
+
+    def kern(bd_ref, x_ref, o_ref):
+        w = x_ref[0]
+        i0 = pl.program_id(0)
+        bi = bd_ref[i0, 0]  # best offset INDEX into `offsets`
+        dv = bd_ref[i0, 1]  # best offset VALUE (bytes)
+        shr = _shift_builder(w, down=True)
+        eq = jnp.zeros((SL, LN), jnp.uint32)
+        for i, d in enumerate(offsets):
+            s = shr(d)
+            z = w ^ s
+            y = (z & jnp.uint32(0x7F7F7F7F)) + jnp.uint32(0x7F7F7F7F)
+            e = ~(y | z | jnp.uint32(0x7F7F7F7F))  # 0x80 per equal byte
+            eq = jnp.where(bi == i, e, eq)
+        # positional masks, bits at 0x80 per byte: head (pos >= d) and
+        # forced literal tail (pos < seg - tail)
+        wp4 = (
+            jax.lax.broadcasted_iota(jnp.int32, (SL, LN), 0) * LN
+            + jax.lax.broadcasted_iota(jnp.int32, (SL, LN), 1)
+        ) * 4
+        keep = jnp.zeros((SL, LN), jnp.uint32)
+        for t in range(4):
+            bit = jnp.uint32(0x80 << (8 * t))
+            keep = keep | jnp.where(
+                (wp4 + t >= dv) & (wp4 + t < seg - tail), bit, 0
+            )
+        eq = eq & keep
+        # erosion er[p] = AND_{s<T} eq[p+s] (stream-left shifts) ...
+        shl = _shift_builder(eq, down=False)
+        er = eq
+        for s in range(1, T):
+            er = er & shl(s)
+        # ... dilation match[p] = OR_{s<T} er[p-s] (stream-right shifts)
+        shr2 = _shift_builder(er, down=True)
+        match = er
+        for s in range(1, T):
+            match = match | shr2(s)
+        lit = ~match
+        # nibble: out-byte bit t = lit bit of byte t of this word
+        n = (
+            ((lit >> 7) & 1)
+            | ((lit >> 14) & 2)
+            | ((lit >> 21) & 4)
+            | ((lit >> 28) & 8)
+        )
+        o_ref[0] = n.astype(jnp.uint8)
+
+    return kern
+
+
+def match_fusable(seg: int, offsets: tuple) -> bool:
+    """Geometry gate for the fused kernel: the (SL, 512)-u32 segment view
+    needs seg % 16384 == 0 (SL a multiple of 8), and word shifts stay
+    within one lane row only for offsets <= 2044 bytes."""
+    return (
+        seg % (4 * _MF_LANES * 8) == 0
+        and len(offsets) > 0
+        and max(offsets) + 4 <= 4 * _MF_LANES
+    )
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def match_select_open_nibble(
+    segs, bd, seg: int, offsets: tuple, tail: int, T: int
+):
+    """(nseg, seg)-u8 filtered segments + per-row (index, value) best
+    offsets -> (nseg, seg//4)-u8 literal-mask nibbles (bit t of byte j =
+    byte 4j+t is a literal).  Callers gate on match_fusable()."""
+    nseg = segs.shape[0]
+    SL = seg // 4 // _MF_LANES
+    # little-endian word view via 4 strided-slice shift-ors — NOT
+    # bitcast_convert_type: its (..., 4) minor-dim reshape gets a 32x
+    # tile-padded layout at scale (32 GiB for a 256 MiB input, compile
+    # OOM).  Strided u8 slices are XLA's own fast path.
+    w = (
+        segs[:, 0::4].astype(jnp.uint32)
+        | (segs[:, 1::4].astype(jnp.uint32) << 8)
+        | (segs[:, 2::4].astype(jnp.uint32) << 16)
+        | (segs[:, 3::4].astype(jnp.uint32) << 24)
+    ).reshape(nseg, SL, _MF_LANES)
+    kern = _make_match_kernel(offsets, SL, seg, tail, T)
+    nib = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((nseg, SL, _MF_LANES), jnp.uint8),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nseg,),
+            in_specs=[
+                pl.BlockSpec((1, SL, _MF_LANES), lambda i, bd: (i, 0, 0))
+            ],
+            out_specs=pl.BlockSpec(
+                (1, SL, _MF_LANES), lambda i, bd: (i, 0, 0)
+            ),
+        ),
+        interpret=_INTERPRET,
+    )(bd, w)
+    return nib.reshape(nseg, seg // 4)
