@@ -375,3 +375,30 @@ def test_pair_interleaved_pipeline_byte_identical_to_single():
             assert payloads[i] == blk
         else:
             assert payloads[i] == single, f"block {i} diverged"
+
+
+# ---------------------------------------------------------------------------
+# mask_positions vs the NumPy oracle (device.py _unpack_positions)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("nbytes", [0, 1, 7, 8, 9, 64, 1003, 1 << 16])
+@pytest.mark.parametrize("density", [0.0, 0.02, 0.5, 1.0])
+def test_mask_positions_matches_oracle(nbytes, density):
+    from tpu_blosc.device import _unpack_positions
+
+    rng = np.random.default_rng(nbytes + int(density * 100))
+    mask = np.packbits(
+        rng.random(nbytes * 8) < density, bitorder="little"
+    ).astype(np.uint8)[:nbytes]
+    want = _unpack_positions(mask)
+    got = nb.mask_positions(mask, int(want.size))
+    assert got is not None
+    np.testing.assert_array_equal(got.astype(np.int64), want)
+
+
+def test_mask_positions_overflow_returns_none():
+    mask = np.full(16, 0xFF, np.uint8)  # 128 set bits
+    assert nb.mask_positions(mask, 127) is None
+    got = nb.mask_positions(mask, 128)
+    np.testing.assert_array_equal(got, np.arange(128, dtype=np.int32))

@@ -661,8 +661,11 @@ def _compress_array_match(x, opts: Options, nb_full: int, block_size: int):
     k = sparse_idx.size
     n_real = int(lit_counts[sparse_idx].sum())
     packed = np.asarray(packed_d)  # (nseg, seg//8)
-    pos = _unpack_positions(packed.reshape(-1))  # global flat positions
-    if pos.size != n_real:  # device/host mask disagreement: bail safely
+    # global flat positions via the native ctz word scan (dense rows are
+    # zeroed on device, so the full-mask popcount == n_real exactly);
+    # _unpack_positions stays as the NumPy oracle for tests
+    pos = _nb.mask_positions(packed.reshape(-1), n_real)
+    if pos is None or pos.size != n_real:  # mask disagreement: bail safely
         return None
     # pad positions to a pow2 cap so the gather program's shape is stable
     cap = _pow2(max(n_real, 4096))

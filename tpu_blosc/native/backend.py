@@ -136,6 +136,8 @@ def _load() -> None:
             _p, _i64, _i64,                       # row_d, seg, n
             _p, _i64,                             # dst, cap
         ]
+        lib.tpb_mask_positions.restype = _i64
+        lib.tpb_mask_positions.argtypes = [_p, _i64, _p, _i64]
         lib.tpb_set_num_threads.restype = None
         lib.tpb_set_num_threads.argtypes = [ctypes.c_int]
         # c_char_p lets the hot single-shot paths pass bytes objects with
@@ -312,6 +314,25 @@ def lz4_emit_mixed(
     if written < 0:
         raise RuntimeError(f"lz4_emit_mixed failed ({written})")
     return out[:written].tobytes()
+
+
+def mask_positions(mask: np.ndarray, nset: int) -> np.ndarray | None:
+    """Set-bit positions (sorted, int32) of a little-endian packed mask.
+
+    ``nset`` is the expected popcount (the device pipeline already has it
+    from the per-segment literal counts), so the output is allocated
+    exactly and the C scan never reallocates.  Returns None when the mask
+    holds MORE set bits than ``nset`` (device/host disagreement — callers
+    bail to the transfer path).  ~20x the NumPy unpackbits formulation on
+    multi-MiB masks (ctz word scan vs byte-expand).
+    """
+    _ensure()
+    mask = np.ascontiguousarray(mask, dtype=np.uint8)
+    out = np.empty(nset, dtype=np.int32)
+    k = _lib.tpb_mask_positions(_ptr(mask), mask.size, _ptr(out), nset)
+    if k < 0:
+        return None
+    return out[:k]
 
 
 # ---------------------------------------------------------------------------
