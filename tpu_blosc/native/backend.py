@@ -31,6 +31,7 @@ _LIB_OVERRIDE = os.environ.get("TPU_BLOSC_LIB")
 _LIB_PATH = _LIB_OVERRIDE or os.path.join(_HERE, "libtpublosc.so")
 
 _lib = None
+_fast = None  # CPython fastcall module (_tpbfast), see _load_fastmod
 _lock = threading.Lock()
 _tried = False
 
@@ -156,6 +157,50 @@ def _load() -> None:
             ctypes.c_int, ctypes.c_int, ctypes.c_int,  # ts, shuffle_mode, codec
         ]
         _lib = lib
+        _load_fastmod()
+
+
+def _load_fastmod() -> None:
+    """Build + import the CPython fastcall module (_tpbfast) when possible.
+
+    The module links against libtpublosc.so (rpath $ORIGIN) and cuts the
+    per-call ctypes marshalling + staging memmove from the single-block
+    hot path.  Any failure (no toolchain, sanitizer override build,
+    TPU_BLOSC_NO_FAST) silently leaves the ctypes path in charge.
+    """
+    global _fast
+    if _LIB_OVERRIDE or os.environ.get("TPU_BLOSC_NO_FAST"):
+        return
+    import sysconfig
+
+    src = os.path.join(_HERE, "fastmod.c")
+    out = os.path.join(_HERE, "_tpbfast.so")
+    if not os.path.exists(src):
+        return
+    if not os.path.exists(out) or os.path.getmtime(src) > os.path.getmtime(
+        out
+    ):
+        cmd = [
+            "gcc", "-O2", "-shared", "-fPIC",
+            "-I", sysconfig.get_paths()["include"],
+            src, "-o", out,
+            "-L", _HERE, "-ltpublosc", "-Wl,-rpath,$ORIGIN",
+        ]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=60)
+        except Exception:
+            return
+    try:
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "tpu_blosc.native._tpbfast", out
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        _fast = mod
+    except Exception:
+        _fast = None
 
 
 def available() -> bool:
@@ -534,6 +579,10 @@ def compress_frame(
     the reference's own 100 KB benchmark point is sensitive to.  ``data``
     must be a bytes object (passed zero-copy via c_char_p).
     """
+    if _fast is not None:
+        return _fast.compress_frame(
+            data, type_size, shuffle_mode, header_codec, native_codec, depth
+        )
     n = len(data)
     dst = _staging_addr(_universal_bound(n))
     total = _lib.tpb_compress_frame(
@@ -563,14 +612,23 @@ def decompress_frame(
     when the payload decodes cleanly to the wrong size (parity with the
     final check at blosc.go:429-431).
     """
-    out, addr = alloc_bytes(nbytes_orig)
-    got = _lib.tpb_decompress_block_into(
-        data, payload_off, payload_size,
-        addr, nbytes_orig,
-        type_size, shuffle_mode, native_codec,
-    )
-    if got == nbytes_orig:
-        return out
+    if _fast is not None:
+        res = _fast.decompress_frame(
+            data, payload_off, payload_size, nbytes_orig,
+            type_size, shuffle_mode, native_codec,
+        )
+        if isinstance(res, bytes):
+            return res
+        got = res
+    else:
+        out, addr = alloc_bytes(nbytes_orig)
+        got = _lib.tpb_decompress_block_into(
+            data, payload_off, payload_size,
+            addr, nbytes_orig,
+            type_size, shuffle_mode, native_codec,
+        )
+        if got == nbytes_orig:
+            return out
     from ..errors import DecompressionFailedError, SizeMismatchError
 
     if got < 0:
