@@ -41,6 +41,10 @@ from .format import (
 )
 from .options import Options
 
+import struct
+
+_HDR_TAIL = struct.Struct("<III")  # nbytes_orig, block_size, nbytes_comp
+
 # imported for registration side effect
 from .codecs import standard as _standard  # noqa: F401
 
@@ -187,6 +191,24 @@ def decompress(data) -> bytes:
 def decompress_with_size(data, type_size: int) -> bytes:
     """≙ DecompressWithSize (blosc.go:296-303) + decompressBackend (377-434)."""
     raw = _coerce_bytes(data)
+    # Hot-path header parse without the Header object (~1.6 us of a ~10 us
+    # single-block decode): engage only for plain well-formed native-codec
+    # single-block frames; anything unusual falls through to the full path
+    # below, which owns every error message and the registry override.
+    if len(raw) > HEADER_SIZE and raw[0] == FORMAT_VERSION:
+        codec_id, flags, ts_hdr = raw[1], raw[2], raw[3]
+        if not flags & (FLAG_SPLIT | FLAG_MEMCPY):
+            n_orig, _bs, n_comp = _HDR_TAIL.unpack_from(raw, 4)
+            if HEADER_SIZE < n_comp <= len(raw) and n_orig > 0:
+                native = _chunk._native_pipeline_codec(codec_id, 1)
+                if native is not None:
+                    return _nb.decompress_frame(
+                        raw, HEADER_SIZE, n_comp - HEADER_SIZE, n_orig,
+                        type_size if type_size > 0 else ts_hdr,
+                        2 if flags & FLAG_BITSHUFFLE
+                        else 1 if flags & FLAG_SHUFFLE else 0,
+                        native[0],
+                    )
     if len(raw) >= 4 and raw[:4] == b"TPB2":
         from . import container
 
