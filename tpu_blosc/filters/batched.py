@@ -14,7 +14,8 @@ Performance note (measured on the attached TPU v5e, 64 MiB batches,
 loop-slope timing — per-call timings are async-contaminated, see
 CLAUDE.md): byte shuffle ts=4 runs ~80 GB/s processed with the two-stage
 sub-tile decomposition (vs 60 for the plain reshape-transpose), inverse
-~55, bitshuffle ~38 with the unrolled shift/or bit transpose.  Byte-
+~55, bitshuffle ~46 / bitunshuffle ~56 with the SWAR two-word bit
+transpose (jaxops._bit_transpose_groups; was 38/45 unrolled).  Byte-
 granular relayouts are the cost — the streaming ceiling on this chip is
 ~400 GB/s (819 GB/s HBM, read+write) and elementwise loop bodies that
 stay VMEM-resident measure in TB/s.  Earlier TB/s claims for these

@@ -58,23 +58,45 @@ def _bit_transpose_groups(planes: jax.Array) -> jax.Array:
     — the exact per-group transform of the reference (shuffle.go:192-199).
     The transform is an involution, so it serves both directions.
 
-    Formulated as 64 unrolled shift/mask/or ops over the 8 minor-dim byte
-    slices: the earlier bit-matrix form (expand to (..., 8, 8) bits,
-    transpose, weighted sum) materializes an 8x blow-up and measured 2x
-    slower on the attached v5e (18.6 vs 38.2 GB/s, loop-slope timing).
+    SWAR formulation: the 8 group bytes pack big-endian into two u32 words
+    and three butterfly stages (Hacker's Delight transpose8, whose BE-in/
+    BE-out semantics are exactly this MSB-first transform) do the whole
+    8x8 in ~24 word ops — ~7 VPU ops/byte vs 32 for the unrolled 64
+    shift/or form it replaced.  Measured on the attached v5e (64 MiB,
+    loop-slope): bitshuffle 38.6 -> 46.4, bitunshuffle 45.3 -> 56.5 GB/s.
+    Measured dead ends (do not redo): (a) the (..., 8, 8) bit-matrix form,
+    18.6 GB/s — 8x blow-up; (b) u8<->u32 bitcast_convert_type for the
+    pack/unpack with a byte-reversal-conjugated kernel (shifts 9/18,
+    masks 0x00550055/0x00003333) — bitcasts lower to byte relayouts here
+    and drop throughput to 20.6/14.4 GB/s.
     """
-    b = [planes[..., i] for i in range(8)]
-    outs = []
-    for ob in range(8):
-        acc = jnp.zeros_like(b[0])
-        for ib in range(8):
-            acc = acc | (
-                (((b[ib] >> (7 - ob)) & jnp.uint8(1)) << (7 - ib)).astype(
-                    jnp.uint8
-                )
-            )
-        outs.append(acc)
-    return jnp.stack(outs, axis=-1)
+    p = [planes[..., i].astype(jnp.uint32) for i in range(8)]
+    x = (p[0] << 24) | (p[1] << 16) | (p[2] << 8) | p[3]
+    y = (p[4] << 24) | (p[5] << 16) | (p[6] << 8) | p[7]
+    t = (x ^ (x >> 7)) & jnp.uint32(0x00AA00AA)
+    x = x ^ t ^ (t << 7)
+    t = (y ^ (y >> 7)) & jnp.uint32(0x00AA00AA)
+    y = y ^ t ^ (t << 7)
+    t = (x ^ (x >> 14)) & jnp.uint32(0x0000CCCC)
+    x = x ^ t ^ (t << 14)
+    t = (y ^ (y >> 14)) & jnp.uint32(0x0000CCCC)
+    y = y ^ t ^ (t << 14)
+    t = (x & jnp.uint32(0xF0F0F0F0)) | ((y >> 4) & jnp.uint32(0x0F0F0F0F))
+    y = ((x << 4) & jnp.uint32(0xF0F0F0F0)) | (y & jnp.uint32(0x0F0F0F0F))
+    x = t
+    return jnp.stack(
+        [
+            (x >> 24).astype(jnp.uint8),
+            (x >> 16).astype(jnp.uint8),
+            (x >> 8).astype(jnp.uint8),
+            x.astype(jnp.uint8),
+            (y >> 24).astype(jnp.uint8),
+            (y >> 16).astype(jnp.uint8),
+            (y >> 8).astype(jnp.uint8),
+            y.astype(jnp.uint8),
+        ],
+        axis=-1,
+    )
 
 
 @partial(jax.jit, static_argnums=(1,))
