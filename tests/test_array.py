@@ -94,6 +94,67 @@ def test_unpack_rejects_truncation_and_mismatch():
         blosc.unpack_array(bytes(mut))
 
 
+_FAST = None
+
+
+def _fast_settings():
+    global _FAST
+    if _FAST is None:
+        from hypothesis import HealthCheck, settings
+
+        _FAST = settings(
+            max_examples=40,
+            deadline=None,
+            suppress_health_check=[HealthCheck.too_slow],
+        )
+    return _FAST
+
+
+def test_property_roundtrip_any_dtype_shape():
+    from hypothesis import given
+    from hypothesis import strategies as st
+    from hypothesis.extra import numpy as hnp
+
+    @given(
+        arr=hnp.arrays(
+            dtype=st.sampled_from(
+                [np.uint8, np.int16, np.int32, np.float32, np.float64]
+            ),
+            shape=hnp.array_shapes(max_dims=4, max_side=17),
+        )
+    )
+    @_fast_settings()
+    def inner(arr):
+        out = blosc.unpack_array(blosc.pack_array(arr))
+        assert out.dtype == arr.dtype and out.shape == arr.shape
+        assert np.array_equal(out, arr, equal_nan=True)
+
+    inner()
+
+
+def test_property_envelope_mutations_never_crash():
+    from hypothesis import given
+    from hypothesis import strategies as st
+
+    base = blosc.pack_array(np.arange(200, dtype=np.int16))
+
+    @given(
+        pos=st.integers(min_value=0, max_value=len(base) - 1),
+        val=st.integers(min_value=0, max_value=255),
+    )
+    @_fast_settings()
+    def inner(pos, val):
+        mut = bytearray(base)
+        mut[pos] = val
+        try:
+            out = blosc.unpack_array(bytes(mut))
+        except (blosc.BloscError, TypeError):
+            return  # typed rejection is the contract
+        assert isinstance(out, np.ndarray)  # or a clean decode
+
+    inner()
+
+
 def test_envelope_is_not_a_plain_frame():
     packed = blosc.pack_array(np.arange(64, dtype=np.float32))
     with pytest.raises(blosc.BloscError):  # 'T' parses as a bad version byte
