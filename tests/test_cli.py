@@ -95,3 +95,16 @@ def test_cli_module_invocation(sample, tmp_path):
     )
     assert r.returncode == 0, r.stderr[-500:]
     assert out.exists()
+
+
+def test_cli_pack_unpack_roundtrip(tmp_path, capsys):
+    arr = np.arange(3000, dtype=np.float64).reshape(50, 60)
+    src = tmp_path / "arr.npy"
+    np.save(src, arr)
+    packed = tmp_path / "arr.tpba"
+    assert main(["pack", str(src), "-o", str(packed),
+                 "--codec", "zstd", "--shuffle", "bit"]) == 0
+    assert "dtype float64" in capsys.readouterr().out
+    out = tmp_path / "back.npy"
+    assert main(["unpack", str(packed), "-o", str(out)]) == 0
+    assert np.array_equal(np.load(out), arr)

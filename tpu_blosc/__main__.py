@@ -18,6 +18,7 @@ import argparse
 import sys
 import time
 
+from .errors import BloscError
 from .api import (
     compress_with_options,
     decompress,
@@ -65,11 +66,37 @@ def _build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("suggest", help="recommend options for a file")
     s.add_argument("input")
     s.add_argument("--typesize", type=int, default=4)
+
+    pk = sub.add_parser(
+        "pack", help="compress a .npy file into a TPBA array envelope"
+    )
+    pk.add_argument("input")
+    pk.add_argument("-o", "--output", help="default: <input>.tpba")
+    pk.add_argument("--codec", choices=sorted(_CODECS), default="lz4")
+    pk.add_argument("--level", type=int, default=5)
+    pk.add_argument("--shuffle", choices=sorted(_SHUFFLES), default="byte")
+
+    up = sub.add_parser(
+        "unpack", help="decompress a TPBA envelope back into a .npy file"
+    )
+    up.add_argument("input")
+    up.add_argument("-o", "--output", help="default: <input>.npy")
     return p
 
 
 def main(argv: list[str] | None = None) -> int:
     args = _build_parser().parse_args(argv)
+    try:
+        return _run(args)
+    except BloscError as exc:
+        print(f"error: {exc}", file=sys.stderr)
+        return 1
+    except OSError as exc:
+        print(f"error: {exc}", file=sys.stderr)
+        return 1
+
+
+def _run(args) -> int:
 
     if args.cmd == "compress":
         with open(args.input, "rb") as f:
@@ -119,6 +146,20 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "info":
         with open(args.input, "rb") as f:
             frame = f.read()
+        if frame[:4] == b"TPBA":
+            # array envelope: report its metadata, then the inner frame's
+            from .array import _parse_envelope
+
+            dtype, shape, flags, off = _parse_envelope(frame)
+            print(f"{args.input}: TPBA array envelope")
+            print(f"  dtype: {dtype}")
+            print(f"  shape: {shape}")
+            order = "F" if flags & 0x2 else "C"
+            print(f"  order: {order}")
+            if flags & 0x1:
+                print("  payload: empty array (no frame)")
+                return 0
+            frame = frame[off:]
         h = get_info(frame)
         n = get_decompressed_size(frame)
         print(f"{args.input}:")
@@ -145,6 +186,42 @@ def main(argv: list[str] | None = None) -> int:
             f"{args.input}: --codec {opts.codec.name.lower()} "
             f"--shuffle {'byte' if opts.shuffle == Shuffle.SHUFFLE else 'bit' if opts.shuffle == Shuffle.BITSHUFFLE else 'none'} "
             f"--typesize {opts.type_size}"
+        )
+        return 0
+
+    if args.cmd == "pack":
+        import numpy as np
+
+        from .array import pack_array
+
+        arr = np.load(args.input, allow_pickle=False)
+        opts = Options(
+            codec=_CODECS[args.codec], level=args.level,
+            shuffle=_SHUFFLES[args.shuffle],
+            type_size=min(arr.dtype.itemsize, 255),
+        )
+        packed = pack_array(arr, opts)
+        out = args.output or args.input + ".tpba"
+        with open(out, "wb") as f:
+            f.write(packed)
+        print(
+            f"{args.input}: {arr.nbytes:,} -> {len(packed):,} bytes "
+            f"(dtype {arr.dtype}, shape {arr.shape}) -> {out}"
+        )
+        return 0
+
+    if args.cmd == "unpack":
+        import numpy as np
+
+        from .array import unpack_array
+
+        with open(args.input, "rb") as f:
+            arr = unpack_array(f.read())
+        out = args.output or args.input + ".npy"
+        np.save(out, arr)
+        print(
+            f"{args.input}: dtype {arr.dtype}, shape {arr.shape}, "
+            f"{arr.nbytes:,} bytes -> {out}"
         )
         return 0
 

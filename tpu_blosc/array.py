@@ -77,9 +77,8 @@ def pack_array(arr: np.ndarray, opts: Options | None = None) -> bytes:
     return bytes(head) + frame
 
 
-def unpack_array(data) -> np.ndarray:
-    """Reconstruct the ndarray from a pack_array envelope."""
-    buf = bytes(data) if not isinstance(data, bytes) else data
+def _parse_envelope(buf: bytes) -> tuple[np.dtype, tuple, int, int]:
+    """Validate a TPBA envelope; return (dtype, shape, flags, payload_off)."""
     if len(buf) < 8 or buf[:4] != _MAGIC:
         raise InvalidHeaderError("blosc: invalid header: not a TPBA envelope")
     if buf[4] != _VERSION:
@@ -106,6 +105,13 @@ def unpack_array(data) -> np.ndarray:
         struct.unpack_from("<Q", buf, pos + 8 * i)[0] for i in range(ndim)
     )
     pos += 8 * ndim
+    return dtype, shape, flags, pos
+
+
+def unpack_array(data) -> np.ndarray:
+    """Reconstruct the ndarray from a pack_array envelope."""
+    buf = bytes(data) if not isinstance(data, bytes) else data
+    dtype, shape, flags, pos = _parse_envelope(buf)
 
     if flags & _FLAG_EMPTY:
         return np.empty(shape, dtype=dtype)
