@@ -143,32 +143,39 @@ def stage_device_filter() -> dict:
         .view(np.uint8)
         .reshape(N // BLOCK, BLOCK)
     )
-    jax.block_until_ready(arr)
+    arr_w = jax.device_put(
+        np.arange(N // 4, dtype=np.uint32).reshape(N // BLOCK, BLOCK // 4)
+    )
+    jax.block_until_ready((arr, arr_w))
     np.asarray(arr[0, :8])  # first fetch: timings lie before one (CLAUDE.md)
     out = {"device": jax.devices()[0].device_kind}
     K_LO, K_HI = 8, 72
 
-    def timed_loop(fn, k):
+    def timed_loop(fn, x, k):
         @jax.jit
         def prog(x):
-            return jax.lax.fori_loop(0, k, lambda i, a: fn(a, 4), x)
+            return jax.lax.fori_loop(0, k, lambda i, a: fn(a), x)
 
-        r = prog(arr)  # compile + warm
+        r = prog(x)  # compile + warm
         jax.block_until_ready(r)
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            r = prog(arr)
+            r = prog(x)
             jax.block_until_ready(r)
             best = min(best, time.perf_counter() - t0)
         return best
 
-    for key, fn in (
-        ("device_shuffle_gbps", fb._shuffle_batch_dev),
-        ("device_bitshuffle_gbps", fb._bit_shuffle_batch_dev),
+    for key, fn, x in (
+        ("device_shuffle_gbps", lambda a: fb._shuffle_batch_dev(a, 4), arr),
+        ("device_bitshuffle_gbps",
+         lambda a: fb._bit_shuffle_batch_dev(a, 4), arr),
+        # production ts=4 path for 4-byte dtypes (SWAR word transpose)
+        ("device_shuffle_u32_gbps", fb._shuffle_batch_dev_u32, arr_w),
+        ("device_unshuffle_u32_gbps", fb._unshuffle_batch_dev_u32, arr_w),
     ):
-        t_lo = timed_loop(fn, K_LO)
-        t_hi = timed_loop(fn, K_HI)
+        t_lo = timed_loop(fn, x, K_LO)
+        t_hi = timed_loop(fn, x, K_HI)
         per_iter = max((t_hi - t_lo) / (K_HI - K_LO), 1e-9)
         out[key] = N / per_iter / 1e9
     return out

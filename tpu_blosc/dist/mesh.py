@@ -95,6 +95,17 @@ def _unfilter_fn(mode: Shuffle):
     return None
 
 
+@partial(jax.jit, static_argnums=(1,), static_argnames=("mesh",))
+def _apply_sharded_words(x: jax.Array, fn, mesh: Mesh) -> jax.Array:
+    """Shard a (nb, words-per-block) word batch over the block axis and
+    apply a SWAR filter kernel per row (no communication; see
+    filters/batched._SWAR_SHUFFLE — ts=4 measured 142 vs 79 GB/s over the
+    byte-granular kernels, and the host u8<->word views are free)."""
+    sharding = NamedSharding(mesh, P(BLOCK_AXIS, None))
+    x = jax.lax.with_sharding_constraint(x, sharding)
+    return jax.lax.with_sharding_constraint(fn(x), sharding)
+
+
 @partial(jax.jit, static_argnums=(1, 2), static_argnames=("mesh",))
 def _filter_sharded(
     x: jax.Array, type_size: int, mode: Shuffle, mesh: Mesh
@@ -151,6 +162,12 @@ def filter_blocks_sharded(
             [arr, np.zeros((padded - nb, bs), dtype=np.uint8)], axis=0
         )
     sharding = NamedSharding(mesh, P(BLOCK_AXIS, None))
+    if mode == Shuffle.SHUFFLE and type_size in fb._SWAR_SHUFFLE:
+        w = fb._word_view(np.ascontiguousarray(arr), type_size)
+        if w is not None:
+            x = jax.device_put(w, sharding)
+            y = _apply_sharded_words(x, fb._SWAR_SHUFFLE[type_size], mesh=mesh)
+            return np.asarray(y).view(np.uint8)[:nb]
     x = jax.device_put(arr, sharding)
     y = _filter_sharded(x, type_size, mode, mesh=mesh)
     return np.asarray(y)[:nb]
@@ -175,6 +192,14 @@ def unfilter_blocks_sharded(
             [arr, np.zeros((padded - nb, bs), dtype=np.uint8)], axis=0
         )
     sharding = NamedSharding(mesh, P(BLOCK_AXIS, None))
+    if mode == Shuffle.SHUFFLE and type_size in fb._SWAR_UNSHUFFLE:
+        w = fb._word_view(np.ascontiguousarray(arr), type_size)
+        if w is not None:
+            x = jax.device_put(w, sharding)
+            y = _apply_sharded_words(
+                x, fb._SWAR_UNSHUFFLE[type_size], mesh=mesh
+            )
+            return np.asarray(y).view(np.uint8)[:nb]
     x = jax.device_put(arr, sharding)
     y = _unfilter_sharded(x, type_size, mode, mesh=mesh)
     return np.asarray(y)[:nb]
