@@ -37,6 +37,8 @@ DEVICE_FLOORS = {
     "device_shuffle_gbps": 25.0,      # typical 80 (slope-timed)
     "device_shuffle_u32_gbps": 45.0,  # typical 142 (SWAR word transpose)
     "device_unshuffle_u32_gbps": 30.0,  # typical 101
+    "device_bitshuffle_u32_gbps": 30.0,    # typical 97
+    "device_bitunshuffle_u32_gbps": 30.0,  # typical 95
     "device_bitshuffle_gbps": 12.0,   # typical 39 (slope-timed)
     "device_match_speedup": 1.5,      # typical 2.2-2.7
     "device_decode_fill_gbps": 0.4,   # typical 1.4-2 (scatter-bound)

@@ -42,6 +42,52 @@ def test_swar_unshuffle_matches_u8_kernel(ts):
     assert np.array_equal(ref, got)
 
 
+@pytest.mark.parametrize("ts", [2, 4, 8])
+@pytest.mark.parametrize("bs", [4096, 1024, 64])
+def test_swar_bit_shuffle_matches_u8_kernel(ts, bs):
+    arr = RNG.integers(0, 256, size=(5, bs), dtype=np.uint8)
+    ref = np.asarray(fb._bit_shuffle_batch_dev(jnp.asarray(arr), ts))
+    got = fb.bit_shuffle_batch(arr, ts)
+    assert np.array_equal(ref, got)
+    refu = np.asarray(fb._bit_unshuffle_batch_dev(jnp.asarray(arr), ts))
+    gotu = fb.bit_unshuffle_batch(arr, ts)
+    assert np.array_equal(refu, gotu)
+    assert np.array_equal(fb.bit_unshuffle_batch(got, ts), arr)
+
+
+@pytest.mark.parametrize(
+    "dtype", ["bfloat16", np.float16, np.float32, np.float64]
+)
+def test_device_prep_bitshuffle_swar_byte_identical(dtype):
+    n_el, bs = 4096, 512
+    if dtype == "bfloat16":
+        x = jnp.asarray(RNG.random(n_el, dtype=np.float32), dtype=jnp.bfloat16)
+    else:
+        x = jnp.asarray((RNG.random(n_el) * 100).astype(dtype))
+    tsz = x.dtype.itemsize
+    nb = (n_el * tsz) // bs - 1  # leave a tail
+    f8, t8 = tbdev._device_filter_prep(x, nb, bs, tsz, 2, False)
+    fw, tw = tbdev._device_filter_prep(x, nb, bs, tsz, 2, True)
+    assert np.asarray(fw).dtype != np.uint8  # the SWAR branch engaged
+    assert (
+        np.ascontiguousarray(np.asarray(fw)).tobytes()
+        == np.asarray(f8).tobytes()
+    )
+    assert np.asarray(tw).tobytes() == np.asarray(t8).tobytes()
+
+
+def test_compress_array_bitshuffle_bit_identical_to_host():
+    x = jnp.asarray(np.linspace(0, 1, 200_000), dtype=jnp.float32)
+    host_bytes = np.asarray(x).tobytes()
+    from tpu_blosc.format import Shuffle
+
+    opts = Options(type_size=4, shuffle=Shuffle.BITSHUFFLE)
+    frame_dev = tbdev.compress_array(x, opts)
+    frame_host = blosc.compress_with_options(host_bytes, opts)
+    assert frame_dev == frame_host
+    assert blosc.decompress(frame_dev) == host_bytes
+
+
 def test_swar_skips_unaligned_block_size():
     # bs=24: multiple of ts=8 but not of the ts=8 SWAR quantum (32) —
     # must fall back to the generic kernel, still correct

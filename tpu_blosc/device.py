@@ -86,6 +86,30 @@ def _device_filter_prep(
         else:
             tail = jnp.zeros((0,), jnp.uint8)
         return filtered, tail
+    if (
+        u32_ok
+        and mode == int(Shuffle.BITSHUFFLE)
+        and type_size in fb._SWAR_BIT_SHUFFLE
+        and flat.dtype.itemsize == type_size
+        and bs % fb._SWAR_BIT_SHUFFLE[type_size][1] == 0
+        and (type_size != 2 or flat.size % 2 == 0)
+    ):
+        fn = fb._SWAR_BIT_SHUFFLE[type_size][0]
+        if type_size == 2:
+            w16 = jax.lax.bitcast_convert_type(flat, jnp.uint16)
+            words = jax.lax.bitcast_convert_type(
+                w16.reshape(-1, 2), jnp.uint32
+            )
+        else:
+            words = jax.lax.bitcast_convert_type(flat, jnp.uint32).reshape(-1)
+        wpb = bs // 4
+        filtered = fn(words[: nb * wpb].reshape(nb, wpb))
+        tail_w = words[nb * wpb :]
+        if tail_w.size:
+            tail = jax.lax.bitcast_convert_type(tail_w, jnp.uint8).reshape(-1)
+        else:
+            tail = jnp.zeros((0,), jnp.uint8)
+        return filtered, tail
     if flat.dtype != jnp.uint8:
         x_bytes = jax.lax.bitcast_convert_type(flat, jnp.uint8).reshape(-1)
     else:

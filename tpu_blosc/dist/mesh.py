@@ -162,15 +162,30 @@ def filter_blocks_sharded(
             [arr, np.zeros((padded - nb, bs), dtype=np.uint8)], axis=0
         )
     sharding = NamedSharding(mesh, P(BLOCK_AXIS, None))
-    if mode == Shuffle.SHUFFLE and type_size in fb._SWAR_SHUFFLE:
-        w = fb._word_view(np.ascontiguousarray(arr), type_size)
-        if w is not None:
-            x = jax.device_put(w, sharding)
-            y = _apply_sharded_words(x, fb._SWAR_SHUFFLE[type_size], mesh=mesh)
-            return np.asarray(y).view(np.uint8)[:nb]
+    w, fn = _swar_route(arr, type_size, mode, fb._SWAR_SHUFFLE,
+                        fb._SWAR_BIT_SHUFFLE)
+    if w is not None:
+        x = jax.device_put(w, sharding)
+        y = _apply_sharded_words(x, fn, mesh=mesh)
+        return np.asarray(y).view(np.uint8)[:nb]
     x = jax.device_put(arr, sharding)
     y = _filter_sharded(x, type_size, mode, mesh=mesh)
     return np.asarray(y)[:nb]
+
+
+def _swar_route(arr, type_size, mode, byte_tbl, bit_tbl):
+    """Pick the SWAR word kernel + free host word view for this filter
+    mode, or (None, None) when only the byte-granular path applies."""
+    if mode == Shuffle.SHUFFLE and type_size in byte_tbl:
+        return fb._word_view(np.ascontiguousarray(arr), type_size), byte_tbl[
+            type_size
+        ]
+    if mode == Shuffle.BITSHUFFLE and type_size in bit_tbl:
+        fn, quant = bit_tbl[type_size]
+        return fb._view_as(
+            np.ascontiguousarray(arr), np.uint32, quant
+        ), fn
+    return None, None
 
 
 def unfilter_blocks_sharded(
@@ -192,14 +207,12 @@ def unfilter_blocks_sharded(
             [arr, np.zeros((padded - nb, bs), dtype=np.uint8)], axis=0
         )
     sharding = NamedSharding(mesh, P(BLOCK_AXIS, None))
-    if mode == Shuffle.SHUFFLE and type_size in fb._SWAR_UNSHUFFLE:
-        w = fb._word_view(np.ascontiguousarray(arr), type_size)
-        if w is not None:
-            x = jax.device_put(w, sharding)
-            y = _apply_sharded_words(
-                x, fb._SWAR_UNSHUFFLE[type_size], mesh=mesh
-            )
-            return np.asarray(y).view(np.uint8)[:nb]
+    w, fn = _swar_route(arr, type_size, mode, fb._SWAR_UNSHUFFLE,
+                        fb._SWAR_BIT_UNSHUFFLE)
+    if w is not None:
+        x = jax.device_put(w, sharding)
+        y = _apply_sharded_words(x, fn, mesh=mesh)
+        return np.asarray(y).view(np.uint8)[:nb]
     x = jax.device_put(arr, sharding)
     y = _unfilter_sharded(x, type_size, mode, mesh=mesh)
     return np.asarray(y)[:nb]

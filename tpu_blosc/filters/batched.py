@@ -12,16 +12,18 @@ reach this layer (chunk.py keeps the final short block on the host path).
 
 Performance note (measured on the attached TPU v5e, 64 MiB batches,
 loop-slope timing — per-call timings are async-contaminated, see
-CLAUDE.md): byte shuffle ts=4 runs ~80 GB/s processed with the two-stage
-sub-tile decomposition (vs 60 for the plain reshape-transpose), inverse
-~55, bitshuffle ~46 / bitunshuffle ~56 with the SWAR two-word bit
-transpose (jaxops._bit_transpose_groups; was 38/45 unrolled).  Byte-
-granular relayouts are the cost — the streaming ceiling on this chip is
-~400 GB/s (819 GB/s HBM, read+write) and elementwise loop bodies that
-stay VMEM-resident measure in TB/s.  Earlier TB/s claims for these
-transposes were artifacts of per-call timing.  Hand-written Pallas
-equivalents of the lane regroupings do not lower through Mosaic
-(strided lane slice → gather; see pallas_kernels.py's record).
+CLAUDE.md): byte-granular relayouts are the cost on this chip — the
+streaming ceiling is ~400 GB/s (819 GB/s HBM, read+write) and
+elementwise loop bodies that stay VMEM-resident measure in TB/s.  The
+SWAR word kernels (`_SWAR_SHUFFLE`/`_SWAR_BIT_SHUFFLE` tables) therefore
+run the whole transform in u16/u32 registers: shuffle 85/142/106 GB/s at
+ts=2/4/8 (u8 kernels: 41/81/79), bitshuffle 117/101/67 (u8: 28/46/41),
+inverses 59-100 (full matrix in BASELINE.md).  The word views are free
+from host buffers (np .view) and from same-width device dtypes
+(bitcast); bitcasting a device u8 array to words is itself a relayout
+and loses the gain.  Hand-written Pallas equivalents of the lane
+regroupings do not lower through Mosaic (strided lane slice → gather;
+see pallas_kernels.py's record).
 """
 
 from __future__ import annotations
@@ -165,23 +167,205 @@ def _shuffle_batch_dev_u32_ts8(xw: jax.Array) -> jax.Array:
 
 @jax.jit
 def _unshuffle_batch_dev_u32_ts8(xw: jax.Array) -> jax.Array:
-    """Inverse of _shuffle_batch_dev_u32_ts8."""
+    """Inverse of _shuffle_batch_dev_u32_ts8.
+
+    One flat 8-array interleave (l_i = lo word of element 4j+i, h_i its
+    hi word) — the staged stack-4+reshape+stack-2 form measured 40.8 vs
+    92.4 GB/s for this single-stack pattern."""
     nb, ne = xw.shape
     q = xw.reshape(nb, 8, ne // 8)
     l0, l1, l2, l3 = _t4x4(q[:, 0], q[:, 1], q[:, 2], q[:, 3])
     h0, h1, h2, h3 = _t4x4(q[:, 4], q[:, 5], q[:, 6], q[:, 7])
-    lo = jnp.stack([l0, l1, l2, l3], axis=-1).reshape(nb, ne // 2)
-    hi = jnp.stack([h0, h1, h2, h3], axis=-1).reshape(nb, ne // 2)
-    return jnp.stack([lo, hi], axis=-1).reshape(nb, ne)
+    return jnp.stack(
+        [l0, h0, l1, h1, l2, h2, l3, h3], axis=-1
+    ).reshape(nb, ne)
+
+
+def _bswap32(x):
+    return (
+        (x >> 24)
+        | ((x >> 8) & jnp.uint32(0x0000FF00))
+        | ((x << 8) & jnp.uint32(0x00FF0000))
+        | (x << 24)
+    )
+
+
+def _bit_t8x8_words(a, b):
+    """8x8 MSB-first bit transpose over 8 plane bytes held in two LE u32
+    words (a = bytes 0-3, b = bytes 4-7 of the plane).  Hacker's Delight
+    transpose8 on the byteswapped (BE) words, byteswapped back — the same
+    transform as jaxops._bit_transpose_groups, staying in word registers."""
+    x, y = _bswap32(a), _bswap32(b)
+    t = (x ^ (x >> 7)) & jnp.uint32(0x00AA00AA)
+    x = x ^ t ^ (t << 7)
+    t = (y ^ (y >> 7)) & jnp.uint32(0x00AA00AA)
+    y = y ^ t ^ (t << 7)
+    t = (x ^ (x >> 14)) & jnp.uint32(0x0000CCCC)
+    x = x ^ t ^ (t << 14)
+    t = (y ^ (y >> 14)) & jnp.uint32(0x0000CCCC)
+    y = y ^ t ^ (t << 14)
+    t = (x & jnp.uint32(0xF0F0F0F0)) | ((y >> 4) & jnp.uint32(0x0F0F0F0F))
+    y = ((x << 4) & jnp.uint32(0xF0F0F0F0)) | (y & jnp.uint32(0x0F0F0F0F))
+    return _bswap32(t), _bswap32(y)
+
+
+@jax.jit
+def _bit_shuffle_batch_dev_u32(xw: jax.Array) -> jax.Array:
+    """ts=4 bitshuffle over (nb, bs//4) uint32 rows (bs % 32 == 0).
+
+    A group is 8 consecutive elements = 8 words.  Byte-plane regroup is
+    two 4x4 SWAR transposes (plane k -> words a_k: bytes k of e0..e3,
+    b_k: of e4..e7); each plane's 8 bytes then bit-transpose in-register
+    (_bit_t8x8_words); output interleave [a0 b0 a1 b1 ...] is the only
+    relayout and it is word-granular."""
+    nb, ne = xw.shape
+    r = xw.reshape(nb, ne // 8, 8)
+    a0, a1, a2, a3 = _t4x4(r[..., 0], r[..., 1], r[..., 2], r[..., 3])
+    b0, b1, b2, b3 = _t4x4(r[..., 4], r[..., 5], r[..., 6], r[..., 7])
+    outs = []
+    for ak, bk in ((a0, b0), (a1, b1), (a2, b2), (a3, b3)):
+        outs.extend(_bit_t8x8_words(ak, bk))
+    return jnp.stack(outs, axis=-1).reshape(nb, ne)
+
+
+@jax.jit
+def _bit_unshuffle_batch_dev_u32(xw: jax.Array) -> jax.Array:
+    """Inverse of _bit_shuffle_batch_dev_u32."""
+    nb, ne = xw.shape
+    r = xw.reshape(nb, ne // 8, 8)
+    planes = [
+        _bit_t8x8_words(r[..., 2 * k], r[..., 2 * k + 1]) for k in range(4)
+    ]
+    e0, e1, e2, e3 = _t4x4(*(p[0] for p in planes))
+    e4, e5, e6, e7 = _t4x4(*(p[1] for p in planes))
+    return jnp.stack([e0, e1, e2, e3, e4, e5, e6, e7], axis=-1).reshape(
+        nb, ne
+    )
+
+
+@jax.jit
+def _bit_shuffle_batch_dev_u32_ts2(xw: jax.Array) -> jax.Array:
+    """ts=2 bitshuffle over (nb, bs//4) uint32 rows (bs % 16 == 0).
+
+    A group is 8 consecutive 2-byte elements = 4 words (2 elements per
+    word).  Byte planes extract via mask-and-pack (b0s sit at bytes 0,2
+    of each word), bit-transpose in-register, word-granular interleave."""
+    nb, ne = xw.shape
+    r = xw.reshape(nb, ne // 4, 4)
+    m = jnp.uint32(0x00FF00FF)
+    lo16 = jnp.uint32(0x0000FFFF)
+
+    def plane(w01, w23, shift):
+        t0 = (w01 >> shift) & m
+        t1 = (w23 >> shift) & m
+        p0 = (t0 | (t0 >> 8)) & lo16
+        p1 = (t1 | (t1 >> 8)) & lo16
+        return p0, p1
+
+    def pair(wa, wb, shift):
+        a0, a1 = plane(wa, wb, shift)
+        return a0 | (a1 << 16)
+
+    # plane0: byte0 of e0..e3 from words 0-1, of e4..e7 from words 2-3
+    a0 = pair(r[..., 0], r[..., 1], 0)
+    b0 = pair(r[..., 2], r[..., 3], 0)
+    a1 = pair(r[..., 0], r[..., 1], 8)
+    b1 = pair(r[..., 2], r[..., 3], 8)
+    t = [*_bit_t8x8_words(a0, b0), *_bit_t8x8_words(a1, b1)]
+    return jnp.stack(t, axis=-1).reshape(nb, ne)
+
+
+@jax.jit
+def _bit_unshuffle_batch_dev_u32_ts2(xw: jax.Array) -> jax.Array:
+    """Inverse of _bit_shuffle_batch_dev_u32_ts2."""
+    nb, ne = xw.shape
+    r = xw.reshape(nb, ne // 4, 4)
+    a0, b0 = _bit_t8x8_words(r[..., 0], r[..., 1])
+    a1, b1 = _bit_t8x8_words(r[..., 2], r[..., 3])
+
+    def weave(x, y):
+        # bytes of x = b0 of 4 elements, y = b1 of the same 4; byte-
+        # interleave into the elements' 2 LE words
+        mlo, mhi = jnp.uint32(0xFF), jnp.uint32(0xFF00)
+        w0 = (
+            (x & mlo) | ((y & mlo) << 8) | ((x & mhi) << 8)
+            | ((y & mhi) << 16)
+        )
+        xh, yh = x >> 16, y >> 16
+        w1 = (
+            (xh & mlo) | ((yh & mlo) << 8) | ((xh & mhi) << 8)
+            | ((yh & mhi) << 16)
+        )
+        return w0, w1
+
+    w0, w1 = weave(a0, a1)
+    w2, w3 = weave(b0, b1)
+    return jnp.stack([w0, w1, w2, w3], axis=-1).reshape(nb, ne)
+
+
+@jax.jit
+def _bit_shuffle_batch_dev_u32_ts8(xw: jax.Array) -> jax.Array:
+    """ts=8 bitshuffle over (nb, bs//4) uint32 rows (bs % 64 == 0).
+
+    A group is 8 consecutive 8-byte elements = 16 words (element = lo,hi
+    word pair).  Planes 0-3 come from the lo words, 4-7 from the hi
+    words, each via 4x4 SWAR; then per-plane in-register bit transpose."""
+    nb, ne = xw.shape
+    r = xw.reshape(nb, ne // 16, 16)
+    outs = []
+    for half in (0, 1):  # lo words -> planes 0-3, hi words -> planes 4-7
+        a = _t4x4(r[..., half], r[..., 2 + half], r[..., 4 + half],
+                  r[..., 6 + half])
+        b = _t4x4(r[..., 8 + half], r[..., 10 + half], r[..., 12 + half],
+                  r[..., 14 + half])
+        for k in range(4):
+            outs.extend(_bit_t8x8_words(a[k], b[k]))
+    return jnp.stack(outs, axis=-1).reshape(nb, ne)
+
+
+@jax.jit
+def _bit_unshuffle_batch_dev_u32_ts8(xw: jax.Array) -> jax.Array:
+    """Inverse of _bit_shuffle_batch_dev_u32_ts8."""
+    nb, ne = xw.shape
+    r = xw.reshape(nb, ne // 16, 16)
+    planes = [
+        _bit_t8x8_words(r[..., 2 * k], r[..., 2 * k + 1]) for k in range(8)
+    ]
+    lo_a = _t4x4(*(planes[k][0] for k in range(4)))   # lo words of e0..e3
+    lo_b = _t4x4(*(planes[k][1] for k in range(4)))   # lo words of e4..e7
+    hi_a = _t4x4(*(planes[4 + k][0] for k in range(4)))
+    hi_b = _t4x4(*(planes[4 + k][1] for k in range(4)))
+    words = []
+    for part_lo, part_hi in ((lo_a, hi_a), (lo_b, hi_b)):
+        for i in range(4):
+            words.extend((part_lo[i], part_hi[i]))
+    return jnp.stack(words, axis=-1).reshape(nb, ne)
+
+
+_SWAR_BIT_SHUFFLE = {
+    2: (_bit_shuffle_batch_dev_u32_ts2, 16),
+    4: (_bit_shuffle_batch_dev_u32, 32),
+    8: (_bit_shuffle_batch_dev_u32_ts8, 64),
+}
+_SWAR_BIT_UNSHUFFLE = {
+    2: (_bit_unshuffle_batch_dev_u32_ts2, 16),
+    4: (_bit_unshuffle_batch_dev_u32, 32),
+    8: (_bit_unshuffle_batch_dev_u32_ts8, 64),
+}
+
+
+#: byte-shuffle SWAR word dtype and block-size quantum per type_size
+_SWAR_QUANTA = {2: (np.uint16, 4), 4: (np.uint32, 16), 8: (np.uint32, 32)}
 
 
 def _word_view(arr: np.ndarray, type_size: int) -> np.ndarray | None:
-    """Free reinterpretation of (nb, bs) u8 rows as SWAR words for the
-    given type_size (u16 for ts=2, u32 for ts=4/8), when alignment and
-    shape allow."""
-    wdt, quant = {2: (np.uint16, 4), 4: (np.uint32, 16), 8: (np.uint32, 32)}[
-        type_size
-    ]
+    """Free reinterpretation of (nb, bs) u8 rows as byte-shuffle SWAR
+    words (u16 for ts=2, u32 for ts=4/8), when alignment/shape allow."""
+    wdt, quant = _SWAR_QUANTA[type_size]
+    return _view_as(arr, wdt, quant)
+
+
+def _view_as(arr: np.ndarray, wdt, quant: int) -> np.ndarray | None:
     if arr.shape[1] % quant:
         return None
     try:
@@ -234,10 +418,20 @@ def bit_shuffle_batch(arr: np.ndarray, type_size: int) -> np.ndarray:
     """Bit-shuffle each row; bs must be a multiple of 8*ts (full groups)."""
     if arr.shape[1] % (8 * type_size):
         raise ValueError("block size must be a multiple of 8*type_size")
+    if type_size in _SWAR_BIT_SHUFFLE:
+        fn, quant = _SWAR_BIT_SHUFFLE[type_size]
+        w = _view_as(arr, np.uint32, quant)
+        if w is not None:
+            return np.asarray(fn(jnp.asarray(w))).view(np.uint8)
     return _run(_bit_shuffle_batch_dev, arr, type_size)
 
 
 def bit_unshuffle_batch(arr: np.ndarray, type_size: int) -> np.ndarray:
     if arr.shape[1] % (8 * type_size):
         raise ValueError("block size must be a multiple of 8*type_size")
+    if type_size in _SWAR_BIT_UNSHUFFLE:
+        fn, quant = _SWAR_BIT_UNSHUFFLE[type_size]
+        w = _view_as(arr, np.uint32, quant)
+        if w is not None:
+            return np.asarray(fn(jnp.asarray(w))).view(np.uint8)
     return _run(_bit_unshuffle_batch_dev, arr, type_size)
