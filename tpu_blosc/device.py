@@ -73,13 +73,19 @@ def _device_filter_prep(
         and flat.dtype.itemsize == type_size
         and bs % {2: 4, 4: 16, 8: 32}[type_size] == 0
     ):
+        # ts=2 stays in same-width u16 words on device: widening the
+        # bitcast to u32 would itself be a lane repack (host buffers get
+        # the faster u32 ts2 kernel through the free np view instead)
         wsize = 2 if type_size == 2 else 4
         wdt = jnp.uint16 if wsize == 2 else jnp.uint32
+        kern = (
+            fb._shuffle_batch_dev_u16
+            if type_size == 2
+            else fb._SWAR_SHUFFLE[type_size]
+        )
         words = jax.lax.bitcast_convert_type(flat, wdt).reshape(-1)
         wpb = bs // wsize
-        filtered = fb._SWAR_SHUFFLE[type_size](
-            words[: nb * wpb].reshape(nb, wpb)
-        )
+        filtered = kern(words[: nb * wpb].reshape(nb, wpb))
         tail_w = words[nb * wpb :]
         if tail_w.size:
             tail = jax.lax.bitcast_convert_type(tail_w, jnp.uint8).reshape(-1)
