@@ -68,7 +68,10 @@ def test_device_prep_bitshuffle_swar_byte_identical(dtype):
     nb = (n_el * tsz) // bs - 1  # leave a tail
     f8, t8 = tbdev._device_filter_prep(x, nb, bs, tsz, 2, False)
     fw, tw = tbdev._device_filter_prep(x, nb, bs, tsz, 2, True)
-    assert np.asarray(fw).dtype != np.uint8  # the SWAR branch engaged
+    if tsz in (4, 8):
+        # SWAR branch engaged; ts=2 stays u8 on device (the widening
+        # u16->u32 bitcast materializes lane-padded 64x — see prep)
+        assert np.asarray(fw).dtype != np.uint8
     assert (
         np.ascontiguousarray(np.asarray(fw)).tobytes()
         == np.asarray(f8).tobytes()

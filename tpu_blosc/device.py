@@ -85,7 +85,15 @@ def _device_filter_prep(
         )
         words = jax.lax.bitcast_convert_type(flat, wdt).reshape(-1)
         wpb = bs // wsize
-        filtered = kern(words[: nb * wpb].reshape(nb, wpb))
+        # the barrier forces the (nb, wpb) word view to materialize in a
+        # clean default layout BEFORE the SWAR picks: fused, XLA
+        # materializes the kernel's (nb, wpb//4, 4) view instead — lane
+        # dim 4 padded to 128 = 32x HBM blowup (measured 8.9 vs 47.9
+        # GB/s at 256 MiB; 512 MiB OOMs outright)
+        words2d = jax.lax.optimization_barrier(
+            words[: nb * wpb].reshape(nb, wpb)
+        )
+        filtered = kern(words2d)
         tail_w = words[nb * wpb :]
         if tail_w.size:
             tail = jax.lax.bitcast_convert_type(tail_w, jnp.uint8).reshape(-1)
@@ -95,21 +103,21 @@ def _device_filter_prep(
     if (
         u32_ok
         and mode == int(Shuffle.BITSHUFFLE)
-        and type_size in fb._SWAR_BIT_SHUFFLE
+        and type_size in (4, 8)  # ts=2 would need a widening u16->u32
+        # bitcast whose (n, 2) operand XLA materializes lane-padded 64x
+        # (32 GiB at 256 MiB input — measured OOM); device ts=2
+        # bitshuffle stays on the u8 path, host views stay SWAR
         and flat.dtype.itemsize == type_size
         and bs % fb._SWAR_BIT_SHUFFLE[type_size][1] == 0
-        and (type_size != 2 or flat.size % 2 == 0)
     ):
         fn = fb._SWAR_BIT_SHUFFLE[type_size][0]
-        if type_size == 2:
-            w16 = jax.lax.bitcast_convert_type(flat, jnp.uint16)
-            words = jax.lax.bitcast_convert_type(
-                w16.reshape(-1, 2), jnp.uint32
-            )
-        else:
-            words = jax.lax.bitcast_convert_type(flat, jnp.uint32).reshape(-1)
+        words = jax.lax.bitcast_convert_type(flat, jnp.uint32).reshape(-1)
         wpb = bs // 4
-        filtered = fn(words[: nb * wpb].reshape(nb, wpb))
+        # same materialization barrier as the byte-shuffle branch above
+        words2d = jax.lax.optimization_barrier(
+            words[: nb * wpb].reshape(nb, wpb)
+        )
+        filtered = fn(words2d)
         tail_w = words[nb * wpb :]
         if tail_w.size:
             tail = jax.lax.bitcast_convert_type(tail_w, jnp.uint8).reshape(-1)
