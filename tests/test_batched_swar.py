@@ -124,6 +124,81 @@ def test_device_prep_swar_byte_identical(dtype):
     assert np.asarray(tw).tobytes() == np.asarray(t8).tobytes()
 
 
+class TestDeviceDecodeStrategy:
+    """strategy='device': host codec decode + on-device SWAR unfilter."""
+
+    def _frame(self, data, shuffle=None, block=65536):
+        from tpu_blosc.format import Shuffle
+
+        opts = Options(
+            type_size=data.dtype.itemsize,
+            block_size=block,
+            **({"shuffle": shuffle} if shuffle is not None else {}),
+        )
+        return blosc.compress_with_options(data.tobytes(), opts)
+
+    @pytest.mark.parametrize("shuffle_name", ["shuffle", "bitshuffle"])
+    def test_matches_transfer(self, shuffle_name):
+        from tpu_blosc.format import Shuffle
+
+        sh = (
+            Shuffle.SHUFFLE if shuffle_name == "shuffle"
+            else Shuffle.BITSHUFFLE
+        )
+        data = (np.arange(300_000) % 911).astype(np.float32)
+        frame = self._frame(data, sh)
+        got = tbdev.decompress_array(frame, np.float32, strategy="device")
+        ref = tbdev.decompress_array(frame, np.float32, strategy="transfer")
+        assert np.array_equal(np.asarray(got), np.asarray(ref))
+        assert np.array_equal(np.asarray(got), data)
+
+    def test_ragged_tail(self):
+        data = (np.arange(70_003) % 257).astype(np.int32)
+        frame = self._frame(data)
+        got = tbdev.decompress_array(frame, np.int32, strategy="device")
+        assert np.array_equal(np.asarray(got), data)
+
+    def test_memcpy_blocks_pass_through_raw(self):
+        rng = np.random.default_rng(7)
+        # first half compressible, second half uniform-random u32 bytes —
+        # incompressible even shuffled, so those blocks memcpy raw bytes
+        data = np.concatenate([
+            (np.arange(65536) % 100).astype(np.uint32),
+            rng.integers(0, 2**32, 65536, dtype=np.uint32),
+        ])
+        frame = self._frame(data, block=32768)
+        from tpu_blosc import chunk as _chunk
+        from tpu_blosc.format import parse_header
+
+        entries, _ = _chunk.parse_block_table(frame, parse_header(frame))
+        assert any(m for _, m in entries)  # the fixture really mixes modes
+        got = tbdev.decompress_array(frame, np.uint32, strategy="device")
+        assert np.array_equal(np.asarray(got), data)
+
+    def test_falls_back_for_ts2(self):
+        data = (np.arange(200_000) % 300).astype(np.int16)
+        frame = self._frame(data)
+        got = tbdev.decompress_array(frame, np.int16, strategy="device")
+        assert np.array_equal(np.asarray(got), data)
+
+    def test_shape_and_sharding(self):
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from tpu_blosc.dist.mesh import block_mesh
+
+        data = (np.arange(2**18) % 512).astype(np.float32)
+        frame = self._frame(data)
+        mesh = block_mesh()
+        sh = NamedSharding(mesh, P("blocks"))
+        got = tbdev.decompress_array(
+            frame, np.float32, shape=(512, 512), sharding=sh,
+            strategy="device",
+        )
+        assert got.shape == (512, 512)
+        assert np.array_equal(np.asarray(got).reshape(-1), data)
+
+
 def test_compress_array_bf16_bit_identical_to_host():
     x = jnp.asarray(np.arange(100_000) % 311, dtype=jnp.bfloat16)
     host_bytes = np.asarray(x).tobytes()
