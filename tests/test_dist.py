@@ -183,7 +183,31 @@ def test_mesh_compress_return_stats():
     assert blosc.decompress(frame) == data
     nb_full = len(data) // 16384
     assert stats.histogram.shape == (256,)
-    assert int(stats.histogram.sum()) == nb_full * 16384
+    # the histogram covers a uniform chunk sample of the filtered bytes
+    # (exact accounting via sample_bytes; == all real bytes when the
+    # per-device shard fits under the sampling cap)
+    assert int(stats.histogram.sum()) == stats.sample_bytes
+    assert 0 < stats.sample_bytes <= nb_full * 16384
     assert stats.block_diffs.shape == (nb_full,)
     # shuffled ramp planes are run-dominated: few diffs per block
     assert (stats.block_diffs < 16384).all()
+
+
+def test_mesh_stats_histogram_sampling_engages():
+    """Above the per-device cap the histogram covers a strict uniform
+    sample (full scatter histograms sort on TPU: 616 ms at 64 MiB), with
+    sample_bytes giving the exact coverage and padding rows excluded."""
+    from tpu_blosc.dist import mesh as tb_mesh
+
+    # 6 MiB over 4 devices = 1.5 MiB/shard >> the 256 KiB cap; block
+    # count chosen to force zero-padding rows on the last shard
+    data = (np.arange((6 << 20) // 4, dtype=np.uint32) % 65536).tobytes()
+    opts = blosc.Options(block_size=1 << 20)
+    m = tb_mesh.block_mesh(4)
+    frame, stats = tb_mesh.compress_chunked_mesh(
+        data, opts, mesh=m, return_stats=True
+    )
+    assert blosc.decompress(frame) == data
+    assert 0 < stats.sample_bytes < len(data)
+    assert int(stats.histogram.sum()) == stats.sample_bytes
+    assert (stats.histogram >= 0).all()

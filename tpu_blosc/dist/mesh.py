@@ -227,15 +227,54 @@ def unfilter_blocks_sharded(
 class MeshStats:
     """Cross-chip metadata from the sharded filter step.
 
-    ``histogram`` is the psum-reduced byte histogram of the filtered
-    stream (entropy proxy, same signal suggest_codec uses); ``block_diffs``
-    is the all_gathered per-block count of bytes differing from their
-    predecessor (run-structure proxy) in header order.  Both ride ICI as
-    explicit collectives inside the shard_map step.
+    ``histogram`` is the psum-reduced byte histogram of a UNIFORM CHUNK
+    SAMPLE of the filtered stream (entropy proxy, same signal
+    suggest_codec uses) covering ``sample_bytes`` bytes — at most
+    ~_HIST_CAP per device.  Full-stream scatter histograms lower to
+    sorts on TPU (measured 616 ms on 64 MiB vs ~0.6 ms of filter work;
+    the 256 KiB sample costs ~3 ms) so exactness is not worth 1000x.
+    When the shard fits under the cap the sample IS the full stream.
+    ``block_diffs`` is the all_gathered per-block count of bytes
+    differing from their predecessor (run-structure proxy) in header
+    order, exact.  Both ride ICI as explicit collectives inside the
+    shard_map step.
     """
 
     histogram: np.ndarray
     block_diffs: np.ndarray
+    sample_bytes: int = 0
+
+
+#: histogram sampling: 512-byte chunks, at most ~256 KiB per device
+_HIST_CHUNK = 512
+_HIST_CAP = 256 << 10
+
+
+def _hist_stride(n_chunks: int) -> int:
+    return max(1, n_chunks // (_HIST_CAP // _HIST_CHUNK))
+
+
+def _hist_sample_accounting(
+    n_shards: int, per: int, block_size: int, nb_full: int
+) -> tuple[int, int]:
+    """(total sampled bytes, sampled bytes that fall in zero padding
+    rows) for the step's per-device chunk sampling — same static layout
+    the traced step uses."""
+    shard_bytes = per * block_size
+    sample = pad = 0
+    for d in range(n_shards):
+        real_b = max(0, min(nb_full - d * per, per)) * block_size
+        if shard_bytes % _HIST_CHUNK:
+            sample += shard_bytes
+            pad += shard_bytes - real_b
+            continue
+        nch = shard_bytes // _HIST_CHUNK
+        starts = np.arange(0, nch, _hist_stride(nch)) * _HIST_CHUNK
+        sample += starts.size * _HIST_CHUNK
+        pad += int(
+            np.clip(starts + _HIST_CHUNK - real_b, 0, _HIST_CHUNK).sum()
+        )
+    return sample, pad
 
 
 _filter_step_cache: dict = {}
@@ -258,8 +297,13 @@ def _mesh_filter_step(mesh: Mesh, type_size: int, mode: Shuffle):
 
     def step(x):
         y = filt(x, type_size) if filt is not None else x
-        flat = y.reshape(-1)
-        hist = jnp.zeros((256,), jnp.int32).at[flat].add(1)
+        if y.size % _HIST_CHUNK == 0:
+            ch = y.reshape(-1, _HIST_CHUNK)
+            stride = _hist_stride(ch.shape[0])
+            samp = ch[::stride].reshape(-1)  # major-dim stride: cheap
+        else:  # odd geometry: exact histogram (such shards are small)
+            samp = y.reshape(-1)
+        hist = jnp.zeros((256,), jnp.int32).at[samp].add(1)
         hist = jax.lax.psum(hist, BLOCK_AXIS)
         diffs = (y[:, 1:] != y[:, :-1]).sum(axis=1, dtype=jnp.int32)
         diffs = jax.lax.all_gather(diffs, BLOCK_AXIS, tiled=True)
@@ -338,12 +382,17 @@ def compress_chunked_mesh(
         y, hist, diffs = step(x)
         shuffled = np.asarray(y)[:nb_full]
         hist_np = np.asarray(hist).copy()
-        # padding rows are all-zero; remove their contribution so the
-        # histogram covers exactly the nb_full real blocks
-        hist_np[0] -= (padded - nb_full) * block_size
+        # padding rows are all-zero; remove their sampled contribution so
+        # the histogram covers real bytes only (mirror of the step's
+        # static chunk-sampling layout, per device shard)
+        sample_bytes, pad_bytes = _hist_sample_accounting(
+            n_shards, per, block_size, nb_full
+        )
+        hist_np[0] -= pad_bytes
         stats = MeshStats(
             histogram=hist_np,
             block_diffs=np.asarray(diffs)[:nb_full],
+            sample_bytes=sample_bytes - pad_bytes,
         )
         filtered = [shuffled[i].tobytes() for i in range(nb_full)]
     if tail:
