@@ -23,9 +23,11 @@ from tpu_blosc.options import Options
 RNG = np.random.default_rng(42)
 
 
-@pytest.mark.parametrize("ts", [2, 4, 8])
+@pytest.mark.parametrize("ts", [2, 4, 8, 16])
 @pytest.mark.parametrize("bs", [4096, 1024, 96])
 def test_swar_shuffle_matches_u8_kernel(ts, bs):
+    if bs % ts:
+        pytest.skip("bs must be a multiple of ts")
     arr = RNG.integers(0, 256, size=(5, bs), dtype=np.uint8)
     ref = np.asarray(fb._shuffle_batch_dev(jnp.asarray(arr), ts))
     got = fb.shuffle_batch(arr, ts)
@@ -34,7 +36,7 @@ def test_swar_shuffle_matches_u8_kernel(ts, bs):
     assert np.array_equal(back, arr)
 
 
-@pytest.mark.parametrize("ts", [2, 4, 8])
+@pytest.mark.parametrize("ts", [2, 4, 8, 16])
 def test_swar_unshuffle_matches_u8_kernel(ts):
     arr = RNG.integers(0, 256, size=(3, 2048), dtype=np.uint8)
     ref = np.asarray(fb._unshuffle_batch_dev(jnp.asarray(arr), ts))
@@ -42,9 +44,11 @@ def test_swar_unshuffle_matches_u8_kernel(ts):
     assert np.array_equal(ref, got)
 
 
-@pytest.mark.parametrize("ts", [2, 4, 8])
+@pytest.mark.parametrize("ts", [2, 4, 8, 16])
 @pytest.mark.parametrize("bs", [4096, 1024, 64])
 def test_swar_bit_shuffle_matches_u8_kernel(ts, bs):
+    if bs % (8 * ts):
+        pytest.skip("bs must be a multiple of 8*ts")
     arr = RNG.integers(0, 256, size=(5, bs), dtype=np.uint8)
     ref = np.asarray(fb._bit_shuffle_batch_dev(jnp.asarray(arr), ts))
     got = fb.bit_shuffle_batch(arr, ts)

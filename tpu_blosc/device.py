@@ -69,7 +69,7 @@ def _device_filter_prep(
     if (
         u32_ok
         and mode == int(Shuffle.SHUFFLE)
-        and type_size in fb._SWAR_SHUFFLE
+        and type_size in (2, 4, 8)  # ts=16 has no bitcastable jax dtype
         and flat.dtype.itemsize == type_size
         and bs % {2: 4, 4: 16, 8: 32}[type_size] == 0
     ):

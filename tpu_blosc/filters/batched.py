@@ -384,20 +384,8 @@ def _bit_unshuffle_batch_dev_u32_ts8(xw: jax.Array) -> jax.Array:
     return jnp.stack(words, axis=-1).reshape(nb, ne)
 
 
-_SWAR_BIT_SHUFFLE = {
-    2: (_bit_shuffle_batch_dev_u32_ts2, 16),
-    4: (_bit_shuffle_batch_dev_u32, 32),
-    8: (_bit_shuffle_batch_dev_u32_ts8, 64),
-}
-_SWAR_BIT_UNSHUFFLE = {
-    2: (_bit_unshuffle_batch_dev_u32_ts2, 16),
-    4: (_bit_unshuffle_batch_dev_u32, 32),
-    8: (_bit_unshuffle_batch_dev_u32_ts8, 64),
-}
-
-
 #: byte-shuffle SWAR block-size quantum per type_size (u32 words)
-_SWAR_QUANTA = {2: 8, 4: 16, 8: 32}
+_SWAR_QUANTA = {2: 8, 4: 16, 8: 32, 16: 64}
 
 
 def _word_view(arr: np.ndarray, type_size: int) -> np.ndarray | None:
@@ -415,16 +403,96 @@ def _view_as(arr: np.ndarray, wdt, quant: int) -> np.ndarray | None:
         return None
 
 
+@jax.jit
+def _shuffle_batch_dev_u32_ts16(xw: jax.Array) -> jax.Array:
+    """ts=16 byte shuffle over (nb, bs//4) uint32 rows (bs % 64 == 0).
+
+    A group is 4 consecutive 16-byte elements = 16 words; byte plane
+    k = 4w+b comes from one 4x4 SWAR over word w of the 4 elements
+    (≙ the reference's SSE ts16 kernel, shuffle_amd64.s, word-SWAR form)."""
+    nb, ne = xw.shape
+    r = xw.reshape(nb, ne // 16, 16)
+    outs = []
+    for w in range(4):
+        outs.extend(_t4x4(r[..., w], r[..., 4 + w], r[..., 8 + w],
+                          r[..., 12 + w]))
+    return jnp.concatenate(outs, axis=1)
+
+
+@jax.jit
+def _unshuffle_batch_dev_u32_ts16(xw: jax.Array) -> jax.Array:
+    """Inverse of _shuffle_batch_dev_u32_ts16."""
+    nb, ne = xw.shape
+    q = xw.reshape(nb, 16, ne // 16)
+    t = [
+        _t4x4(q[:, 4 * w], q[:, 4 * w + 1], q[:, 4 * w + 2], q[:, 4 * w + 3])
+        for w in range(4)
+    ]
+    words = [t[w][i] for i in range(4) for w in range(4)]
+    return jnp.stack(words, axis=-1).reshape(nb, ne)
+
+
+@jax.jit
+def _bit_shuffle_batch_dev_u32_ts16(xw: jax.Array) -> jax.Array:
+    """ts=16 bitshuffle over (nb, bs//4) uint32 rows (bs % 128 == 0)."""
+    nb, ne = xw.shape
+    r = xw.reshape(nb, ne // 32, 32)
+    outs = []
+    for w in range(4):
+        a = _t4x4(r[..., w], r[..., 4 + w], r[..., 8 + w], r[..., 12 + w])
+        b = _t4x4(r[..., 16 + w], r[..., 20 + w], r[..., 24 + w],
+                  r[..., 28 + w])
+        for k in range(4):
+            outs.extend(_bit_t8x8_words(a[k], b[k]))
+    return jnp.stack(outs, axis=-1).reshape(nb, ne)
+
+
+@jax.jit
+def _bit_unshuffle_batch_dev_u32_ts16(xw: jax.Array) -> jax.Array:
+    """Inverse of _bit_shuffle_batch_dev_u32_ts16."""
+    nb, ne = xw.shape
+    r = xw.reshape(nb, ne // 32, 32)
+    planes = [
+        _bit_t8x8_words(r[..., 2 * p], r[..., 2 * p + 1]) for p in range(16)
+    ]
+    ta = [
+        _t4x4(*(planes[4 * w + b][0] for b in range(4))) for w in range(4)
+    ]
+    tb = [
+        _t4x4(*(planes[4 * w + b][1] for b in range(4))) for w in range(4)
+    ]
+    words = [ta[w][i] for i in range(4) for w in range(4)] + [
+        tb[w][i] for i in range(4) for w in range(4)
+    ]
+    return jnp.stack(words, axis=-1).reshape(nb, ne)
+
+
+_SWAR_BIT_SHUFFLE = {
+    2: (_bit_shuffle_batch_dev_u32_ts2, 16),
+    4: (_bit_shuffle_batch_dev_u32, 32),
+    8: (_bit_shuffle_batch_dev_u32_ts8, 64),
+    16: (_bit_shuffle_batch_dev_u32_ts16, 128),
+}
+_SWAR_BIT_UNSHUFFLE = {
+    2: (_bit_unshuffle_batch_dev_u32_ts2, 16),
+    4: (_bit_unshuffle_batch_dev_u32, 32),
+    8: (_bit_unshuffle_batch_dev_u32_ts8, 64),
+    16: (_bit_unshuffle_batch_dev_u32_ts16, 128),
+}
+
+
 #: host-view SWAR byte-shuffle kernels — all take (nb, bs//4) u32 rows
 _SWAR_SHUFFLE = {
     2: _shuffle_batch_dev_u32_ts2,
     4: _shuffle_batch_dev_u32,
     8: _shuffle_batch_dev_u32_ts8,
+    16: _shuffle_batch_dev_u32_ts16,
 }
 _SWAR_UNSHUFFLE = {
     2: _unshuffle_batch_dev_u32_ts2,
     4: _unshuffle_batch_dev_u32,
     8: _unshuffle_batch_dev_u32_ts8,
+    16: _unshuffle_batch_dev_u32_ts16,
 }
 
 
