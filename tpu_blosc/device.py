@@ -66,6 +66,27 @@ def _device_filter_prep(
     from .filters import batched as fb
 
     flat = x.reshape(-1)
+
+    def _swar_filter(kern, wdt, wsize):
+        """Shared SWAR body: bitcast to words, barrier, kernel, tail.
+
+        The barrier forces the (nb, wpb) word view to materialize in a
+        clean default layout BEFORE the SWAR picks: fused, XLA
+        materializes the kernel's (nb, wpb//4, 4) view instead — lane
+        dim 4 padded to 128 = 32x HBM blowup (measured 8.9 vs 47.9
+        GB/s at 256 MiB; 512 MiB OOMs outright)."""
+        words = jax.lax.bitcast_convert_type(flat, wdt).reshape(-1)
+        wpb = bs // wsize
+        words2d = jax.lax.optimization_barrier(
+            words[: nb * wpb].reshape(nb, wpb)
+        )
+        tail_w = words[nb * wpb :]
+        if tail_w.size:
+            tail = jax.lax.bitcast_convert_type(tail_w, jnp.uint8).reshape(-1)
+        else:
+            tail = jnp.zeros((0,), jnp.uint8)
+        return kern(words2d), tail
+
     if (
         u32_ok
         and mode == int(Shuffle.SHUFFLE)
@@ -73,33 +94,12 @@ def _device_filter_prep(
         and flat.dtype.itemsize == type_size
         and bs % {2: 4, 4: 16, 8: 32}[type_size] == 0
     ):
-        # ts=2 stays in same-width u16 words on device: widening the
-        # bitcast to u32 would itself be a lane repack (host buffers get
-        # the faster u32 ts2 kernel through the free np view instead)
-        wsize = 2 if type_size == 2 else 4
-        wdt = jnp.uint16 if wsize == 2 else jnp.uint32
-        kern = (
-            fb._shuffle_batch_dev_u16
-            if type_size == 2
-            else fb._SWAR_SHUFFLE[type_size]
-        )
-        words = jax.lax.bitcast_convert_type(flat, wdt).reshape(-1)
-        wpb = bs // wsize
-        # the barrier forces the (nb, wpb) word view to materialize in a
-        # clean default layout BEFORE the SWAR picks: fused, XLA
-        # materializes the kernel's (nb, wpb//4, 4) view instead — lane
-        # dim 4 padded to 128 = 32x HBM blowup (measured 8.9 vs 47.9
-        # GB/s at 256 MiB; 512 MiB OOMs outright)
-        words2d = jax.lax.optimization_barrier(
-            words[: nb * wpb].reshape(nb, wpb)
-        )
-        filtered = kern(words2d)
-        tail_w = words[nb * wpb :]
-        if tail_w.size:
-            tail = jax.lax.bitcast_convert_type(tail_w, jnp.uint8).reshape(-1)
-        else:
-            tail = jnp.zeros((0,), jnp.uint8)
-        return filtered, tail
+        if type_size == 2:
+            # ts=2 stays in same-width u16 words on device: widening the
+            # bitcast to u32 would itself be a lane repack (host buffers
+            # get the faster u32 ts2 kernel through the free np view)
+            return _swar_filter(fb._shuffle_batch_dev_u16, jnp.uint16, 2)
+        return _swar_filter(fb._SWAR_SHUFFLE[type_size], jnp.uint32, 4)
     if (
         u32_ok
         and mode == int(Shuffle.BITSHUFFLE)
@@ -110,20 +110,9 @@ def _device_filter_prep(
         and flat.dtype.itemsize == type_size
         and bs % fb._SWAR_BIT_SHUFFLE[type_size][1] == 0
     ):
-        fn = fb._SWAR_BIT_SHUFFLE[type_size][0]
-        words = jax.lax.bitcast_convert_type(flat, jnp.uint32).reshape(-1)
-        wpb = bs // 4
-        # same materialization barrier as the byte-shuffle branch above
-        words2d = jax.lax.optimization_barrier(
-            words[: nb * wpb].reshape(nb, wpb)
+        return _swar_filter(
+            fb._SWAR_BIT_SHUFFLE[type_size][0], jnp.uint32, 4
         )
-        filtered = fn(words2d)
-        tail_w = words[nb * wpb :]
-        if tail_w.size:
-            tail = jax.lax.bitcast_convert_type(tail_w, jnp.uint8).reshape(-1)
-        else:
-            tail = jnp.zeros((0,), jnp.uint8)
-        return filtered, tail
     if flat.dtype != jnp.uint8:
         x_bytes = jax.lax.bitcast_convert_type(flat, jnp.uint8).reshape(-1)
     else:
@@ -1252,6 +1241,42 @@ def _dev_unfilter_words_masked(xw, keep_raw, mode: int, dt_name: str):
     return jax.lax.bitcast_convert_type(out, np.dtype(dt_name)).reshape(-1)
 
 
+def _decode_filtered_blocks(
+    raw: bytes, header, n: int, native_codec: int, forbid_memcpy: bool = False
+):
+    """Host decode of a FLAG_SPLIT frame's blocks to the still-FILTERED
+    stream (shuffle_mode=0 skips unfiltering).
+
+    Returns (u8 byte view, block-table entries) or None on layout/bounds
+    problems (callers fall back to the canonical host path, which raises
+    with full context).  memcpy-flagged blocks come back RAW — the frame
+    stores them unfiltered (format contract) — so callers must apply
+    their own memcpy policy — or pass ``forbid_memcpy`` to bail cheaply
+    before the decode.  Shared by the 'device' and 'records' decode
+    strategies."""
+    from . import chunk as _chunk
+    from .native import backend as _nb
+
+    entries, offset = _chunk.parse_block_table(raw, header)
+    expected = -(-n // header.block_size) if n else 0
+    if len(entries) != expected:
+        return None
+    if forbid_memcpy and any(m for _, m in entries):
+        return None
+    psizes = np.array([s for s, _ in entries], dtype=np.int64)
+    offsets = np.concatenate([[0], np.cumsum(psizes[:-1])]).astype(
+        np.int64
+    ) + offset
+    if int(offsets[-1] + psizes[-1]) > min(len(raw), header.nbytes_comp):
+        return None
+    filtered = _nb.decompress_blocks(
+        np.frombuffer(raw, np.uint8), offsets, psizes,
+        np.array([m for _, m in entries], np.uint8), header.block_size, n,
+        header.type_size, 0, native_codec,
+    )
+    return np.frombuffer(filtered, np.uint8), entries
+
+
 def _decompress_array_devfilter(data, n: int, dt, shape, sharding):
     """strategy='device' decode body; None when the frame doesn't qualify.
 
@@ -1292,20 +1317,10 @@ def _decompress_array_devfilter(data, n: int, dt, shape, sharding):
     nb_full = n // bs
     if nb_full == 0:
         return None
-    entries, offset = _chunk.parse_block_table(raw, header)
-    _chunk._validate_block_layout(n, bs, len(entries))
-    psizes = np.array([s for s, _ in entries], dtype=np.int64)
-    offsets = np.concatenate([[0], np.cumsum(psizes[:-1])]).astype(
-        np.int64
-    ) + offset
-    if int(offsets[-1] + psizes[-1]) > min(len(raw), header.nbytes_comp):
+    decoded = _decode_filtered_blocks(raw, header, n, native[0])
+    if decoded is None:
         return None
-    filtered = _nb.decompress_blocks(
-        np.frombuffer(raw, np.uint8), offsets, psizes,
-        np.array([m for _, m in entries], np.uint8), bs, n, ts, 0,
-        native[0],
-    )
-    a = np.frombuffer(filtered, np.uint8)
+    a, entries = decoded
     memcpy_rows = np.array([m for _, m in entries[:nb_full]], bool)
     w = a[: nb_full * bs].reshape(nb_full, bs).view(np.uint32)  # free view
     xw = jax.device_put(w)
@@ -1356,22 +1371,13 @@ def _decompress_array_rle(data, n: int, dt, shape):
     native = _chunk._native_pipeline_codec(header.codec, 1)
     if native is None:
         return None
-    # decode to the FILTERED stream (shuffle_mode=0 skips unfiltering)
-    entries, offset = _chunk.parse_block_table(raw, header)
-    if any(m for _, m in entries):
-        return None  # memcpy blocks hold RAW bytes, not filtered ones
-    psizes = np.array([s for s, _ in entries], dtype=np.int64)
-    offsets = np.concatenate([[0], np.cumsum(psizes[:-1])]).astype(
-        np.int64
-    ) + offset
-    if int(offsets[-1] + psizes[-1]) > min(len(raw), header.nbytes_comp):
-        return None
-    filtered = _nb.decompress_blocks(
-        np.frombuffer(raw, np.uint8), offsets, psizes,
-        np.zeros(len(entries), np.uint8), header.block_size, n,
-        header.type_size, 0, native[0],
+    # memcpy blocks hold RAW bytes, not filtered ones: bail before decode
+    decoded = _decode_filtered_blocks(
+        raw, header, n, native[0], forbid_memcpy=True
     )
-    a = np.frombuffer(filtered, np.uint8)
+    if decoded is None:
+        return None
+    a, _ = decoded
 
     def _host_fallback():
         # dense: reinflating via records would ship more than the bytes;

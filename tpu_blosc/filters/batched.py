@@ -16,9 +16,10 @@ CLAUDE.md): byte-granular relayouts are the cost on this chip — the
 streaming ceiling is ~400 GB/s (819 GB/s HBM, read+write) and
 elementwise loop bodies that stay VMEM-resident measure in TB/s.  The
 SWAR word kernels (`_SWAR_SHUFFLE`/`_SWAR_BIT_SHUFFLE` tables) therefore
-run the whole transform in u16/u32 registers: shuffle 85/142/106 GB/s at
-ts=2/4/8 (u8 kernels: 41/81/79), bitshuffle 117/101/67 (u8: 28/46/41),
-inverses 59-100 (full matrix in BASELINE.md).  The word views are free
+run the whole transform in u32 registers: shuffle 85-90/141-144/105-111
+GB/s at ts=2/4/8 (u8 kernels: 41/81/79), bitshuffle 141/98-101/63-67
+(u8: 28/46/41), inverses 57-153, ts=16 in the same range (full matrix
+in BASELINE.md).  The word views are free
 from host buffers (np .view) and from same-width device dtypes
 (bitcast); bitcasting a device u8 array to words is itself a relayout
 and loses the gain.  Hand-written Pallas equivalents of the lane
@@ -294,25 +295,12 @@ def _bit_shuffle_batch_dev_u32_ts2(xw: jax.Array) -> jax.Array:
     of each word), bit-transpose in-register, word-granular interleave."""
     nb, ne = xw.shape
     r = xw.reshape(nb, ne // 4, 4)
-    m = jnp.uint32(0x00FF00FF)
-    lo16 = jnp.uint32(0x0000FFFF)
-
-    def plane(w01, w23, shift):
-        t0 = (w01 >> shift) & m
-        t1 = (w23 >> shift) & m
-        p0 = (t0 | (t0 >> 8)) & lo16
-        p1 = (t1 | (t1 >> 8)) & lo16
-        return p0, p1
-
-    def pair(wa, wb, shift):
-        a0, a1 = plane(wa, wb, shift)
-        return a0 | (a1 << 16)
-
     # plane0: byte0 of e0..e3 from words 0-1, of e4..e7 from words 2-3
-    a0 = pair(r[..., 0], r[..., 1], 0)
-    b0 = pair(r[..., 2], r[..., 3], 0)
-    a1 = pair(r[..., 0], r[..., 1], 8)
-    b1 = pair(r[..., 2], r[..., 3], 8)
+    # (the same plane packing as the ts=2 byte shuffle)
+    a0 = _ts2_plane_pair(r[..., 0], r[..., 1], 0)
+    b0 = _ts2_plane_pair(r[..., 2], r[..., 3], 0)
+    a1 = _ts2_plane_pair(r[..., 0], r[..., 1], 8)
+    b1 = _ts2_plane_pair(r[..., 2], r[..., 3], 8)
     t = [*_bit_t8x8_words(a0, b0), *_bit_t8x8_words(a1, b1)]
     return jnp.stack(t, axis=-1).reshape(nb, ne)
 
@@ -324,24 +312,8 @@ def _bit_unshuffle_batch_dev_u32_ts2(xw: jax.Array) -> jax.Array:
     r = xw.reshape(nb, ne // 4, 4)
     a0, b0 = _bit_t8x8_words(r[..., 0], r[..., 1])
     a1, b1 = _bit_t8x8_words(r[..., 2], r[..., 3])
-
-    def weave(x, y):
-        # bytes of x = b0 of 4 elements, y = b1 of the same 4; byte-
-        # interleave into the elements' 2 LE words
-        mlo, mhi = jnp.uint32(0xFF), jnp.uint32(0xFF00)
-        w0 = (
-            (x & mlo) | ((y & mlo) << 8) | ((x & mhi) << 8)
-            | ((y & mhi) << 16)
-        )
-        xh, yh = x >> 16, y >> 16
-        w1 = (
-            (xh & mlo) | ((yh & mlo) << 8) | ((xh & mhi) << 8)
-            | ((yh & mhi) << 16)
-        )
-        return w0, w1
-
-    w0, w1 = weave(a0, a1)
-    w2, w3 = weave(b0, b1)
+    w0, w1 = _ts2_weave(a0, a1)  # same byte interleave as the byte path
+    w2, w3 = _ts2_weave(b0, b1)
     return jnp.stack([w0, w1, w2, w3], axis=-1).reshape(nb, ne)
 
 
