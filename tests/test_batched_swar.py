@@ -203,6 +203,42 @@ class TestDeviceDecodeStrategy:
         assert np.array_equal(np.asarray(got).reshape(-1), data)
 
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    n_el=st.integers(min_value=1, max_value=40_000),
+    block_pow=st.integers(min_value=10, max_value=16),
+    shuffle_bit=st.booleans(),
+    codec_name=st.sampled_from(["lz4", "zstd"]),
+    seed=st.integers(min_value=0, max_value=2**16),
+)
+def test_device_decode_strategy_differential(
+    n_el, block_pow, shuffle_bit, codec_name, seed
+):
+    """Property: strategy='device' decodes ANY qualifying f32 frame to
+    exactly the transfer-path bytes (and falls back silently otherwise)."""
+    from tpu_blosc.format import Codec, Shuffle
+
+    rng = np.random.default_rng(seed)
+    data = (rng.random(n_el) * rng.integers(1, 1000)).astype(np.float32)
+    opts = Options(
+        type_size=4,
+        block_size=1 << block_pow,
+        shuffle=Shuffle.BITSHUFFLE if shuffle_bit else Shuffle.SHUFFLE,
+        codec=Codec.ZSTD if codec_name == "zstd" else Codec.LZ4,
+    )
+    frame = blosc.compress_with_options(data.tobytes(), opts)
+    got = tbdev.decompress_array(frame, np.float32, strategy="device")
+    assert np.asarray(got).tobytes() == data.tobytes()
+
+
 def test_compress_array_bf16_bit_identical_to_host():
     x = jnp.asarray(np.arange(100_000) % 311, dtype=jnp.bfloat16)
     host_bytes = np.asarray(x).tobytes()
