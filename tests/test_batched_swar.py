@@ -239,6 +239,54 @@ def test_device_decode_strategy_differential(
     assert np.asarray(got).tobytes() == data.tobytes()
 
 
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    flip_pos=st.integers(min_value=0, max_value=4095),
+    flip_val=st.integers(min_value=1, max_value=255),
+    trunc=st.integers(min_value=0, max_value=200),
+)
+def test_device_decode_strategy_corrupt_frames_never_crash(
+    flip_pos, flip_val, trunc
+):
+    """Corrupt/truncated frames through strategy='device' either raise a
+    BloscError (like the host path) or decode identically to it — never
+    crash, never silently return different bytes than the host decoder."""
+    from tpu_blosc.errors import BloscError
+
+    data = (np.arange(30_000) % 251).astype(np.float32)
+    frame = bytearray(
+        blosc.compress_with_options(
+            data.tobytes(), Options(type_size=4, block_size=16384)
+        )
+    )
+    if trunc:
+        frame = frame[: max(0, len(frame) - trunc)]
+    if frame and flip_pos < len(frame):
+        frame[flip_pos] ^= flip_val
+    frame = bytes(frame)
+    try:
+        ref = blosc.decompress(frame)
+    except BloscError:
+        ref = None
+    try:
+        got = tbdev.decompress_array(frame, np.float32, strategy="device")
+        got_b = np.asarray(got).tobytes()
+    except BloscError:
+        got_b = None
+    except TypeError:
+        # size not a whole number of elements after corruption — the
+        # documented decompress_array contract, host path may still work
+        return
+    if ref is None:
+        assert got_b is None
+    else:
+        assert got_b == ref
+
+
 def test_compress_array_bf16_bit_identical_to_host():
     x = jnp.asarray(np.arange(100_000) % 311, dtype=jnp.bfloat16)
     host_bytes = np.asarray(x).tobytes()
