@@ -99,31 +99,32 @@ def device_eligible(n: int, type_size: int) -> bool:
 
 
 def _device_shuffle(a: np.ndarray, type_size: int, fn_name: str) -> np.ndarray:
-    """Run the body on device, stitching the reference's verbatim tails."""
-    import jax.numpy as jnp
+    """Run the body on device, stitching the reference's verbatim tails.
+
+    The body goes through the batched entries as a one-row batch — those
+    route the SWAR word kernels (free host u32 views, 2-5x the
+    byte-granular kernels for ts 2/4/8/16; filters/batched.py) and fall
+    back to the u8 device kernels for unaligned geometries."""
+    from . import batched as _batched
 
     n = a.size
-    ops = _pallas if _pallas is not None else _jaxops
     if fn_name in ("bit_shuffle", "bit_unshuffle"):
         group = 8 * type_size
         body = (n // group) * group
     else:
         body = (n // type_size) * type_size
-    fn = getattr(ops, {
-        "shuffle": "shuffle_bytes_body",
-        "unshuffle": "unshuffle_bytes_body",
-        "bit_shuffle": "bit_shuffle_body",
-        "bit_unshuffle": "bit_unshuffle_body",
-    }[fn_name])
+    bfn = {
+        "shuffle": _batched.shuffle_batch,
+        "unshuffle": _batched.unshuffle_batch,
+        "bit_shuffle": _batched.bit_shuffle_batch,
+        "bit_unshuffle": _batched.bit_unshuffle_batch,
+    }[fn_name]
     out = np.empty(n, dtype=np.uint8)
     if body:
-        dev = fn(jnp.asarray(a[:body]), type_size)
-        out[:body] = np.asarray(dev)
-    if fn_name in ("bit_shuffle", "bit_unshuffle"):
-        out[body:] = a[body:]
-    else:
-        # byte shuffle body covers all full elements; tail copied verbatim
-        out[body:] = a[body:]
+        out[:body] = bfn(np.ascontiguousarray(a[:body]).reshape(1, body),
+                         type_size)[0]
+    # body covers all full elements/groups; tail copied verbatim
+    out[body:] = a[body:]
     return out
 
 
