@@ -159,3 +159,87 @@ def test_envelope_is_not_a_plain_frame():
     packed = blosc.pack_array(np.arange(64, dtype=np.float32))
     with pytest.raises(blosc.BloscError):  # 'T' parses as a bad version byte
         blosc.decompress(packed)
+
+
+# ---------------------------------------------------------------------------
+# extension dtypes + device arrays (round-3 additions)
+# ---------------------------------------------------------------------------
+
+
+def test_pack_array_bfloat16_dtype_fidelity():
+    """Extension dtypes whose .str degrades to void must round-trip their
+    REAL dtype (stored by registered name), not as raw void bytes."""
+    import jax.numpy as jnp
+
+    x = np.asarray(jnp.asarray(np.arange(1000) % 97, dtype=jnp.bfloat16))
+    out = blosc.unpack_array(blosc.pack_array(x))
+    assert out.dtype == x.dtype  # bfloat16, NOT |V2
+    assert np.array_equal(out.view(np.uint16), x.view(np.uint16))
+
+
+def test_pack_array_float8_dtype_fidelity():
+    import ml_dtypes
+
+    x = np.arange(256, dtype=np.float32).astype(ml_dtypes.float8_e4m3fn)
+    out = blosc.unpack_array(blosc.pack_array(x))
+    assert out.dtype == x.dtype
+    assert np.array_equal(out.view(np.uint8), x.view(np.uint8))
+
+
+def test_pack_array_void_dtype_still_void():
+    x = np.frombuffer(bytes(range(64)), dtype=np.dtype("V4")).copy()
+    out = blosc.unpack_array(blosc.pack_array(x))
+    assert out.dtype == np.dtype("V4")
+    assert out.tobytes() == x.tobytes()
+
+
+def test_pack_array_jax_array_identical_envelope():
+    """Packing a device array (filter on chip) produces the same bytes
+    as packing the fetched ndarray."""
+    import jax.numpy as jnp
+
+    xj = jnp.asarray(np.arange(5000, dtype=np.float32).reshape(50, 100))
+    assert blosc.pack_array(xj) == blosc.pack_array(np.asarray(xj))
+
+
+def test_unpack_array_device():
+    import jax
+    import jax.numpy as jnp
+
+    xj = jnp.asarray((np.arange(4096) % 31).astype(np.int32).reshape(64, 64))
+    packed = blosc.pack_array(xj)
+    out = blosc.unpack_array(packed, device=True)
+    assert isinstance(out, jax.Array)
+    assert out.shape == (64, 64) and out.dtype == jnp.int32
+    assert np.array_equal(np.asarray(out), np.asarray(xj))
+
+
+def test_unpack_array_device_bf16_and_empty():
+    import jax
+    import jax.numpy as jnp
+
+    b = jnp.asarray(np.arange(300) % 7, dtype=jnp.bfloat16)
+    out = blosc.unpack_array(blosc.pack_array(b), device=True)
+    assert out.dtype == jnp.bfloat16 and bool((out == b).all())
+    e = blosc.unpack_array(
+        blosc.pack_array(jnp.zeros((0, 3), jnp.float32)), device=True
+    )
+    assert isinstance(e, jax.Array) and e.shape == (0, 3)
+
+
+def test_unpack_array_device_fortran_falls_back_via_host():
+    f = np.asfortranarray(np.arange(12, dtype=np.int32).reshape(3, 4))
+    out = blosc.unpack_array(blosc.pack_array(f), device=True)
+    assert np.array_equal(np.asarray(out), f)
+
+
+def test_unpack_array_device_sharded():
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tpu_blosc.dist.mesh import block_mesh
+
+    x = np.arange(2**14, dtype=np.float32).reshape(128, 128)
+    sh = NamedSharding(block_mesh(), P("blocks"))
+    out = blosc.unpack_array(blosc.pack_array(x), sharding=sh)
+    assert np.array_equal(np.asarray(out), x)

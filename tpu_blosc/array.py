@@ -31,21 +31,76 @@ _VERSION = 1
 _FLAG_EMPTY = 0x1
 _FLAG_FORTRAN = 0x2
 
-def pack_array(arr: np.ndarray, opts: Options | None = None) -> bytes:
-    """Compress an ndarray into a self-describing envelope.
+def _dtype_str(dtype: np.dtype) -> bytes:
+    """Unambiguous envelope dtype string (registered name for extension
+    dtypes like bfloat16 whose .str degrades to a void typestr)."""
+    s = dtype.str
+    if (
+        s.lstrip("<>|=").startswith("V")
+        and dtype.names is None
+        and dtype.name != f"void{dtype.itemsize * 8}"
+    ):
+        s = dtype.name
+    out = s.encode("ascii")
+    if len(out) > 255:
+        raise TypeError(f"dtype string too long: {s!r}")
+    return out
+
+
+def _envelope_head(dtype: np.dtype, shape: tuple, flags: int) -> bytearray:
+    head = bytearray()
+    head += _MAGIC
+    head.append(_VERSION)
+    head.append(flags)
+    dstr = _dtype_str(dtype)
+    head.append(len(dstr))
+    head += dstr
+    head.append(len(shape))
+    for dim in shape:
+        head += struct.pack("<Q", dim)
+    return head
+
+
+def pack_array(arr, opts: Options | None = None) -> bytes:
+    """Compress an ndarray (or jax.Array) into a self-describing envelope.
 
     ``type_size`` defaults to the dtype's item size (capped at 255, the
     frame header's limit) so the shuffle filter aligns with real element
     boundaries; pass ``opts`` to override any option.
+
+    Device arrays route through :func:`tpu_blosc.compress_array` — the
+    shuffle filter runs on chip (SWAR word kernels) and only the
+    filtered stream crosses the link; the envelope is identical to
+    packing the fetched ndarray.
     """
+    try:
+        import jax
+
+        is_jax = isinstance(arr, jax.Array) and not isinstance(
+            arr, np.ndarray
+        )
+    except Exception:  # pragma: no cover - jax is baked into this env
+        is_jax = False
+    if is_jax:
+        dtype = np.dtype(arr.dtype)
+        if arr.ndim > 255:
+            raise TypeError("arrays beyond 255 dimensions cannot be packed")
+        if arr.size == 0:
+            return bytes(
+                _envelope_head(dtype, tuple(arr.shape), _FLAG_EMPTY)
+            )
+        from .device import compress_array
+
+        if opts is None:
+            opts = Options(type_size=min(dtype.itemsize, 255))
+        frame = compress_array(arr, opts)
+        return bytes(_envelope_head(dtype, tuple(arr.shape), 0)) + frame
+
     arr = np.asarray(arr)
     if arr.dtype.kind == "O":
         raise TypeError("object dtypes cannot be packed")
     if arr.dtype.names is not None:
         raise TypeError("structured dtypes cannot be packed")
-    dstr = arr.dtype.str.encode("ascii")
-    if len(dstr) > 255:
-        raise TypeError(f"dtype string too long: {arr.dtype.str!r}")
     if arr.ndim > 255:
         raise TypeError("arrays beyond 255 dimensions cannot be packed")
 
@@ -53,23 +108,11 @@ def pack_array(arr: np.ndarray, opts: Options | None = None) -> bytes:
     body = np.asfortranarray(arr).tobytes(order="F") if fortran else \
         np.ascontiguousarray(arr).tobytes()
 
-    flags = 0
-    if fortran:
-        flags |= _FLAG_FORTRAN
-    head = bytearray()
-    head += _MAGIC
-    head.append(_VERSION)
-    flags_pos = len(head)
-    head.append(flags)
-    head.append(len(dstr))
-    head += dstr
-    head.append(arr.ndim)
-    for dim in arr.shape:
-        head += struct.pack("<Q", dim)
-
+    flags = _FLAG_FORTRAN if fortran else 0
     if len(body) == 0:
-        head[flags_pos] |= _FLAG_EMPTY
-        return bytes(head)
+        flags |= _FLAG_EMPTY
+        return bytes(_envelope_head(arr.dtype, arr.shape, flags))
+    head = _envelope_head(arr.dtype, arr.shape, flags)
 
     if opts is None:
         opts = Options(type_size=min(arr.dtype.itemsize, 255))
@@ -91,11 +134,24 @@ def _parse_envelope(buf: bytes) -> tuple[np.dtype, tuple, int, int]:
     if len(buf) < pos + dlen + 1:
         raise InvalidDataError("blosc: invalid compressed data: truncated envelope")
     try:
-        dtype = np.dtype(buf[pos : pos + dlen].decode("ascii"))
-    except (UnicodeDecodeError, TypeError) as exc:
+        dstr = buf[pos : pos + dlen].decode("ascii")
+    except UnicodeDecodeError as exc:
         raise InvalidDataError(
             f"blosc: invalid compressed data: bad dtype ({exc})"
         ) from None
+    try:
+        dtype = np.dtype(dstr)
+    except TypeError:
+        # extension dtype stored by registered name; ml_dtypes may not
+        # be imported in this process yet
+        try:
+            import ml_dtypes
+
+            dtype = np.dtype(getattr(ml_dtypes, dstr))
+        except Exception:
+            raise InvalidDataError(
+                f"blosc: invalid compressed data: bad dtype ({dstr!r})"
+            ) from None
     pos += dlen
     ndim = buf[pos]
     pos += 1
@@ -108,10 +164,31 @@ def _parse_envelope(buf: bytes) -> tuple[np.dtype, tuple, int, int]:
     return dtype, shape, flags, pos
 
 
-def unpack_array(data) -> np.ndarray:
-    """Reconstruct the ndarray from a pack_array envelope."""
+def unpack_array(data, device: bool = False, sharding=None):
+    """Reconstruct the ndarray from a pack_array envelope.
+
+    With ``device=True`` (or a ``sharding``) the result is a jax.Array
+    placed on device via :func:`tpu_blosc.decompress_array` (C-ordered
+    envelopes decode straight into device memory; Fortran-ordered ones
+    decode on host first)."""
     buf = bytes(data) if not isinstance(data, bytes) else data
     dtype, shape, flags, pos = _parse_envelope(buf)
+
+    if device or sharding is not None:
+        import jax
+
+        if flags & _FLAG_EMPTY:
+            out = jax.numpy.empty(shape, dtype=dtype)
+            return jax.device_put(out, sharding) if sharding else out
+        if not flags & _FLAG_FORTRAN:
+            from .device import decompress_array
+
+            return decompress_array(
+                buf[pos:], dtype, shape=shape, sharding=sharding
+            )
+        host = unpack_array(buf)
+        return jax.device_put(host, sharding) if sharding else \
+            jax.device_put(host)
 
     if flags & _FLAG_EMPTY:
         return np.empty(shape, dtype=dtype)
