@@ -254,20 +254,26 @@ def stage_device_decode() -> dict:
         # warm: compiles the decode programs (minutes over a cold tunnel)
         out = tbdev.decompress_array(frame, np.float32, strategy="records")
         np.asarray(out[:8])
-        t0 = time.perf_counter()
-        out = tbdev.decompress_array(frame, np.float32, strategy="records")
-        np.asarray(out[:8])  # sync
-        t_records = time.perf_counter() - t0
+        # best-of-3: single-rep link timings swing 2-3x on this shared
+        # tunnel, flipping the records-vs-transfer comparison randomly
+        t_records = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = tbdev.decompress_array(frame, np.float32, strategy="records")
+            np.asarray(out[:8])  # sync
+            t_records = min(t_records, time.perf_counter() - t0)
     finally:
         tbdev._device_match_decode = real
     if "a" not in captured:
         return {"device_decode_error": "records path did not engage"}
     assert np.array_equal(np.asarray(out[:1024]), data[:1024])
 
-    t0 = time.perf_counter()
-    out2 = tbdev.decompress_array(frame, np.float32, strategy="transfer")
-    np.asarray(out2[:8])
-    t_transfer = time.perf_counter() - t0
+    t_transfer = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out2 = tbdev.decompress_array(frame, np.float32, strategy="transfer")
+        np.asarray(out2[:8])
+        t_transfer = min(t_transfer, time.perf_counter() - t0)
 
     # on-device reconstruct program alone (records already resident)
     args = captured["a"]
