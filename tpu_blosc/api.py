@@ -321,6 +321,18 @@ def decompress_into(data, out) -> int:
         return pos
 
     header = parse_header(raw)
+    # same frame-size validation as decompress/decompress_with_size —
+    # the native split shortcut below must not ACCEPT frames the
+    # canonical path rejects (fuzz-caught divergence)
+    if header.nbytes_comp > len(raw):
+        raise InvalidDataError(
+            "blosc: invalid compressed data: header claims "
+            f"{header.nbytes_comp} bytes, only {len(raw)} present"
+        )
+    if header.nbytes_comp < HEADER_SIZE:
+        raise InvalidDataError(
+            "blosc: invalid compressed data: NBytesComp below header size"
+        )
     if header.is_split:
         from . import chunk
 

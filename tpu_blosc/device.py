@@ -1126,13 +1126,11 @@ def _device_match_decode(
     return res.reshape(-1)
 
 
-def _host_lit_mask(rows2d: np.ndarray, d_all: np.ndarray, T: int) -> np.ndarray:
-    """Host mirror of _lit_mask (NumPy): literal positions per row under
-    per-row offsets, with the same opening + forced-literal rules.
-
-    The per-row fixed-offset equality is grouped by unique offset and
-    done with plain slicing — a broadcast take_along_axis gather here
-    measured 4.4 s on 256 MiB vs ~0.1 s for the slice form."""
+def _lit_eq(rows2d: np.ndarray, d_all: np.ndarray) -> np.ndarray:
+    """Per-row fixed-offset equality, grouped by unique offset and done
+    with plain slicing — a broadcast take_along_axis gather here
+    measured 4.4 s on 256 MiB vs ~0.1 s for the slice form — with the
+    forced-literal tail already applied."""
     nseg, seg = rows2d.shape
     eq = np.zeros((nseg, seg), bool)
     for d in np.unique(d_all):
@@ -1140,6 +1138,36 @@ def _host_lit_mask(rows2d: np.ndarray, d_all: np.ndarray, T: int) -> np.ndarray:
         sub = rows2d[sel]
         eq[sel, int(d):] = sub[:, int(d):] == sub[:, : seg - int(d)]
     eq[:, seg - _ROW_TAIL_LITERALS :] = False
+    return eq
+
+
+def _host_lit_mask(rows2d: np.ndarray, d_all: np.ndarray, T: int) -> np.ndarray:
+    """Host mirror of _lit_mask (NumPy): literal positions per row under
+    per-row offsets, with the same opening + forced-literal rules."""
+    eq = _lit_eq(rows2d, d_all)
+    seg = rows2d.shape[1]
+    if seg % 64 == 0 and T <= 63:
+        return _open_mask_bits(eq, T)
+    return _open_mask_bytes(eq, T)
+
+
+def _host_lit_mask_packed(
+    rows2d: np.ndarray, d_all: np.ndarray, T: int
+) -> np.ndarray | None:
+    """Little-endian PACKED literal mask ((nseg, seg//8) u8) — skips the
+    unpack-to-bool pass entirely so the decode can count set bits with
+    bitwise_count and scan positions with the native ctz scanner.  None
+    when the row geometry doesn't fit the bit-domain opening."""
+    seg = rows2d.shape[1]
+    if seg % 64 or T > 63:
+        return None
+    return _open_mask_bits(_lit_eq(rows2d, d_all), T, packed=True)
+
+
+def _open_mask_bytes(eq: np.ndarray, T: int) -> np.ndarray:
+    """Morphological opening (erode by T, dilate by T) in the byte
+    domain — the oracle form; ~15 full passes over the mask."""
+    nseg, seg = eq.shape
     er = eq[:, : seg - T + 1].copy()
     for s in range(1, T):
         er &= eq[:, s : seg - T + 1 + s]
@@ -1147,6 +1175,32 @@ def _host_lit_mask(rows2d: np.ndarray, d_all: np.ndarray, T: int) -> np.ndarray:
     for s in range(T):
         match[:, s : seg - T + 1 + s] |= er
     return ~match
+
+
+def _open_mask_bits(
+    eq: np.ndarray, T: int, packed: bool = False
+) -> np.ndarray:
+    """Opening in the bit domain: pack rows to little-endian u64 words
+    and run the shift-AND / shift-OR ladders on n/64 words with explicit
+    cross-word carries (rows never carry into each other).  8x less
+    traffic than the byte form — the opening drops from ~1.1 s to ~0.1 s
+    at 256 MiB.  Bit-identical to _open_mask_bytes (tests enforce)."""
+    nseg, seg = eq.shape
+    w = np.packbits(eq, axis=1, bitorder="little").view(np.uint64)
+    nxt = np.zeros_like(w)
+    nxt[:, :-1] = w[:, 1:]
+    er = w.copy()
+    for s in range(1, T):
+        er &= (w >> np.uint64(s)) | (nxt << np.uint64(64 - s))
+    prv = np.zeros_like(er)
+    prv[:, 1:] = er[:, :-1]
+    match = er.copy()
+    for s in range(1, T):
+        match |= (er << np.uint64(s)) | (prv >> np.uint64(64 - s))
+    lit_packed = (~match).view(np.uint8).reshape(nseg, seg // 8)
+    if packed:
+        return lit_packed
+    return np.unpackbits(lit_packed, axis=1, bitorder="little").view(bool)
 
 
 def decompress_array(data, dtype, shape=None, sharding=None,
@@ -1268,6 +1322,8 @@ def _decode_filtered_blocks(
     from . import chunk as _chunk
     from .native import backend as _nb
 
+    if header.nbytes_comp > len(raw) or header.nbytes_comp < HEADER_SIZE:
+        return None  # canonical path raises the proper truncation error
     entries, offset = _chunk.parse_block_table(raw, header)
     expected = -(-n // header.block_size) if n else 0
     if len(entries) != expected:
@@ -1417,9 +1473,22 @@ def _decompress_array_rle(data, n: int, dt, shape):
         [(samp[:, d:] == samp[:, :-d]).sum(axis=1) for d in offsets_c], axis=1
     )
     d_all = np.asarray(offsets_c, np.int32)[counts.argmax(axis=1)]
-    lit = _host_lit_mask(rows2d, d_all, _MATCH_T)
-    if int(lit.sum()) > max(a.size // 8, 4096):
-        return _host_fallback()
+    packed = _host_lit_mask_packed(rows2d, d_all, _MATCH_T)
+    if packed is not None:
+        # packed fast path: popcount via bitwise_count, positions via the
+        # native ctz scanner — skips the unpack-to-bool + flatnonzero
+        # passes (records decode 2.5 -> ~1.7 s at 256 MiB)
+        n_real = int(np.bitwise_count(packed).sum(dtype=np.int64))
+        if n_real > max(a.size // 8, 4096):
+            return _host_fallback()
+        relpos = _nb.mask_positions(packed.reshape(-1), n_real)
+        if relpos is None or relpos.size != n_real:
+            return None  # disagreement: canonical host path decides
+    else:
+        lit = _host_lit_mask(rows2d, d_all, _MATCH_T)
+        if int(lit.sum()) > max(a.size // 8, 4096):
+            return _host_fallback()
+        relpos = np.flatnonzero(lit).astype(np.int32)
 
     # single-jit device reconstruction: scatter literals, forward-fill per
     # PRESENT offset, per-row select, unfilter — O(literals) link traffic.
@@ -1427,7 +1496,6 @@ def _decompress_array_rle(data, n: int, dt, shape):
     # is row-group-chunked (see _device_match_decode) so any number of
     # distinct offsets stays HBM-resident (round 2 capped at 4).
     present = tuple(sorted(int(d) for d in np.unique(d_all)))
-    relpos = np.flatnonzero(lit).astype(np.int32)
     vals = rows2d.reshape(-1)[relpos]
     cap = _pow2(max(relpos.size, 4096))
     pos_p = np.full(cap, nseg * seg, np.int32)  # OOB pads are dropped
