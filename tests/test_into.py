@@ -94,3 +94,69 @@ def test_decompress_into_rejects_truncated_block_table():
     out = bytearray(len(data))
     with pytest.raises(InvalidDataError):
         blosc.decompress_into(bad, out)
+
+
+# ---------------------------------------------------------------------------
+# entry-point agreement fuzz (round 3): every public decoder must accept
+# and reject exactly the same frames, with identical bytes on accept —
+# the fuzz that caught decompress_into's skipped frame-size validation
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tpu_blosc.options import Options
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    flip_pos=st.integers(min_value=0, max_value=4095),
+    flip_val=st.integers(min_value=0, max_value=255),
+    trunc=st.integers(min_value=0, max_value=300),
+    split=st.booleans(),
+)
+def test_decode_entrypoints_agree_on_corrupt_frames(
+    flip_pos, flip_val, trunc, split
+):
+    data = (np.arange(20_000, dtype=np.int32) % 509).tobytes()
+    opts = Options(type_size=4, block_size=16384 if split else 0)
+    frame = bytearray(blosc.compress_with_options(data, opts))
+    if trunc:
+        frame = frame[: max(0, len(frame) - trunc)]
+    if frame and flip_pos < len(frame):
+        frame[flip_pos] ^= flip_val
+    frame = bytes(frame)
+
+    def run(fn):
+        try:
+            return fn()
+        except blosc.BloscError:
+            return None
+
+    r_plain = run(lambda: blosc.decompress(frame))
+    # 0 = take type_size from the header (the second arg is the
+    # reference's typeSize override, not an expected byte count)
+    r_sized = run(lambda: blosc.decompress_with_size(frame, 0))
+
+    def into():
+        try:
+            n = blosc.get_decompressed_size(frame)
+        except blosc.BloscError:
+            return None  # same rejection class
+        buf = bytearray(max(n, 1))
+        try:
+            w = blosc.decompress_into(frame, buf)
+        except blosc.BloscError:
+            return None
+        return bytes(buf[:w])
+
+    r_into = into()
+    assert (r_plain is None) == (r_into is None)
+    assert (r_plain is None) == (r_sized is None)
+    if r_plain is not None:
+        assert r_plain == r_into
+        assert r_sized == r_plain
