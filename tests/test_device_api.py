@@ -515,3 +515,49 @@ def test_fused_match_gate_geometry():
     assert not match_fusable(262144 + 4, (1, 2))  # not 16384-aligned
     assert not match_fusable(8192, (1, 2))        # SL < 8
     assert not match_fusable(262144, (1, 2048))   # offset beyond a lane row
+
+
+def test_open_mask_bits_matches_byte_oracle():
+    """The bit-domain morphological opening (LE-packed u64 ladders) must
+    be bit-identical to the byte-domain oracle across densities, shapes,
+    and T values — including rows ending in runs (cross-word carries)."""
+    from tpu_blosc import device as d
+
+    rng = np.random.default_rng(17)
+    for nseg, seg, T, p in [
+        (64, 1024, 8, 0.5),
+        (16, 4096, 8, 0.97),
+        (5, 320, 8, 0.9),
+        (100, 128, 8, 0.99),
+        (3, 64, 5, 0.3),
+        (2, 192, 12, 0.95),
+    ]:
+        eq = rng.random((nseg, seg)) < p
+        ref = d._open_mask_bytes(eq.copy(), T)
+        got = d._open_mask_bits(eq.copy(), T)
+        assert np.array_equal(ref, got), (nseg, seg, T, p)
+        packed = d._open_mask_bits(eq.copy(), T, packed=True)
+        unpacked = np.unpackbits(packed, axis=1, bitorder="little")
+        assert np.array_equal(unpacked.view(bool), ref)
+
+
+def test_host_lit_mask_packed_positions_roundtrip():
+    """Packed mask + native ctz positions == flatnonzero of the bool
+    mask (the decode fast path's exact contract)."""
+    from tpu_blosc import device as d
+    from tpu_blosc.native import backend as nb
+
+    if not nb.available():
+        import pytest
+
+        pytest.skip("native backend unavailable")
+    rng = np.random.default_rng(23)
+    rows2d = (rng.integers(0, 4, size=(32, 512))).astype(np.uint8)
+    d_all = np.full(32, 4, np.int32)
+    lit = d._host_lit_mask(rows2d, d_all, d._MATCH_T)
+    packed = d._host_lit_mask_packed(rows2d, d_all, d._MATCH_T)
+    assert packed is not None
+    n_real = int(np.bitwise_count(packed).sum(dtype=np.int64))
+    assert n_real == int(lit.sum())
+    pos = nb.mask_positions(packed.reshape(-1), n_real)
+    assert np.array_equal(pos, np.flatnonzero(lit).astype(np.int32))
