@@ -125,11 +125,13 @@ static void pipeline_roundtrip(int kind, int codec, int shuffle_mode,
 }
 
 static void concurrent_frames() {
-  // 8 threads hammer the single-shot frame path (thread_local scratch)
+  // 8 threads hammer the single-shot frame path (thread_local scratch);
+  // odd threads use >=512 KiB frames so the segment-parallel encoder's
+  // OMP region runs concurrently from several caller threads
   std::vector<std::thread> ts;
   for (int t = 0; t < 8; t++) {
     ts.emplace_back([t]() {
-      const int64_t n = 100000 + t * 1337;
+      const int64_t n = (t & 1) ? (512 << 10) + t * 1337 : 100000 + t * 1337;
       std::vector<uint8_t> src(n);
       fill_pattern(src, t % 4);
       std::vector<uint8_t> frame(16 + tpb_compress_bound(n, LZ4));

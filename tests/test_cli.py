@@ -87,10 +87,14 @@ def test_cli_module_invocation(sample, tmp_path):
     env = dict(os.environ)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    # host-only smoke test: never touch the device plugin — jax backend
+    # init BLOCKS (not errors) while the axon tunnel is down, and env-var
+    # platform overrides don't reach the pre-imported jax in children
+    env["TPU_BLOSC_NO_DEVICE"] = "1"
     r = subprocess.run(
         [sys.executable, "-m", "tpu_blosc", "compress", str(sample),
          "-o", str(out)],
-        capture_output=True, text=True,
+        capture_output=True, text=True, env=env, timeout=120,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     assert r.returncode == 0, r.stderr[-500:]

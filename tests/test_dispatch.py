@@ -61,6 +61,29 @@ def test_forced_numpy_env(monkeypatch):
         importlib.reload(f)
 
 
+def test_no_device_env(monkeypatch):
+    """TPU_BLOSC_NO_DEVICE skips only the jax/device probe: the native
+    host path stays, and the device path never engages.  This is the
+    import-safety hatch for host-only processes (CLI, workers) — jax
+    backend init can block outright when a remote device plugin's
+    transport is down."""
+    import importlib
+
+    monkeypatch.setenv("TPU_BLOSC_NO_DEVICE", "1")
+    import tpu_blosc.filters as f
+
+    importlib.reload(f)
+    try:
+        assert f.backend_name() in ("native", "numpy")
+        assert not f.device_eligible(10**8, 4)
+        rng = np.random.default_rng(5)
+        data = rng.integers(0, 256, 4096, dtype=np.uint8).tobytes()
+        assert np.array_equal(f.shuffle_bytes(data, 4), ref.shuffle_bytes(data, 4))
+    finally:
+        monkeypatch.delenv("TPU_BLOSC_NO_DEVICE")
+        importlib.reload(f)
+
+
 def test_all_backends_byte_identical():
     """Whatever path dispatch picks, output equals the oracle byte-for-byte
     (the core contract; reference shuffle.go:31-57)."""

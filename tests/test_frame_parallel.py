@@ -1,0 +1,189 @@
+"""Segment-parallel single-block LZ4 frame encoder (tpublosc.cpp
+lz4_frame_parallel).
+
+Frames >= 512 KiB encode their LZ4/LZ4HC payload as deterministic
+segments stitched into ONE valid LZ4 block stream, so the frame stays a
+reference-compatible single-block frame (blosc.go:364) while the encode
+uses every core.  The contract mirrors the reference's stream contract
+(codec.go:63-84: any conformant LZ4 block decoder reads the payload):
+
+  * the payload decodes with the independent pure-Python decoder,
+  * output bytes are identical for ANY thread count (segmentation is a
+    pure function of n — golden pins stay machine-independent),
+  * the memcpy fallback still triggers on incompressible input,
+  * size inflation vs the serial encoder stays marginal (matches cannot
+    cross the segment cuts).
+"""
+
+import numpy as np
+import pytest
+
+import tpu_blosc as blosc
+from tpu_blosc import filters
+from tpu_blosc.codecs import lz4_ref
+from tpu_blosc.native import backend as nb
+
+pytestmark = pytest.mark.skipif(
+    not nb.available(), reason="native backend unavailable"
+)
+
+SEG_MIN = 512 * 1024  # tpublosc.cpp kFrameSegMin
+
+
+def _payload(frame):
+    h = blosc.get_info(frame)
+    assert not (h.flags & 0x2), "unexpected memcpy frame"
+    return frame[16 : h.nbytes_comp]
+
+
+def _filtered(data, shuffle, ts):
+    if shuffle == blosc.SHUFFLE and ts > 1:
+        return bytes(filters.shuffle_bytes(data, ts))
+    if shuffle == blosc.BITSHUFFLE and ts > 1:
+        return bytes(filters.bit_shuffle(data, ts))
+    return data
+
+
+@pytest.mark.parametrize(
+    "n",
+    [
+        SEG_MIN,  # first parallel size (4 segments)
+        SEG_MIN + 1,  # ragged tail segment
+        2 * 1024 * 1024,  # 8-segment threshold
+        2 * 1024 * 1024 + 37,
+        4 * 1024 * 1024 - 3,  # top of the single-block range
+    ],
+)
+@pytest.mark.parametrize(
+    "shuffle,ts",
+    [(blosc.SHUFFLE, 4), (blosc.BITSHUFFLE, 4), (blosc.NOSHUFFLE, 1),
+     (blosc.SHUFFLE, 8)],
+)
+def test_stitched_stream_decodes_anywhere(n, shuffle, ts):
+    data = (
+        (np.arange(n) % 251).astype(np.uint8)
+        + (np.arange(n) // 8191).astype(np.uint8)
+    ).tobytes()
+    frame = blosc.compress(data, blosc.LZ4, 5, shuffle, ts)
+    assert blosc.decompress(frame) == data
+    # the payload must be ONE valid LZ4 block stream for any decoder
+    dec = lz4_ref.decompress_block(_payload(frame), n)
+    assert dec == _filtered(data, shuffle, ts)
+
+
+def test_thread_count_invariance():
+    """Segmentation depends only on n: bytes identical for any
+    tpb_set_num_threads value (the reference's SIMD-vs-generic equality
+    analogue for the parallel encoder)."""
+    n = 3 * 1024 * 1024 + 13
+    data = np.sin(np.arange(n // 4, dtype=np.float32) / 97).tobytes()[:n]
+    old = nb.num_threads()
+    try:
+        frames = []
+        for t in (1, 2, 4):
+            nb.set_num_threads(t)
+            frames.append(blosc.compress(data, blosc.LZ4, 5, blosc.SHUFFLE, 4))
+    finally:
+        nb.set_num_threads(old)
+    assert frames[0] == frames[1] == frames[2]
+    assert blosc.decompress(frames[0]) == data
+
+
+def test_inflation_vs_serial_encoder_is_marginal():
+    """Cutting the stream into segments loses cross-cut matches; the cost
+    must stay marginal on numeric data (measured +0.7% on the 1 MiB f32
+    BASELINE config)."""
+    n = 1024 * 1024
+    data = np.arange(n // 4, dtype=np.float32).tobytes()
+    frame = blosc.compress(data, blosc.LZ4, 5, blosc.SHUFFLE, 4)
+    serial = nb.lz4_compress(
+        np.frombuffer(_filtered(data, blosc.SHUFFLE, 4), np.uint8), 1
+    )
+    assert len(_payload(frame)) <= len(serial) * 1.02 + 64
+
+
+def test_memcpy_fallback_still_engages():
+    rng = np.random.default_rng(7)
+    data = rng.integers(0, 256, 2 * 1024 * 1024, dtype=np.uint8).tobytes()
+    frame = blosc.compress(data, blosc.LZ4, 5, blosc.NOSHUFFLE, 1)
+    h = blosc.get_info(frame)
+    assert h.flags & 0x2
+    assert blosc.decompress(frame) == data
+
+
+def test_literal_only_middle_segment():
+    """A segment that encodes to a single literal token (pure noise) must
+    pend into the NEXT segment's first sequence — the seam-stitch path
+    with accumulated pending literals."""
+    rng = np.random.default_rng(3)
+    seg = (SEG_MIN + 3) // 4 + 1  # segment length for n = SEG_MIN + 3
+    n = SEG_MIN + 3
+    parts = [
+        bytes((np.arange(seg) % 199).astype(np.uint8)),   # compressible
+        rng.integers(0, 256, seg, dtype=np.uint8).tobytes(),  # literal-only
+        bytes((np.arange(seg) % 7).astype(np.uint8)),     # compressible
+        rng.integers(0, 256, n - 3 * seg, dtype=np.uint8).tobytes(),
+    ]
+    data = b"".join(parts)
+    assert len(data) == n
+    frame = blosc.compress(data, blosc.LZ4, 5, blosc.NOSHUFFLE, 1)
+    assert blosc.decompress(frame) == data
+    h = blosc.get_info(frame)
+    if not (h.flags & 0x2):
+        assert lz4_ref.decompress_block(_payload(frame), n) == data
+
+
+def test_consecutive_literal_only_segments():
+    """Two adjacent noise segments accumulate two pending chunks before a
+    compressible segment flushes them."""
+    rng = np.random.default_rng(9)
+    n = 2 * 1024 * 1024  # 8 segments of 256 KiB
+    seg = n // 8
+    parts = [bytes((np.arange(seg) % 13).astype(np.uint8))]
+    parts.append(rng.integers(0, 256, seg, dtype=np.uint8).tobytes())
+    parts.append(rng.integers(0, 256, seg, dtype=np.uint8).tobytes())
+    parts.append(bytes((np.arange(seg) % 13).astype(np.uint8)))
+    parts.append(bytes(4 * seg))  # zeros keep the whole frame compressible
+    data = b"".join(parts)
+    frame = blosc.compress(data, blosc.LZ4, 5, blosc.NOSHUFFLE, 1)
+    assert blosc.decompress(frame) == data
+    h = blosc.get_info(frame)
+    assert not (h.flags & 0x2)
+    assert lz4_ref.decompress_block(_payload(frame), n) == data
+
+
+def test_trailing_literal_only_segment():
+    """Noise in the FINAL segment: its literals close the stream."""
+    rng = np.random.default_rng(11)
+    n = SEG_MIN + 40
+    seg = (n + 3) // 4
+    data = bytes((np.arange(3 * seg) % 17).astype(np.uint8))
+    data += rng.integers(0, 256, n - 3 * seg, dtype=np.uint8).tobytes()
+    frame = blosc.compress(data, blosc.LZ4, 5, blosc.NOSHUFFLE, 1)
+    assert blosc.decompress(frame) == data
+    h = blosc.get_info(frame)
+    if not (h.flags & 0x2):
+        assert lz4_ref.decompress_block(_payload(frame), n) == data
+
+
+@pytest.mark.parametrize("level", [1, 9])
+def test_lz4hc_parallel_roundtrip(level):
+    n = 1024 * 1024 + 5
+    data = (np.arange(n) % 241).astype(np.uint8).tobytes()
+    frame = blosc.compress(data, blosc.LZ4HC, level, blosc.SHUFFLE, 4)
+    assert blosc.decompress(frame) == data
+    assert lz4_ref.decompress_block(
+        _payload(frame), n
+    ) == _filtered(data, blosc.SHUFFLE, 4)
+
+
+def test_scan_encoder_inside_segments():
+    """Segments >= 256 KiB still route through the fixed-offset scan
+    encoder when the probe accepts; the stitched result must stay a valid
+    stream."""
+    n = 4 * 1024 * 1024  # 8 x 512 KiB segments, scan-eligible
+    base = np.tile(np.arange(96, dtype=np.uint8), n // 96 + 1)[:n]
+    data = base.tobytes()
+    frame = blosc.compress(data, blosc.LZ4, 5, blosc.NOSHUFFLE, 1)
+    assert blosc.decompress(frame) == data
+    assert lz4_ref.decompress_block(_payload(frame), n) == data

@@ -23,8 +23,13 @@ pytestmark = pytest.mark.skipif(
 
 # exact sizes from our own deterministic encoders
 # (2026-08-17, DEFAULT_AUTO_BLOCK = 1 MiB)
+# The 1 MiB single-block pins moved +0.7% / +0.13% when the segment-
+# parallel frame encoder landed (matches cannot cross the 4 deterministic
+# segment cuts; see tpublosc.cpp lz4_frame_parallel) — a deliberate
+# size-for-4x-threads trade that keeps the stream valid for any LZ4
+# block decoder and byte-identical across thread counts.
 EXACT = {
-    "1MB_f32_lz4_shuffle": 13158,
+    "1MB_f32_lz4_shuffle": 13252,
     "100KB_mixed_lz4_noshuffle": 50218,
     "100KB_mixed_snappy": 52164,
     "8MB_int16_lz4_bitshuffle": 39564,
@@ -32,7 +37,7 @@ EXACT = {
     # shared offset beats greedy's per-position churn) — 16% smaller
     "16MB_f32_lz4_bitshuffle": 3166358,
     "64MB_f32_lz4_shuffle": 539719,
-    "1MB_f32_lz4hc9": 13298,
+    "1MB_f32_lz4hc9": 13315,
 }
 
 # system-library codecs: assert we never regress past these ceilings

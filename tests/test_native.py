@@ -299,11 +299,11 @@ def test_scan_encoder_periodic_roundtrip(period):
         "p, m = nb.compress_blocks(d, %d, 1, 0, nb.NATIVE_LZ4, 1);"
         "print(sum(len(x) for x in p))" % (1024 * 1024)
     )
-    env = dict(os.environ, TPU_BLOSC_NO_SCAN="1", JAX_PLATFORM_NAME="cpu")
+    env = dict(os.environ, TPU_BLOSC_NO_SCAN="1", TPU_BLOSC_NO_DEVICE="1")
     greedy_total = int(
         subprocess.run(
             [sys.executable, "-c", code], input=raw, capture_output=True,
-            env=env, check=True,
+            env=env, check=True, timeout=300,
         ).stdout
     )
     assert len(stream) <= greedy_total * 1.02, (len(stream), greedy_total)

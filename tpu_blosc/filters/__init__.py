@@ -52,6 +52,12 @@ def _probe() -> None:
             _backend_name = "native"
     except Exception:  # pragma: no cover - toolchain missing → numpy
         pass
+    if os.environ.get("TPU_BLOSC_NO_DEVICE"):
+        # skip the jax/device probe entirely (keeps the native host path).
+        # jax backend init can BLOCK, not just fail, when a remote device
+        # plugin's transport is down — a host-only process (CLI, worker)
+        # must be able to import without touching it.
+        return
     try:
         import jax
 

@@ -119,6 +119,16 @@ static inline uint32_t lz4_hash(uint32_t v) {
 // Worst case size (mirror of lz4_ref.compress_bound).
 static inline int64_t lz4_bound(int64_t n) { return n + n / 255 + 16; }
 
+// Where an encoded block's final literals-only token sits — the segment-
+// concatenation path (lz4_frame_parallel) needs it to stitch seams: a
+// literals-only token is only valid at end-of-block, so a non-final
+// segment's tail literals must be merged into the next segment's first
+// sequence.  tok_off == 0 means the whole stream is one literal token.
+struct Lz4Tail {
+  int64_t tok_off = 0;  // output offset of the final token byte
+  int64_t lit_len = 0;  // its literal count
+};
+
 // Emit literal run + optional match; returns new output pos or -1 on overflow.
 static inline int64_t lz4_emit(uint8_t *dst, int64_t di, int64_t cap,
                                const uint8_t *lit, int64_t lit_len,
@@ -167,7 +177,8 @@ static inline int64_t lz4_emit(uint8_t *dst, int64_t di, int64_t cap,
 template <bool TAGGED>
 static int64_t lz4_compress_impl(const uint8_t *src, int64_t n, uint8_t *dst,
                                  int64_t cap, int depth, uint32_t *head,
-                                 uint32_t *chain, uint32_t epoch) {
+                                 uint32_t *chain, uint32_t epoch,
+                                 Lz4Tail *tail = nullptr) {
   int64_t di = 0;
   const uint32_t tag = epoch << 24;
 
@@ -269,6 +280,10 @@ static int64_t lz4_compress_impl(const uint8_t *src, int64_t n, uint8_t *dst,
   }
 
   if (di < 0) return -1;
+  if (tail) {
+    tail->tok_off = di;
+    tail->lit_len = n - anchor;
+  }
   return lz4_emit(dst, di, cap, src + anchor, n - anchor, 0, 0);
 }
 
@@ -277,10 +292,15 @@ static int64_t lz4_compress_impl(const uint8_t *src, int64_t n, uint8_t *dst,
 // the counter via BlockScratch::next_epoch and guarantees n+1 < 2^24).
 static int64_t lz4_compress_t(const uint8_t *src, int64_t n, uint8_t *dst,
                               int64_t cap, int depth, uint32_t *head_ext,
-                              uint32_t *chain_ext, uint32_t epoch = 0) {
+                              uint32_t *chain_ext, uint32_t epoch = 0,
+                              Lz4Tail *tail = nullptr) {
   if (n == 0) return 0;
   if (n < kMfLimit + 1) {
     int64_t di = 0;
+    if (tail) {
+      tail->tok_off = 0;
+      tail->lit_len = n;
+    }
     return lz4_emit(dst, di, cap, src, n, 0, 0);
   }
   // head[h] = last position + 1 with hash h (0 = empty).
@@ -304,11 +324,13 @@ static int64_t lz4_compress_t(const uint8_t *src, int64_t n, uint8_t *dst,
   if (depth <= 1) chain = nullptr;
   int64_t out;
   if (epoch > 0 && n + 1 <= 0xFFFFFF) {
-    out = lz4_compress_impl<true>(src, n, dst, cap, depth, head, chain, epoch);
+    out = lz4_compress_impl<true>(src, n, dst, cap, depth, head, chain, epoch,
+                                  tail);
   } else {
     std::memset(head, 0, (size_t)head_sz * 4);
     if (chain) std::memset(chain, 0, 65536 * 4);
-    out = lz4_compress_impl<false>(src, n, dst, cap, depth, head, chain, 0);
+    out = lz4_compress_impl<false>(src, n, dst, cap, depth, head, chain, 0,
+                                   tail);
   }
   if (owned) {
     std::free(head);
@@ -453,7 +475,8 @@ static ScanProbe lz4_scan_probe(const uint8_t *src, int64_t n) {
 // Emit the scan encoding for offset d.  Returns bytes written, or -1 when
 // the output would exceed cap (caller falls back to the greedy encoder).
 static int64_t lz4_scan_emit(const uint8_t *src, int64_t n, uint8_t *dst,
-                             int64_t cap, int d, uint64_t *mask) {
+                             int64_t cap, int d, uint64_t *mask,
+                             Lz4Tail *tail = nullptr) {
   // --- build the equality bitmask (1 bit per byte, LSB-first): whole
   // 64-byte groups produce one full mask word per iteration (two AVX2
   // compares), no memset / read-modify-write traffic ---
@@ -525,6 +548,10 @@ static int64_t lz4_scan_emit(const uint8_t *src, int64_t n, uint8_t *dst,
     if (di < 0) return -1;
     anchor = me;
     p = me;
+  }
+  if (tail) {
+    tail->tok_off = di;
+    tail->lit_len = n - anchor;
   }
   return lz4_emit(dst, di, cap, src + anchor, n - anchor, 0, 0);
 }
@@ -697,7 +724,8 @@ static void lz4_compress_pair_impl(Lz4PairArgs &A, Lz4PairArgs &B) {
 // Gate + dispatch: returns -2 when the scan path declines (caller uses
 // the greedy encoder), else the scan result (or -1 on cap overflow).
 static int64_t lz4_scan_compress(const uint8_t *src, int64_t n, uint8_t *dst,
-                                 int64_t cap, uint64_t *mask) {
+                                 int64_t cap, uint64_t *mask,
+                                 Lz4Tail *tail = nullptr) {
   static const bool disabled = std::getenv("TPU_BLOSC_NO_SCAN") != nullptr;
   if (disabled) return -2;
   ScanProbe pr = lz4_scan_probe(src, n);
@@ -710,7 +738,7 @@ static int64_t lz4_scan_compress(const uint8_t *src, int64_t n, uint8_t *dst,
   if (pr.offset == 0 || pr.eq_frac < 0.78 || pr.mean_run < 10.0 ||
       pr.mean_run > 48.0 || pr.iso_frac > 0.55)
     return -2;
-  return lz4_scan_emit(src, n, dst, cap, pr.offset, mask);
+  return lz4_scan_emit(src, n, dst, cap, pr.offset, mask, tail);
 }
 
 // Emit a valid LZ4 block stream for run-length-encoded data: the input is
@@ -1710,7 +1738,8 @@ static int64_t codec_compress(int codec, int level_or_depth,
                               int64_t cap, uint32_t *lz4_head = nullptr,
                               uint32_t *lz4_chain = nullptr,
                               uint32_t lz4_epoch = 0,
-                              uint64_t *scan_mask = nullptr) {
+                              uint64_t *scan_mask = nullptr,
+                              Lz4Tail *tail = nullptr) {
   switch (codec) {
     case kCodecSnappy:
       return snappy_compress(src, n, dst, cap);
@@ -1728,13 +1757,13 @@ static int64_t codec_compress(int codec, int level_or_depth,
     default: {
       const int depth = codec == kCodecLz4Hc ? level_or_depth : 1;
       if (depth == 1 && scan_mask && n >= kScanMinBytes) {
-        int64_t w = lz4_scan_compress(src, n, dst, cap, scan_mask);
+        int64_t w = lz4_scan_compress(src, n, dst, cap, scan_mask, tail);
         // accept only a clear win (ratio >= 4): a marginal scan result
         // could undercut what greedy would find, so re-encode instead
         if (w >= 0 && w * 4 <= n) return w;
       }
       return lz4_compress_t(src, n, dst, cap, depth, lz4_head, lz4_chain,
-                            lz4_epoch);
+                            lz4_epoch, tail);
     }
   }
 }
@@ -1775,6 +1804,8 @@ static int64_t codec_bound(int codec, int64_t n) {
 struct BlockScratch {
   uint8_t *buf = nullptr;
   int64_t cap = 0;
+  uint8_t *buf2 = nullptr;  // second buffer (segment slots, frame path)
+  int64_t cap2 = 0;
   uint32_t *head = nullptr;   // per-thread LZ4 hash table
   uint32_t *head2 = nullptr;  // second table for the pair-interleaved path
   uint32_t *chain = nullptr;  // per-thread LZ4HC chain table
@@ -1783,6 +1814,7 @@ struct BlockScratch {
   int64_t scan_words = 0;
   ~BlockScratch() {
     std::free(buf);
+    std::free(buf2);
     std::free(head);
     std::free(head2);
     std::free(chain);
@@ -1806,6 +1838,14 @@ struct BlockScratch {
       cap = buf ? need : 0;
     }
     return buf;
+  }
+  uint8_t *get2(int64_t need) {
+    if (need > cap2) {
+      std::free(buf2);
+      buf2 = (uint8_t *)std::malloc((size_t)need);
+      cap2 = buf2 ? need : 0;
+    }
+    return buf2;
   }
   // calloc: tag byte 0 never matches a live epoch (epochs are 1..255)
   uint32_t *lz4_head() {
@@ -1845,6 +1885,250 @@ struct BlockScratch {
 static BlockScratch &frame_scratch() {
   static thread_local BlockScratch s;
   return s;
+}
+
+// ---------------------------------------------------------------------------
+// parallel single-stream LZ4 frame body
+//
+// LZ4 block streams CONCATENATE: a sequence ends at a byte boundary and
+// the next token simply continues, so encoding contiguous segments of the
+// filtered stream as independent blocks and concatenating the outputs
+// yields ONE valid LZ4 block stream (matches and offsets never cross a
+// cut; each segment carries its own >=5-literal tail; the overall
+// end-of-block constraints are enforced by the final segment).  Any LZ4
+// block decoder — including the reference's lz4.UncompressBlock
+// (codec.go:77-84) — reads the result, so the frame stays a
+// reference-compatible single-block frame (blosc.go:364) while the encode
+// runs on all cores.  This is how the single-shot path (the reference's
+// own 100 KB benchmark shape) engages the whole host below the multi-
+// block threshold.
+//
+// Segmentation is a pure function of n (kFrameSegMin/kMaxFrameSegments),
+// NEVER of the thread count, so the output bytes are identical across
+// machines, tpb_set_num_threads settings, and non-OpenMP builds — the
+// golden-size pins stay machine-independent.  Cost vs the serial encoder:
+// matches cannot cross segment cuts and each segment ends in literals
+// (<0.5% size inflation measured on the BASELINE configs).
+// ---------------------------------------------------------------------------
+
+constexpr int kMaxFrameSegments = 8;
+// Engagement floor measured on the 4-core target VM: below ~512 KiB the
+// region fork/barrier cost plus scheduler jitter (~3-9 us) beats the
+// saved encode time, and the 256 KiB point is where the fixed-offset
+// scan encoder already runs near memory speed serially.  100 KB frames
+// (the reference's own benchmark shape) deliberately stay serial.
+constexpr int64_t kFrameSegMin = 512 << 10;
+
+static inline int frame_segments(int64_t n, int codec) {
+  static const bool disabled =
+      std::getenv("TPU_BLOSC_NO_FRAME_PARALLEL") != nullptr;
+  if (disabled) return 1;
+  if (codec != kCodecLz4 && codec != kCodecLz4Hc) return 1;
+  if (n < kFrameSegMin) return 1;
+  return n < (2 << 20) ? 4 : kMaxFrameSegments;
+}
+
+// Returns the payload size written to ``payload``; any value >= n means
+// "incompressible, caller takes the memcpy fallback" (the concat is
+// skipped in that case); -2 on allocation failure.
+static int64_t lz4_frame_parallel(const uint8_t *src, int64_t n, int ts,
+                                  int shuffle_mode, int codec, int depth,
+                                  int nseg, uint8_t *payload,
+                                  BlockScratch &scratch) {
+  const bool filtered = shuffle_mode != kNoShuffle && ts > 1 && n >= ts;
+  const uint8_t *stream = src;
+  uint8_t *sb = nullptr;
+  if (filtered) {
+    sb = scratch.get(n);
+    if (!sb) return -2;
+    stream = sb;
+  }
+  const int64_t seg = (n + nseg - 1) / nseg;
+  const int64_t slot = lz4_bound(seg);
+  uint8_t *slots = scratch.get2((int64_t)nseg * slot);
+  if (!slots) return -2;
+
+  // filter split (same element/group ranges shuffle_full/bitshuffle_full
+  // use); the tail past ``body`` is copied verbatim by the last slice
+  int64_t units = 0, body = n;
+  if (filtered) {
+    const int64_t ne = n / ts;
+    if (shuffle_mode == kByteShuffle) {
+      units = ne;
+      body = ne * ts;
+    } else {
+      units = ne / 8;
+      body = units * 8 * ts;
+    }
+  }
+  const int64_t per = filtered ? (units + nseg - 1) / nseg : 0;
+
+  int64_t sizes[kMaxFrameSegments];
+  Lz4Tail tails[kMaxFrameSegments];
+#ifdef _OPENMP
+#pragma omp parallel
+  {
+    if (filtered) {
+#pragma omp for schedule(static)
+      for (int t = 0; t < nseg; t++) {
+        const int64_t a = t * per, b = std::min(units, a + per);
+        if (a < b) {
+          if (shuffle_mode == kByteShuffle)
+            shuffle_range(src, sb, n / ts, ts, a, b);
+          else
+            bitshuffle_range(src, sb, ts, false, a, b);
+        }
+        if (t == nseg - 1 && body < n)
+          std::memcpy(sb + body, src + body, (size_t)(n - body));
+      }
+      // implicit barrier: sb fully materialized before any encode starts
+    }
+#pragma omp for schedule(static)
+    for (int t = 0; t < nseg; t++) {
+      const int64_t lo = (int64_t)t * seg, hi = std::min(n, lo + seg);
+      if (lo >= hi) {
+        sizes[t] = 0;
+        continue;
+      }
+      BlockScratch &ls = frame_scratch();  // per-thread tables, warm
+      const uint32_t ep = ls.next_epoch(hi - lo);
+      sizes[t] = codec_compress(
+          codec, depth, stream + lo, hi - lo, slots + t * slot, slot,
+          ls.lz4_head(), depth > 1 ? ls.lz4_chain() : nullptr, ep,
+          codec == kCodecLz4 ? ls.scan(hi - lo) : nullptr, &tails[t]);
+    }
+  }
+#else
+  if (filtered) {
+    if (shuffle_mode == kByteShuffle)
+      shuffle_range(src, sb, n / ts, ts, 0, units);
+    else
+      bitshuffle_range(src, sb, ts, false, 0, units);
+    if (body < n) std::memcpy(sb + body, src + body, (size_t)(n - body));
+  }
+  for (int t = 0; t < nseg; t++) {
+    const int64_t lo = (int64_t)t * seg, hi = std::min(n, lo + seg);
+    if (lo >= hi) {
+      sizes[t] = 0;
+      continue;
+    }
+    BlockScratch &ls = frame_scratch();
+    const uint32_t ep = ls.next_epoch(hi - lo);
+    sizes[t] = codec_compress(
+        codec, depth, stream + lo, hi - lo, slots + t * slot, slot,
+        ls.lz4_head(), depth > 1 ? ls.lz4_chain() : nullptr, ep,
+        codec == kCodecLz4 ? ls.scan(hi - lo) : nullptr, &tails[t]);
+  }
+#endif
+
+  int64_t sum = 0;
+  for (int t = 0; t < nseg; t++) {
+    if (sizes[t] < 0) return n;  // slot overflow ⇒ incompressible ⇒ memcpy
+    sum += sizes[t];
+  }
+  if (sum >= n) return sum;  // caller takes the memcpy fallback
+
+  // --- seam-stitched concatenation ---
+  // A literals-only token is valid only at end-of-block, so each non-final
+  // segment's tail token is dropped and its literal bytes become "pending",
+  // merged into the next segment's first sequence (same literals in the
+  // same order; match offsets are relative so they survive the shift).
+  // A segment that encoded to a single literal token (tok_off == 0) just
+  // extends the pending run.  The final pending run is emitted as the
+  // block's closing literals, preserving the end-of-block rules the last
+  // segment already enforced.
+  //
+  // Two passes: a sequential metadata pass parses one token per seam,
+  // writes the (tiny) merged token headers, and records every bulk copy
+  // with its exact destination; the bulk copies then run in parallel —
+  // on barely-compressible data the concat is a full compressed-bytes
+  // copy, which sequentially would eat the encode speedup.
+  const int64_t cap = lz4_bound(n);
+  struct Piece {
+    const uint8_t *src;
+    int64_t dst;
+    int64_t len;
+  };
+  Piece pieces[4 * kMaxFrameSegments + 2];
+  int npieces = 0;
+  struct Chunk {
+    const uint8_t *p;
+    int64_t len;
+  };
+  Chunk pend[kMaxFrameSegments];
+  int npend = 0;
+  int64_t pend_total = 0, di = 0;
+  auto emit_lit_header = [&](int64_t lit, uint8_t match_nibble) -> bool {
+    const int64_t need = 1 + (lit >= 15 ? (lit - 15) / 255 + 1 : 0) + lit;
+    if (di + need + 8 > cap) return false;
+    payload[di++] =
+        (uint8_t)(((lit >= 15 ? 15 : lit) << 4) | (match_nibble & 0x0F));
+    if (lit >= 15) {
+      int64_t rem = lit - 15;
+      while (rem >= 255) {
+        payload[di++] = 255;
+        rem -= 255;
+      }
+      payload[di++] = (uint8_t)rem;
+    }
+    return true;
+  };
+  auto flush_pend = [&]() {
+    for (int k = 0; k < npend; k++) {
+      pieces[npieces++] = {pend[k].p, di, pend[k].len};
+      di += pend[k].len;
+    }
+    npend = 0;
+    pend_total = 0;
+  };
+  for (int t = 0; t < nseg; t++) {
+    if (sizes[t] <= 0) continue;
+    const uint8_t *s = slots + t * slot;
+    const int64_t m = sizes[t];
+    const Lz4Tail &tl = tails[t];
+    if (tl.tok_off == 0) {
+      // single literal token: its literal bytes (the last lit_len) pend
+      pend[npend++] = {s + m - tl.lit_len, tl.lit_len};
+      pend_total += tl.lit_len;
+      continue;
+    }
+    if (pend_total > 0) {
+      // merge pending + this stream's first sequence literals
+      int64_t pos = 0;
+      const uint8_t tok = s[pos++];
+      int64_t lit = tok >> 4;
+      if (lit == 15) {
+        uint8_t b;
+        do {
+          b = s[pos++];
+          lit += b;
+        } while (b == 255);
+      }
+      if (!emit_lit_header(pend_total + lit, tok)) return n;
+      flush_pend();
+      if (di + (tl.tok_off - pos) > cap) return n;
+      // first-sequence literals, then its match part through the last match
+      pieces[npieces++] = {s + pos, di, tl.tok_off - pos};
+      di += tl.tok_off - pos;
+    } else {
+      if (di + tl.tok_off > cap) return n;
+      pieces[npieces++] = {s, di, tl.tok_off};
+      di += tl.tok_off;
+    }
+    pend[0] = {s + m - tl.lit_len, tl.lit_len};
+    npend = 1;
+    pend_total = tl.lit_len;
+  }
+  // closing literals-only token
+  if (!emit_lit_header(pend_total, 0)) return n;
+  if (di + pend_total > cap) return n;
+  flush_pend();
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 1)
+#endif
+  for (int k = 0; k < npieces; k++)
+    std::memcpy(payload + pieces[k].dst, pieces[k].src, (size_t)pieces[k].len);
+  return di;
 }
 
 }  // namespace
@@ -2179,25 +2463,34 @@ int64_t tpb_compress_frame(const uint8_t *src, int64_t n, int ts,
                            int codec, int depth, uint8_t *dst) {
   if (n <= 0 || n + 16 > (int64_t)0xFFFFFFFF) return -1;
   BlockScratch &scratch = frame_scratch();
-  const uint8_t *to_compress = src;
-  if (shuffle_mode != kNoShuffle && ts > 1 && n >= ts) {
-    uint8_t *sb = scratch.get(n);
-    if (!sb) return -2;
-    if (shuffle_mode == kByteShuffle)
-      shuffle_full(src, sb, n, ts);
-    else
-      bitshuffle_full(src, sb, n, ts, false);
-    to_compress = sb;
-  }
   uint8_t *payload = dst + 16;
-  int64_t cap = codec_bound(codec, n);
-  uint32_t ep = (codec == kCodecLz4 || codec == kCodecLz4Hc)
-                    ? scratch.next_epoch(n)
-                    : 0;
-  int64_t written = codec_compress(
-      codec, depth, to_compress, n, payload, cap,
-      scratch.lz4_head(), depth > 1 ? scratch.lz4_chain() : nullptr, ep,
-      codec == kCodecLz4 ? scratch.scan(n) : nullptr);
+  int64_t written;
+  const int nseg = frame_segments(n, codec);
+  if (nseg > 1) {
+    // segment-concatenated parallel encode (see lz4_frame_parallel)
+    written = lz4_frame_parallel(src, n, ts, shuffle_mode, codec, depth,
+                                 nseg, payload, scratch);
+    if (written == -2) return -2;
+  } else {
+    const uint8_t *to_compress = src;
+    if (shuffle_mode != kNoShuffle && ts > 1 && n >= ts) {
+      uint8_t *sb = scratch.get(n);
+      if (!sb) return -2;
+      if (shuffle_mode == kByteShuffle)
+        shuffle_full(src, sb, n, ts);
+      else
+        bitshuffle_full(src, sb, n, ts, false);
+      to_compress = sb;
+    }
+    int64_t cap = codec_bound(codec, n);
+    uint32_t ep = (codec == kCodecLz4 || codec == kCodecLz4Hc)
+                      ? scratch.next_epoch(n)
+                      : 0;
+    written = codec_compress(
+        codec, depth, to_compress, n, payload, cap,
+        scratch.lz4_head(), depth > 1 ? scratch.lz4_chain() : nullptr, ep,
+        codec == kCodecLz4 ? scratch.scan(n) : nullptr);
+  }
   int flags = 0;
   if (written < 0 || written >= n) {
     // memcpy fallback: raw pre-filter bytes, shuffle flags cleared
