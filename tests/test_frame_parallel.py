@@ -177,6 +177,52 @@ def test_lz4hc_parallel_roundtrip(level):
     ) == _filtered(data, blosc.SHUFFLE, 4)
 
 
+def test_parallel_decode_foreign_serial_frame():
+    """Frames from OTHER encoders (here: the pure-Python greedy encoder)
+    fail the decode pre-scan at the first cross-cut match and must take
+    the sequential decoder — byte-exact either way."""
+    from tpu_blosc.format import FORMAT_VERSION, HEADER_SIZE, Header
+
+    n = 1 << 20
+    data = (np.arange(n) % 199).astype(np.uint8).tobytes()
+    shuf = bytes(filters.shuffle_bytes(data, 4))
+    stream = lz4_ref.compress_block(shuf)
+    h = Header(
+        version=FORMAT_VERSION, version_lz=1, flags=1, type_size=4,
+        nbytes_orig=n, block_size=n, nbytes_comp=HEADER_SIZE + len(stream),
+    )
+    assert blosc.decompress(h.to_bytes() + stream) == data
+
+
+def test_parallel_decode_corruption_parity():
+    """Bit-flipped parallel-range frames must behave exactly like the
+    host reference decoder: same accept/reject and same bytes (the
+    pre-scan + chunk decoders add no new acceptance surface)."""
+    import random
+
+    n = 1 << 20
+    data = (np.arange(n) % 97).astype(np.uint8).tobytes()
+    frame = blosc.compress(data, blosc.LZ4, 5, blosc.NOSHUFFLE, 1)
+    rng = random.Random(42)
+    for _ in range(60):
+        fb = bytearray(frame)
+        i = rng.randrange(16, len(fb))
+        fb[i] ^= 1 << rng.randrange(8)
+        fb = bytes(fb)
+        try:
+            got = blosc.decompress(fb)
+        except blosc.BloscError:
+            got = None
+        # oracle: pure-Python decode of the same mutated payload
+        try:
+            want = lz4_ref.decompress_block(fb[16:], n)
+            if len(want) != n:
+                want = None
+        except Exception:
+            want = None
+        assert got == want, f"divergence at flip {i}"
+
+
 def test_scan_encoder_inside_segments():
     """Segments >= 256 KiB still route through the fixed-offset scan
     encoder when the probe accepts; the stitched result must stay a valid

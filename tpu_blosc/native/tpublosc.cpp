@@ -971,6 +971,175 @@ static int64_t lz4_decompress(const uint8_t *src, int64_t n, uint8_t *dst,
 }
 
 // ---------------------------------------------------------------------------
+// parallel single-stream LZ4 decode
+//
+// Frames produced by the segment-parallel encoder (lz4_frame_parallel)
+// have a provable structure: output positions k*seg are always inside a
+// literal run (the stitched seams), no match crosses a cut, and every
+// match's source stays inside its own segment.  A token PRE-SCAN (no
+// byte copying) locates the sequence containing each cut and verifies
+// those three properties for the whole stream; when they hold, the
+// chunks decode concurrently — the decode-side mirror of the encoder's
+// segment parallelism, still on a plain single-block frame.  Streams
+// from any other encoder (the reference's, our serial path) simply fail
+// the verification at the first cross-cut match and take the sequential
+// decoder; correctness never depends on who produced the frame.
+// ---------------------------------------------------------------------------
+
+// Locate cut k's containing sequence (token position + literals to skip)
+// and verify chunk independence.  Returns false when the stream was not
+// produced by our segment layout (caller decodes sequentially).  All
+// bounds the chunk decoders rely on are validated here.
+static bool lz4_split_scan(const uint8_t *src, int64_t ns, int64_t n,
+                           int nseg, int64_t seg, int64_t *tok_ip,
+                           int64_t *lit_skip) {
+  int64_t si = 0, di = 0;
+  int next = 1;
+  tok_ip[0] = 0;
+  lit_skip[0] = 0;
+  while (si < ns) {
+    const int64_t tok_pos = si;
+    uint8_t token = src[si++];
+    int64_t lit = token >> 4;
+    if (lit == 15) {
+      uint8_t b;
+      do {
+        if (si >= ns) return false;
+        b = src[si++];
+        lit += b;
+      } while (b == 255);
+    }
+    if (si + lit > ns || di + lit > n) return false;
+    while (next < nseg && (int64_t)next * seg <= di + lit) {
+      tok_ip[next] = tok_pos;
+      lit_skip[next] = (int64_t)next * seg - di;
+      next++;
+    }
+    si += lit;
+    di += lit;
+    if (si >= ns) break;  // closing literals-only token
+    if (si + 2 > ns) return false;
+    const int64_t offset = src[si] | ((int64_t)src[si + 1] << 8);
+    si += 2;
+    if (offset == 0 || offset > di) return false;
+    int64_t mlen = (token & 0xF) + kMinMatch;
+    if ((token & 0xF) == 15) {
+      uint8_t b;
+      do {
+        if (si >= ns) return false;
+        b = src[si++];
+        mlen += b;
+      } while (b == 255);
+    }
+    if (di + mlen > n) return false;
+    // a cut inside a match ⇒ not our seam layout
+    if (next < nseg && (int64_t)next * seg < di + mlen) return false;
+    // independence: the source must stay inside the current chunk
+    if (di - offset < (int64_t)(next - 1) * seg) return false;
+    di += mlen;
+  }
+  return di == n && next == nseg;
+}
+
+// Decode one chunk: sequences from token position ``si``, dropping the
+// first ``skip`` literal bytes (they belong to the previous chunk), into
+// dst[c0, c1).  Wild copies are clamped to c1 so no store ever crosses
+// into a neighbour chunk (that would race).  The scan validated every
+// bound; the checks here only protect against races on corrupt input.
+static int64_t lz4_decompress_chunk(const uint8_t *src, int64_t ns,
+                                    int64_t si, int64_t skip, uint8_t *dst,
+                                    int64_t c0, int64_t c1) {
+  int64_t di = c0;
+  int64_t drop = skip;
+  while (si < ns && di < c1) {
+    uint8_t token = src[si++];
+    int64_t lit = token >> 4;
+    if (lit == 15) {
+      uint8_t b;
+      do {
+        if (si >= ns) return -1;
+        b = src[si++];
+        lit += b;
+      } while (b == 255);
+    }
+    if (si + lit > ns) return -2;
+    int64_t lsrc = si + drop;
+    int64_t take = lit - drop;
+    drop = 0;
+    si += lit;
+    if (take < 0) return -2;
+    if (take > c1 - di) take = c1 - di;  // seam: stop at the cut
+    if (take) {
+      if (lsrc + take + 16 <= ns && di + take + 16 <= c1) {
+        const uint8_t *s = src + lsrc;
+        uint8_t *d = dst + di;
+        for (int64_t k = 0; k < take; k += 16) std::memcpy(d + k, s + k, 16);
+      } else {
+        std::memcpy(dst + di, src + lsrc, (size_t)take);
+      }
+      di += take;
+    }
+    if (di >= c1) break;
+    if (si >= ns) break;  // closing literals
+    if (si + 2 > ns) return -4;
+    const int64_t offset = src[si] | ((int64_t)src[si + 1] << 8);
+    si += 2;
+    if (offset == 0 || di - offset < c0) return -5;  // would cross the cut
+    int64_t mlen = (token & 0xF) + kMinMatch;
+    if ((token & 0xF) == 15) {
+      uint8_t b;
+      do {
+        if (si >= ns) return -6;
+        b = src[si++];
+        mlen += b;
+      } while (b == 255);
+    }
+    if (di + mlen > c1) return -7;
+    uint8_t *d = dst + di;
+    const uint8_t *s = d - offset;
+#if defined(__AVX2__)
+    if (offset >= 32 && di + mlen + 32 <= c1) {
+      for (int64_t k = 0; k < mlen; k += 32)
+        _mm256_storeu_si256((__m256i *)(d + k),
+                            _mm256_loadu_si256((const __m256i *)(s + k)));
+    } else
+#endif
+    if (offset >= 8 && di + mlen + 16 <= c1) {
+      for (int64_t k = 0; k < mlen; k += 8) write64(d + k, read64(s + k));
+    } else {
+      match_copy(d, offset, mlen);
+    }
+    di += mlen;
+  }
+  return di - c0;
+}
+
+// Scan + parallel chunk decode.  Returns n on success, -1000 when the
+// stream does not match our segment layout (caller runs the sequential
+// decoder, which also owns canonical error codes for corrupt frames).
+constexpr int64_t kSplitReject = -1000;
+constexpr int kMaxDecodeSegments = 8;  // == kMaxFrameSegments
+
+static int64_t lz4_decompress_parallel(const uint8_t *src, int64_t ns,
+                                       uint8_t *dst, int64_t n, int nseg) {
+  const int64_t seg = (n + nseg - 1) / nseg;
+  int64_t tok_ip[kMaxDecodeSegments], lit_skip[kMaxDecodeSegments];
+  if (nseg < 2 || nseg > kMaxDecodeSegments ||
+      !lz4_split_scan(src, ns, n, nseg, seg, tok_ip, lit_skip))
+    return kSplitReject;
+  bool ok = true;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) reduction(&& : ok)
+#endif
+  for (int k = 0; k < nseg; k++) {
+    const int64_t c0 = (int64_t)k * seg, c1 = std::min(n, c0 + seg);
+    ok = ok && lz4_decompress_chunk(src, ns, tok_ip[k], lit_skip[k], dst, c0,
+                                    c1) == c1 - c0;
+  }
+  return ok ? n : kSplitReject;
+}
+
+// ---------------------------------------------------------------------------
 // raw Snappy
 // ---------------------------------------------------------------------------
 
@@ -1446,7 +1615,9 @@ static void unshuffle_range(const uint8_t *src, uint8_t *dst, int64_t ne,
   unshuffle_scalar(src, dst, ne, ts, e0, e1);
 }
 
-constexpr int64_t kParallelCutoff = 1 << 20;  // 1 MiB
+// aligned with kFrameSegMin: below this the fork/steal jitter of a
+// parallel region (~3-9 us on the target VM) beats the saved filter time
+constexpr int64_t kParallelCutoff = 512 << 10;
 
 static void shuffle_full(const uint8_t *src, uint8_t *dst, int64_t n, int ts) {
   if (ts <= 1 || n < ts) {
@@ -2532,7 +2703,14 @@ int64_t tpb_decompress_block_into(const uint8_t *frame, int64_t payload_off,
     dec = frame_scratch().get(n);
     if (!dec) return -2;
   }
-  int64_t got = codec_decompress(codec, payload, psize, dec, n);
+  int64_t got = kSplitReject;
+  // decode-side mirror of the segment-parallel encoder: same nseg policy,
+  // engages only when the pre-scan proves the stream has our seam layout
+  const int nseg = frame_segments(n, codec);
+  if (nseg > 1)
+    got = lz4_decompress_parallel(payload, psize, dec, n, nseg);
+  if (got == kSplitReject)
+    got = codec_decompress(codec, payload, psize, dec, n);
   if (got != n) return got;
   if (filtered) {
     if (shuffle_mode == kByteShuffle)
