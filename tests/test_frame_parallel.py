@@ -177,6 +177,59 @@ def test_lz4hc_parallel_roundtrip(level):
     ) == _filtered(data, blosc.SHUFFLE, 4)
 
 
+@pytest.mark.parametrize(
+    "n", [SEG_MIN, SEG_MIN + 1, 2 * 1024 * 1024 + 37, 4 * 1024 * 1024 - 3]
+)
+@pytest.mark.parametrize("shuffle,ts", [(blosc.SHUFFLE, 4), (blosc.NOSHUFFLE, 1)])
+def test_snappy_parallel_roundtrip_and_stream(n, shuffle, ts):
+    """Snappy segments concatenate directly (no end-of-stream token
+    constraints): one global preamble + stripped per-segment bodies must
+    be a valid stream for the independent pure-Python decoder."""
+    from tpu_blosc.codecs import snappy_ref
+
+    data = (
+        (np.arange(n) % 251).astype(np.uint8)
+        + (np.arange(n) // 8191).astype(np.uint8)
+    ).tobytes()
+    frame = blosc.compress(data, blosc.SNAPPY, 5, shuffle, ts)
+    assert blosc.decompress(frame) == data
+    h = blosc.get_info(frame)
+    if not (h.flags & 0x2):
+        want = _filtered(data, shuffle, ts)
+        assert snappy_ref.decompress(frame[16 : h.nbytes_comp]) == want
+
+
+def test_snappy_thread_count_invariance():
+    n = 1024 * 1024 + 9
+    data = (np.arange(n) % 241).astype(np.uint8).tobytes()
+    old = nb.num_threads()
+    try:
+        frames = []
+        for t in (1, 4):
+            nb.set_num_threads(t)
+            frames.append(blosc.compress(data, blosc.SNAPPY, 5, blosc.NOSHUFFLE, 1))
+    finally:
+        nb.set_num_threads(old)
+    assert frames[0] == frames[1]
+    assert blosc.decompress(frames[0]) == data
+
+
+def test_snappy_foreign_serial_frame():
+    """Serial pure-Python Snappy frames fail the decode pre-scan and take
+    the sequential decoder — byte-exact either way."""
+    from tpu_blosc.codecs import snappy_ref
+    from tpu_blosc.format import FORMAT_VERSION, HEADER_SIZE, Header
+
+    n = 1 << 20
+    data = (np.arange(n) % 199).astype(np.uint8).tobytes()
+    stream = snappy_ref.compress(data)
+    h = Header(
+        version=FORMAT_VERSION, version_lz=3, flags=0, type_size=1,
+        nbytes_orig=n, block_size=n, nbytes_comp=HEADER_SIZE + len(stream),
+    )
+    assert blosc.decompress(h.to_bytes() + stream) == data
+
+
 def test_parallel_decode_foreign_serial_frame():
     """Frames from OTHER encoders (here: the pure-Python greedy encoder)
     fail the decode pre-scan at the first cross-cut match and must take

@@ -1297,6 +1297,153 @@ static int64_t snappy_decompress(const uint8_t *src, int64_t n, uint8_t *dst,
 }
 
 // ---------------------------------------------------------------------------
+// parallel Snappy decode (same seam idea as lz4_decompress_parallel, but
+// simpler: our per-segment encodes put every cut exactly at an element
+// boundary, and Snappy has no end-of-stream token constraints).  The
+// scan walks elements, locates each cut, and verifies no copy reaches
+// back past its chunk base; foreign streams fail and take the
+// sequential decoder.
+// ---------------------------------------------------------------------------
+
+static int64_t snappy_preamble(const uint8_t *src, int64_t n, int64_t *hdr);
+
+static bool snappy_split_scan(const uint8_t *src, int64_t ns, int64_t n,
+                              int nseg, int64_t seg, int64_t *elem_ip,
+                              int64_t *lit_skip) {
+  int64_t hdr = 0;
+  if (snappy_preamble(src, ns, &hdr) != n) return false;
+  int64_t pos = hdr, di = 0;
+  int next = 1;
+  elem_ip[0] = hdr;
+  lit_skip[0] = 0;
+  while (pos < ns) {
+    const int64_t epos = pos;
+    while (next < nseg && (int64_t)next * seg == di) {
+      elem_ip[next] = epos;  // cut exactly at this element's start
+      lit_skip[next] = 0;
+      next++;
+    }
+    uint8_t tag = src[pos++];
+    const int kind = tag & 0x03;
+    if (kind == 0x00) {
+      int64_t len = tag >> 2;
+      if (len >= 60) {
+        int extra = (int)(len - 59);
+        if (pos + extra > ns) return false;
+        len = 0;
+        for (int k = 0; k < extra; k++)
+          len |= (int64_t)src[pos + k] << (8 * k);
+        pos += extra;
+      }
+      len += 1;
+      if (pos + len > ns || di + len > n) return false;
+      while (next < nseg && (int64_t)next * seg < di + len) {
+        elem_ip[next] = epos;  // cut inside this literal: skip a prefix
+        lit_skip[next] = (int64_t)next * seg - di;
+        next++;
+      }
+      pos += len;
+      di += len;
+      continue;
+    }
+    int64_t length, offset;
+    if (kind == 0x01) {
+      if (pos >= ns) return false;
+      length = ((tag >> 2) & 0x7) + 4;
+      offset = ((int64_t)(tag >> 5) << 8) | src[pos++];
+    } else if (kind == 0x02) {
+      if (pos + 2 > ns) return false;
+      length = (tag >> 2) + 1;
+      offset = src[pos] | ((int64_t)src[pos + 1] << 8);
+      pos += 2;
+    } else {
+      if (pos + 4 > ns) return false;
+      length = (tag >> 2) + 1;
+      offset = (int64_t)read32(src + pos);
+      pos += 4;
+    }
+    if (offset == 0 || offset > di || di + length > n) return false;
+    // a cut strictly inside a copy ⇒ not our segment layout
+    if (next < nseg && (int64_t)next * seg < di + length) return false;
+    // independence: the source must stay inside the current chunk
+    if (di - offset < (int64_t)(next - 1) * seg) return false;
+    di += length;
+  }
+  return di == n && next == nseg;
+}
+
+static int64_t snappy_decompress_chunk(const uint8_t *src, int64_t ns,
+                                       int64_t pos, int64_t skip,
+                                       uint8_t *dst, int64_t c0, int64_t c1) {
+  int64_t di = c0, drop = skip;
+  while (pos < ns && di < c1) {
+    uint8_t tag = src[pos++];
+    const int kind = tag & 0x03;
+    if (kind == 0x00) {
+      int64_t len = tag >> 2;
+      if (len >= 60) {
+        int extra = (int)(len - 59);
+        if (pos + extra > ns) return -3;
+        len = 0;
+        for (int k = 0; k < extra; k++)
+          len |= (int64_t)src[pos + k] << (8 * k);
+        pos += extra;
+      }
+      len += 1;
+      const int64_t lsrc = pos + drop;
+      int64_t take = len - drop;
+      drop = 0;
+      pos += len;
+      if (take < 0 || lsrc + take > ns) return -3;
+      if (take > c1 - di) take = c1 - di;  // seam: stop at the cut
+      std::memcpy(dst + di, src + lsrc, (size_t)take);
+      di += take;
+      continue;
+    }
+    if (drop) return -3;  // scan never starts a chunk mid-copy
+    int64_t length, offset;
+    if (kind == 0x01) {
+      if (pos >= ns) return -5;
+      length = ((tag >> 2) & 0x7) + 4;
+      offset = ((int64_t)(tag >> 5) << 8) | src[pos++];
+    } else if (kind == 0x02) {
+      if (pos + 2 > ns) return -6;
+      length = (tag >> 2) + 1;
+      offset = src[pos] | ((int64_t)src[pos + 1] << 8);
+      pos += 2;
+    } else {
+      if (pos + 4 > ns) return -7;
+      length = (tag >> 2) + 1;
+      offset = (int64_t)read32(src + pos);
+      pos += 4;
+    }
+    if (offset == 0 || di - offset < c0 || di + length > c1) return -8;
+    match_copy(dst + di, offset, length);
+    di += length;
+  }
+  return di - c0;
+}
+
+static int64_t snappy_decompress_parallel(const uint8_t *src, int64_t ns,
+                                          uint8_t *dst, int64_t n, int nseg) {
+  const int64_t seg = (n + nseg - 1) / nseg;
+  int64_t elem_ip[kMaxDecodeSegments], lit_skip[kMaxDecodeSegments];
+  if (nseg < 2 || nseg > kMaxDecodeSegments ||
+      !snappy_split_scan(src, ns, n, nseg, seg, elem_ip, lit_skip))
+    return kSplitReject;
+  bool ok = true;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) reduction(&& : ok)
+#endif
+  for (int k = 0; k < nseg; k++) {
+    const int64_t c0 = (int64_t)k * seg, c1 = std::min(n, c0 + seg);
+    ok = ok && snappy_decompress_chunk(src, ns, elem_ip[k], lit_skip[k], dst,
+                                       c0, c1) == c1 - c0;
+  }
+  return ok ? n : kSplitReject;
+}
+
+// ---------------------------------------------------------------------------
 // byte shuffle / unshuffle
 // (semantics: SURVEY §2.5 — dst[j*ne + i] = src[i*ts + j]; tail verbatim)
 // ---------------------------------------------------------------------------
@@ -2094,18 +2241,40 @@ static inline int frame_segments(int64_t n, int codec) {
   static const bool disabled =
       std::getenv("TPU_BLOSC_NO_FRAME_PARALLEL") != nullptr;
   if (disabled) return 1;
-  if (codec != kCodecLz4 && codec != kCodecLz4Hc) return 1;
+  if (codec != kCodecLz4 && codec != kCodecLz4Hc && codec != kCodecSnappy)
+    return 1;
   if (n < kFrameSegMin) return 1;
   return n < (2 << 20) ? 4 : kMaxFrameSegments;
 }
 
+// Parse a Snappy uvarint preamble; returns the declared length and sets
+// *hdr to the preamble size, or -1 on malformed input.
+static inline int64_t snappy_preamble(const uint8_t *src, int64_t n,
+                                      int64_t *hdr) {
+  uint64_t total = 0;
+  int shift = 0;
+  int64_t pos = 0;
+  for (;;) {
+    if (pos >= n || shift > 63) return -1;
+    uint8_t b = src[pos++];
+    total |= (uint64_t)(b & 0x7F) << shift;
+    if (b < 0x80) break;
+    shift += 7;
+  }
+  *hdr = pos;
+  return (int64_t)total;
+}
+
 // Returns the payload size written to ``payload``; any value >= n means
 // "incompressible, caller takes the memcpy fallback" (the concat is
-// skipped in that case); -2 on allocation failure.
-static int64_t lz4_frame_parallel(const uint8_t *src, int64_t n, int ts,
-                                  int shuffle_mode, int codec, int depth,
-                                  int nseg, uint8_t *payload,
-                                  BlockScratch &scratch) {
+// skipped in that case); -2 on allocation failure.  LZ4/LZ4HC segments
+// are seam-stitched (see above); Snappy segments concatenate directly —
+// mid-stream literal elements are always valid in Snappy, so only the
+// per-segment uvarint preambles are stripped under one global preamble.
+static int64_t frame_compress_parallel(const uint8_t *src, int64_t n, int ts,
+                                       int shuffle_mode, int codec, int depth,
+                                       int nseg, uint8_t *payload,
+                                       BlockScratch &scratch) {
   const bool filtered = shuffle_mode != kNoShuffle && ts > 1 && n >= ts;
   const uint8_t *stream = src;
   uint8_t *sb = nullptr;
@@ -2115,7 +2284,7 @@ static int64_t lz4_frame_parallel(const uint8_t *src, int64_t n, int ts,
     stream = sb;
   }
   const int64_t seg = (n + nseg - 1) / nseg;
-  const int64_t slot = lz4_bound(seg);
+  const int64_t slot = codec_bound(codec, seg);
   uint8_t *slots = scratch.get2((int64_t)nseg * slot);
   if (!slots) return -2;
 
@@ -2162,10 +2331,12 @@ static int64_t lz4_frame_parallel(const uint8_t *src, int64_t n, int ts,
         continue;
       }
       BlockScratch &ls = frame_scratch();  // per-thread tables, warm
-      const uint32_t ep = ls.next_epoch(hi - lo);
+      const bool lz4ish = codec == kCodecLz4 || codec == kCodecLz4Hc;
+      const uint32_t ep = lz4ish ? ls.next_epoch(hi - lo) : 0;
       sizes[t] = codec_compress(
           codec, depth, stream + lo, hi - lo, slots + t * slot, slot,
-          ls.lz4_head(), depth > 1 ? ls.lz4_chain() : nullptr, ep,
+          lz4ish ? ls.lz4_head() : nullptr,
+          depth > 1 ? ls.lz4_chain() : nullptr, ep,
           codec == kCodecLz4 ? ls.scan(hi - lo) : nullptr, &tails[t]);
     }
   }
@@ -2184,10 +2355,12 @@ static int64_t lz4_frame_parallel(const uint8_t *src, int64_t n, int ts,
       continue;
     }
     BlockScratch &ls = frame_scratch();
-    const uint32_t ep = ls.next_epoch(hi - lo);
+    const bool lz4ish = codec == kCodecLz4 || codec == kCodecLz4Hc;
+    const uint32_t ep = lz4ish ? ls.next_epoch(hi - lo) : 0;
     sizes[t] = codec_compress(
         codec, depth, stream + lo, hi - lo, slots + t * slot, slot,
-        ls.lz4_head(), depth > 1 ? ls.lz4_chain() : nullptr, ep,
+        lz4ish ? ls.lz4_head() : nullptr,
+        depth > 1 ? ls.lz4_chain() : nullptr, ep,
         codec == kCodecLz4 ? ls.scan(hi - lo) : nullptr, &tails[t]);
   }
 #endif
@@ -2198,6 +2371,43 @@ static int64_t lz4_frame_parallel(const uint8_t *src, int64_t n, int ts,
     sum += sizes[t];
   }
   if (sum >= n) return sum;  // caller takes the memcpy fallback
+
+  if (codec == kCodecSnappy) {
+    // one global preamble, then per-segment bodies (their own preambles
+    // stripped): Snappy has no end-of-stream token constraints, so plain
+    // body concatenation is already one valid stream
+    int64_t di = 0;
+    uint64_t x = (uint64_t)n;
+    while (x >= 0x80) {
+      payload[di++] = (uint8_t)(x & 0x7F) | 0x80;
+      x >>= 7;
+    }
+    payload[di++] = (uint8_t)x;
+    struct Body {
+      const uint8_t *src;
+      int64_t dst;
+      int64_t len;
+    };
+    Body bodies[kMaxFrameSegments];
+    int nb = 0;
+    for (int t = 0; t < nseg; t++) {
+      if (sizes[t] <= 0) continue;
+      const int64_t lo = (int64_t)t * seg, hi = std::min(n, lo + seg);
+      int64_t hdr = 0;
+      const uint8_t *s = slots + t * slot;
+      if (snappy_preamble(s, sizes[t], &hdr) != hi - lo) return n;
+      bodies[nb++] = {s + hdr, di, sizes[t] - hdr};
+      di += sizes[t] - hdr;
+    }
+    if (di >= n) return di;  // caller takes the memcpy fallback
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 1)
+#endif
+    for (int k = 0; k < nb; k++)
+      std::memcpy(payload + bodies[k].dst, bodies[k].src,
+                  (size_t)bodies[k].len);
+    return di;
+  }
 
   // --- seam-stitched concatenation ---
   // A literals-only token is valid only at end-of-block, so each non-final
@@ -2638,9 +2848,9 @@ int64_t tpb_compress_frame(const uint8_t *src, int64_t n, int ts,
   int64_t written;
   const int nseg = frame_segments(n, codec);
   if (nseg > 1) {
-    // segment-concatenated parallel encode (see lz4_frame_parallel)
-    written = lz4_frame_parallel(src, n, ts, shuffle_mode, codec, depth,
-                                 nseg, payload, scratch);
+    // segment-concatenated parallel encode (see frame_compress_parallel)
+    written = frame_compress_parallel(src, n, ts, shuffle_mode, codec, depth,
+                                      nseg, payload, scratch);
     if (written == -2) return -2;
   } else {
     const uint8_t *to_compress = src;
@@ -2708,7 +2918,9 @@ int64_t tpb_decompress_block_into(const uint8_t *frame, int64_t payload_off,
   // engages only when the pre-scan proves the stream has our seam layout
   const int nseg = frame_segments(n, codec);
   if (nseg > 1)
-    got = lz4_decompress_parallel(payload, psize, dec, n, nseg);
+    got = codec == kCodecSnappy
+              ? snappy_decompress_parallel(payload, psize, dec, n, nseg)
+              : lz4_decompress_parallel(payload, psize, dec, n, nseg);
   if (got == kSplitReject)
     got = codec_decompress(codec, payload, psize, dec, n);
   if (got != n) return got;
