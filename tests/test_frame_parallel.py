@@ -230,6 +230,47 @@ def test_snappy_foreign_serial_frame():
     assert blosc.decompress(h.to_bytes() + stream) == data
 
 
+def test_zstd_multiframe_payload_decodes():
+    """ZSTD payloads holding concatenated frames (RFC 8878 §3) must decode
+    on both the native path (parallel per-frame) and the pure-Python
+    zstandard wrapper — parity with the reference's klauspost DecodeAll,
+    which accepts back-to-back frames.  Our encoder itself never segments
+    zstd (ratio cost measured at tens of percent — rejected)."""
+    import zstandard
+
+    from tpu_blosc.codecs.standard import ZstdCodec
+    from tpu_blosc.format import FORMAT_VERSION, HEADER_SIZE, Header
+
+    n = 1 << 20
+    data = (np.arange(n) % 199).astype(np.uint8).tobytes()
+    c = zstandard.ZstdCompressor(level=3)
+    stream = c.compress(data[: n // 2]) + c.compress(data[n // 2 :])
+    h = Header(
+        version=FORMAT_VERSION, version_lz=5, flags=0, type_size=1,
+        nbytes_orig=n, block_size=n, nbytes_comp=HEADER_SIZE + len(stream),
+    )
+    assert blosc.decompress(h.to_bytes() + stream) == data
+    assert ZstdCodec().decompress(stream, n) == data
+
+
+def test_zstd_encode_stays_single_frame():
+    """The zstd encoder must keep emitting ONE frame (no segmentation):
+    bytes and size identical to the serial library call."""
+    import zstandard
+
+    n = 1 << 20
+    data = np.arange(n // 4, dtype=np.float32).tobytes()
+    frame = blosc.compress(data, blosc.ZSTD, 5, blosc.SHUFFLE, 4)
+    h = blosc.get_info(frame)
+    payload = frame[16 : h.nbytes_comp]
+    # one frame that spans the whole payload
+    params = zstandard.get_frame_parameters(payload)
+    assert params.content_size == n
+    assert zstandard.ZstdDecompressor().decompress(
+        payload, max_output_size=n
+    ) == bytes(filters.shuffle_bytes(data, 4))
+
+
 def test_parallel_decode_foreign_serial_frame():
     """Frames from OTHER encoders (here: the pure-Python greedy encoder)
     fail the decode pre-scan at the first cross-cut match and must take

@@ -147,10 +147,21 @@ class ZstdCodec:
         return self._encoders[self._tier(level)].compress(bytes(data))
 
     def decompress(self, data: bytes, expected_size: int) -> bytes:
+        buf = bytes(data)
         try:
-            return self._decoder.decompress(
-                bytes(data), max_output_size=max(expected_size, 1)
+            out = self._decoder.decompress(
+                buf, max_output_size=max(expected_size, 1)
             )
+            if len(out) < expected_size:
+                # concatenated frames (the segment-parallel encoder emits
+                # one frame per segment; RFC 8878 §3 allows back-to-back
+                # frames): plain decompress stops at the first boundary
+                import io
+
+                out = self._decoder.stream_reader(
+                    io.BytesIO(buf), read_across_frames=True
+                ).read(expected_size + 1)
+            return out
         except _zstd.ZstdError as exc:
             raise DecompressionFailedError(f"zstd: {exc}") from exc
 

@@ -1444,6 +1444,52 @@ static int64_t snappy_decompress_parallel(const uint8_t *src, int64_t ns,
 }
 
 // ---------------------------------------------------------------------------
+// parallel multi-frame ZSTD decode: zstd frames are self-delimiting and
+// independent (RFC 8878 §3), so a payload holding several frames — what
+// the segment-parallel encoder emits — decodes one frame per thread.
+// Single-frame payloads (every other encoder) reject into the sequential
+// path.
+// ---------------------------------------------------------------------------
+
+static int64_t zstd_decompress_parallel(const uint8_t *src, int64_t ns,
+                                        uint8_t *dst, int64_t n) {
+  struct Fr {
+    int64_t so, cs, dofs, ds;
+  };
+  Fr frames[2 * kMaxDecodeSegments];
+  int nf = 0;
+  int64_t so = 0, dofs = 0;
+  while (so < ns) {
+    if (nf >= 2 * kMaxDecodeSegments) return kSplitReject;
+    const unsigned long long c =
+        ZSTD_getFrameContentSize(src + so, (size_t)(ns - so));
+    if (c == ZSTD_CONTENTSIZE_UNKNOWN || c == ZSTD_CONTENTSIZE_ERROR)
+      return kSplitReject;
+    const size_t cs = ZSTD_findFrameCompressedSize(src + so, (size_t)(ns - so));
+    if (ZSTD_isError(cs) || cs == 0) return kSplitReject;
+    if (dofs + (int64_t)c > n) return kSplitReject;
+    frames[nf].so = so;
+    frames[nf].cs = (int64_t)cs;
+    frames[nf].dofs = dofs;
+    frames[nf].ds = (int64_t)c;
+    nf++;
+    so += (int64_t)cs;
+    dofs += (int64_t)c;
+  }
+  if (nf < 2 || dofs != n) return kSplitReject;
+  bool ok = true;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 1) reduction(&& : ok)
+#endif
+  for (int k = 0; k < nf; k++) {
+    const size_t w = ZSTD_decompress(dst + frames[k].dofs, (size_t)frames[k].ds,
+                                     src + frames[k].so, (size_t)frames[k].cs);
+    ok = ok && !ZSTD_isError(w) && (int64_t)w == frames[k].ds;
+  }
+  return ok ? n : kSplitReject;
+}
+
+// ---------------------------------------------------------------------------
 // byte shuffle / unshuffle
 // (semantics: SURVEY §2.5 — dst[j*ne + i] = src[i*ts + j]; tail verbatim)
 // ---------------------------------------------------------------------------
@@ -2241,7 +2287,11 @@ static inline int frame_segments(int64_t n, int codec) {
   static const bool disabled =
       std::getenv("TPU_BLOSC_NO_FRAME_PARALLEL") != nullptr;
   if (disabled) return 1;
-  if (codec != kCodecLz4 && codec != kCodecLz4Hc && codec != kCodecSnappy)
+  // kCodecZstd is listed for the DECODE side only (parallel multi-frame
+  // payload decode, parity with klauspost DecodeAll's concatenated-frame
+  // acceptance); the encoder never segments zstd — see tpb_compress_frame.
+  if (codec != kCodecLz4 && codec != kCodecLz4Hc &&
+      codec != kCodecSnappy && codec != kCodecZstd)
     return 1;
   if (n < kFrameSegMin) return 1;
   return n < (2 << 20) ? 4 : kMaxFrameSegments;
@@ -2847,8 +2897,11 @@ int64_t tpb_compress_frame(const uint8_t *src, int64_t n, int ts,
   uint8_t *payload = dst + 16;
   int64_t written;
   const int nseg = frame_segments(n, codec);
-  if (nseg > 1) {
-    // segment-concatenated parallel encode (see frame_compress_parallel)
+  if (nseg > 1 && codec != kCodecZstd) {
+    // segment-concatenated parallel encode (see frame_compress_parallel).
+    // ZSTD is decode-gated only: segmenting its encode costs up to tens
+    // of percent of ratio (large-window format), breaking the
+    // "compressed size <= reference" contract — measured and rejected.
     written = frame_compress_parallel(src, n, ts, shuffle_mode, codec, depth,
                                       nseg, payload, scratch);
     if (written == -2) return -2;
@@ -2917,10 +2970,14 @@ int64_t tpb_decompress_block_into(const uint8_t *frame, int64_t payload_off,
   // decode-side mirror of the segment-parallel encoder: same nseg policy,
   // engages only when the pre-scan proves the stream has our seam layout
   const int nseg = frame_segments(n, codec);
-  if (nseg > 1)
-    got = codec == kCodecSnappy
-              ? snappy_decompress_parallel(payload, psize, dec, n, nseg)
-              : lz4_decompress_parallel(payload, psize, dec, n, nseg);
+  if (nseg > 1) {
+    if (codec == kCodecSnappy)
+      got = snappy_decompress_parallel(payload, psize, dec, n, nseg);
+    else if (codec == kCodecZstd)
+      got = zstd_decompress_parallel(payload, psize, dec, n);
+    else
+      got = lz4_decompress_parallel(payload, psize, dec, n, nseg);
+  }
   if (got == kSplitReject)
     got = codec_decompress(codec, payload, psize, dec, n);
   if (got != n) return got;
