@@ -99,10 +99,21 @@ def bench_host_pipeline() -> dict:
     t_comp, comp = _best(lambda: blosc.compress_with_options(data, opts))
     t_dec, out = _best(lambda: blosc.decompress(comp))
     assert out == data, "roundtrip failed"
+
+    # single-block 1 MiB config (BASELINE cfg 1): exercises the segment-
+    # parallel frame encode + seam-scan parallel decode (round 3)
+    n1 = 1 << 20
+    d1 = np.arange(n1 // 4, dtype=np.float32).tobytes()
+    c1 = blosc.compress(d1)
+    t1c, c1 = _best(lambda: blosc.compress(d1), reps=12)
+    t1d, o1 = _best(lambda: blosc.decompress(c1), reps=12)
+    assert o1 == d1, "single-block roundtrip failed"
     return {
         "compress_gbps": N / t_comp / 1e9,
         "decompress_gbps": N / t_dec / 1e9,
         "ratio": N / len(comp),
+        "single_block_1mib_compress_gbps": n1 / t1c / 1e9,
+        "single_block_1mib_decompress_gbps": n1 / t1d / 1e9,
         "backend": blosc.backend_name(),
     }
 
@@ -356,6 +367,12 @@ def main() -> None:
         "vs_baseline": round(value / BASELINE_LZ4_COMPRESS_GBPS, 3),
         "decompress_gbps": round(host["decompress_gbps"], 3),
         "ratio": round(host["ratio"], 1),
+        "single_block_1mib_compress_gbps": round(
+            host["single_block_1mib_compress_gbps"], 3
+        ),
+        "single_block_1mib_decompress_gbps": round(
+            host["single_block_1mib_decompress_gbps"], 3
+        ),
         "backend": host["backend"],
     })
     _RECORD["watchdog"] = "fired during device benches (host numbers valid)"

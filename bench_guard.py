@@ -24,6 +24,10 @@ FLOORS = {
     "value": 3.0,              # compress GB/s (typical 13-20)
     "decompress_gbps": 3.0,    # typical 13-17
     "ratio": 50.0,             # typical ~137 on the 64 MiB f32 ramp
+    # segment-parallel single-block path (round 3): typical 12-17 / 19-22;
+    # a collapse to the serial path reads ~9 / ~7
+    "single_block_1mib_compress_gbps": 3.0,
+    "single_block_1mib_decompress_gbps": 3.0,
 }
 
 # enforced only when the bench ran with a real accelerator attached
