@@ -209,10 +209,29 @@ static int64_t lz4_compress_impl(const uint8_t *src, int64_t n, uint8_t *dst,
     while (cand >= 0 && cand < i && d > 0 && i - cand <= kMaxOffset) {
       if (read32(src + cand) == seq) {
         int64_t mlen = kMinMatch;
-        // fast extension: 32-byte AVX2 compares (long matches dominate on
-        // shuffled numeric data — ratios >100x mean multi-KB matches),
-        // then 8-byte, then the ctz on the differing word
+        // fast extension: 64-byte then 32-byte AVX2 compares (long matches
+        // dominate on shuffled numeric data — ratios >100x mean multi-KB
+        // matches), then 8-byte, then the ctz on the differing word
 #if defined(__AVX2__)
+        while (i + mlen + 64 <= match_limit) {
+          __m256i va0 =
+              _mm256_loadu_si256((const __m256i *)(src + cand + mlen));
+          __m256i vb0 = _mm256_loadu_si256((const __m256i *)(src + i + mlen));
+          __m256i va1 =
+              _mm256_loadu_si256((const __m256i *)(src + cand + mlen + 32));
+          __m256i vb1 =
+              _mm256_loadu_si256((const __m256i *)(src + i + mlen + 32));
+          uint32_t eq0 = (uint32_t)_mm256_movemask_epi8(
+              _mm256_cmpeq_epi8(va0, vb0));
+          uint32_t eq1 = (uint32_t)_mm256_movemask_epi8(
+              _mm256_cmpeq_epi8(va1, vb1));
+          uint64_t eq = (uint64_t)eq0 | ((uint64_t)eq1 << 32);
+          if (eq != ~0ull) {
+            mlen += __builtin_ctzll(~eq);
+            goto match_done;
+          }
+          mlen += 64;
+        }
         while (i + mlen + 32 <= match_limit) {
           __m256i va = _mm256_loadu_si256((const __m256i *)(src + cand + mlen));
           __m256i vb = _mm256_loadu_si256((const __m256i *)(src + i + mlen));
