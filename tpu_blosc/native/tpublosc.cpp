@@ -629,6 +629,9 @@ static void lz4_compress_pair_impl(Lz4PairArgs &A, Lz4PairArgs &B) {
     if (cand >= 0 && cand < i && i - cand <= kMaxOffset &&
         read32(src + cand) == seq) {
       int64_t mlen = kMinMatch;
+      // NOTE: the 64-byte double-compare unroll used by lz4_compress_impl
+      // measured a wash here — the two-stream interleave already hides the
+      // compare latency and the extra registers hurt the step inlining.
 #if defined(__AVX2__)
       while (i + mlen + 32 <= match_limit) {
         __m256i va = _mm256_loadu_si256((const __m256i *)(src + cand + mlen));
