@@ -230,6 +230,43 @@ def test_snappy_foreign_serial_frame():
     assert blosc.decompress(h.to_bytes() + stream) == data
 
 
+@pytest.mark.parametrize("n", [SEG_MIN, 2 * 1024 * 1024 + 37])
+@pytest.mark.parametrize("level", [1, 6, 9])
+def test_zlib_parallel_stream_is_standard(n, level):
+    """The pigz-style parallel zlib encode must emit ONE standard zlib
+    stream (raw-deflate segments with Z_SYNC_FLUSH seams + combined
+    adler32) that plain zlib.decompress — and therefore the reference's
+    kzlib.NewReader — reads."""
+    import zlib
+
+    data = (
+        (np.arange(n) % 251).astype(np.uint8)
+        + (np.arange(n) // 8191).astype(np.uint8)
+    ).tobytes()
+    frame = blosc.compress(data, blosc.ZLIB, level, blosc.SHUFFLE, 4)
+    assert blosc.decompress(frame) == data
+    h = blosc.get_info(frame)
+    assert not (h.flags & 0x2)
+    assert zlib.decompress(frame[16 : h.nbytes_comp]) == _filtered(
+        data, blosc.SHUFFLE, 4
+    )
+
+
+def test_zlib_thread_count_invariance():
+    n = 1024 * 1024 + 3
+    data = (np.arange(n) % 241).astype(np.uint8).tobytes()
+    old = nb.num_threads()
+    try:
+        frames = []
+        for t in (1, 4):
+            nb.set_num_threads(t)
+            frames.append(blosc.compress(data, blosc.ZLIB, 5, blosc.NOSHUFFLE, 1))
+    finally:
+        nb.set_num_threads(old)
+    assert frames[0] == frames[1]
+    assert blosc.decompress(frames[0]) == data
+
+
 def test_zstd_multiframe_payload_decodes():
     """ZSTD payloads holding concatenated frames (RFC 8878 §3) must decode
     on both the native path (parallel per-frame) and the pure-Python

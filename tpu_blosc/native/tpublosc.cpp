@@ -2312,11 +2312,42 @@ static inline int frame_segments(int64_t n, int codec) {
   // kCodecZstd is listed for the DECODE side only (parallel multi-frame
   // payload decode, parity with klauspost DecodeAll's concatenated-frame
   // acceptance); the encoder never segments zstd — see tpb_compress_frame.
+  // kCodecZlib is ENCODE-side only (pigz-style raw-deflate segments under
+  // one zlib wrapper; inflate has no parallelizable boundaries).
   if (codec != kCodecLz4 && codec != kCodecLz4Hc &&
-      codec != kCodecSnappy && codec != kCodecZstd)
+      codec != kCodecSnappy && codec != kCodecZstd && codec != kCodecZlib)
     return 1;
   if (n < kFrameSegMin) return 1;
   return n < (2 << 20) ? 4 : kMaxFrameSegments;
+}
+
+// Raw-deflate one segment of a pigz-style parallel zlib stream.  Non-final
+// segments end with Z_SYNC_FLUSH (all blocks BFINAL=0, byte-aligned via an
+// empty stored block) so the raw bodies concatenate into ONE valid deflate
+// stream; the final segment ends with Z_FINISH.  Segments t>0 prime the
+// window with the 32 KiB that precede them, recovering nearly all of the
+// cross-segment ratio.  Returns bytes written, -1 on overflow/zlib error.
+static int64_t zlib_deflate_segment(const uint8_t *src, int64_t len,
+                                    uint8_t *dst, int64_t cap, int level,
+                                    const uint8_t *dict, int64_t dict_len,
+                                    bool final_seg) {
+  z_stream zs;
+  std::memset(&zs, 0, sizeof(zs));
+  // windowBits = -15: raw deflate (no zlib header/trailer per segment)
+  if (deflateInit2(&zs, level, Z_DEFLATED, -15, 8, Z_DEFAULT_STRATEGY) != Z_OK)
+    return -1;
+  if (dict_len > 0)
+    deflateSetDictionary(&zs, dict, (uInt)dict_len);
+  zs.next_in = (Bytef *)src;
+  zs.avail_in = (uInt)len;
+  zs.next_out = (Bytef *)dst;
+  zs.avail_out = (uInt)cap;
+  int rc = deflate(&zs, final_seg ? Z_FINISH : Z_SYNC_FLUSH);
+  int64_t out = (int64_t)zs.total_out;
+  bool ok = final_seg ? (rc == Z_STREAM_END)
+                      : (rc == Z_OK && zs.avail_in == 0);
+  deflateEnd(&zs);
+  return ok ? out : -1;
 }
 
 // Parse a Snappy uvarint preamble; returns the declared length and sets
@@ -2377,6 +2408,7 @@ static int64_t frame_compress_parallel(const uint8_t *src, int64_t n, int ts,
 
   int64_t sizes[kMaxFrameSegments];
   Lz4Tail tails[kMaxFrameSegments];
+  unsigned long adlers[kMaxFrameSegments] = {0};
 #ifdef _OPENMP
 #pragma omp parallel
   {
@@ -2400,6 +2432,15 @@ static int64_t frame_compress_parallel(const uint8_t *src, int64_t n, int ts,
       const int64_t lo = (int64_t)t * seg, hi = std::min(n, lo + seg);
       if (lo >= hi) {
         sizes[t] = 0;
+        continue;
+      }
+      if (codec == kCodecZlib) {
+        sizes[t] = zlib_deflate_segment(
+            stream + lo, hi - lo, slots + t * slot, slot, depth,
+            lo > 0 ? stream + lo - 32768 : nullptr, lo > 0 ? 32768 : 0,
+            t == nseg - 1);
+        adlers[t] = adler32(adler32(0L, Z_NULL, 0), stream + lo,
+                            (uInt)(hi - lo));
         continue;
       }
       BlockScratch &ls = frame_scratch();  // per-thread tables, warm
@@ -2426,6 +2467,15 @@ static int64_t frame_compress_parallel(const uint8_t *src, int64_t n, int ts,
       sizes[t] = 0;
       continue;
     }
+    if (codec == kCodecZlib) {
+      sizes[t] = zlib_deflate_segment(
+          stream + lo, hi - lo, slots + t * slot, slot, depth,
+          lo > 0 ? stream + lo - 32768 : nullptr, lo > 0 ? 32768 : 0,
+          t == nseg - 1);
+      adlers[t] = adler32(adler32(0L, Z_NULL, 0), stream + lo,
+                          (uInt)(hi - lo));
+      continue;
+    }
     BlockScratch &ls = frame_scratch();
     const bool lz4ish = codec == kCodecLz4 || codec == kCodecLz4Hc;
     const uint32_t ep = lz4ish ? ls.next_epoch(hi - lo) : 0;
@@ -2443,6 +2493,47 @@ static int64_t frame_compress_parallel(const uint8_t *src, int64_t n, int ts,
     sum += sizes[t];
   }
   if (sum >= n) return sum;  // caller takes the memcpy fallback
+
+  if (codec == kCodecZlib) {
+    // one zlib wrapper around the concatenated raw-deflate bodies
+    // (pigz layout): 2-byte header, bodies (non-final segments end in a
+    // byte-aligned empty stored block from Z_SYNC_FLUSH), big-endian
+    // adler32 of the whole uncompressed stream via adler32_combine
+    const int flevel = depth <= 1 ? 0 : depth <= 5 ? 1 : depth == 6 ? 2 : 3;
+    unsigned flg = (unsigned)flevel << 6;
+    const unsigned rem = ((0x78u << 8) | flg) % 31;
+    if (rem) flg += 31 - rem;
+    int64_t di = 0;
+    payload[di++] = 0x78;
+    payload[di++] = (uint8_t)flg;
+    struct Body {
+      const uint8_t *src;
+      int64_t dst;
+      int64_t len;
+    };
+    Body bodies[kMaxFrameSegments];
+    int nb = 0;
+    unsigned long adler = adler32(0L, Z_NULL, 0);
+    for (int t = 0; t < nseg; t++) {
+      if (sizes[t] <= 0) continue;
+      const int64_t lo = (int64_t)t * seg, hi = std::min(n, lo + seg);
+      bodies[nb++] = {slots + t * slot, di, sizes[t]};
+      di += sizes[t];
+      adler = adler32_combine(adler, adlers[t], (z_off_t)(hi - lo));
+    }
+    if (di + 4 >= n) return di + 4;  // caller takes the memcpy fallback
+    payload[di++] = (uint8_t)(adler >> 24);
+    payload[di++] = (uint8_t)(adler >> 16);
+    payload[di++] = (uint8_t)(adler >> 8);
+    payload[di++] = (uint8_t)adler;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 1)
+#endif
+    for (int k = 0; k < nb; k++)
+      std::memcpy(payload + bodies[k].dst, bodies[k].src,
+                  (size_t)bodies[k].len);
+    return di;
+  }
 
   if (codec == kCodecSnappy) {
     // one global preamble, then per-segment bodies (their own preambles
@@ -2992,7 +3083,7 @@ int64_t tpb_decompress_block_into(const uint8_t *frame, int64_t payload_off,
   // decode-side mirror of the segment-parallel encoder: same nseg policy,
   // engages only when the pre-scan proves the stream has our seam layout
   const int nseg = frame_segments(n, codec);
-  if (nseg > 1) {
+  if (nseg > 1 && codec != kCodecZlib) {  // inflate has no parallel form
     if (codec == kCodecSnappy)
       got = snappy_decompress_parallel(payload, psize, dec, n, nseg);
     else if (codec == kCodecZstd)
