@@ -975,6 +975,11 @@ static int64_t lz4_decompress(const uint8_t *src, int64_t n, uint8_t *dst,
     uint8_t *d = dst + di;
     const uint8_t *s = d - offset;
 #if defined(__AVX2__)
+    // NOTE: a register-resident pattern-replication path for small
+    // 32-multiple offsets (preload the period, cycle pure stores)
+    // measured SLOWER here (25-27 vs 28-33 GB/s on the 64 MiB headline):
+    // this core forwards 32-byte-distance store->load fine and the
+    // variable-count register loop costs more than it saves.
     if (offset >= 32 && di + mlen + 32 <= cap) {
       for (int64_t k = 0; k < mlen; k += 32)
         _mm256_storeu_si256(
