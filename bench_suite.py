@@ -48,6 +48,11 @@ def main():
     data = np.arange(262144, dtype=np.float32).tobytes()
     results.append(run_config("1MB_f32_lz4_shuffle", data, Options(), reps=20))
 
+    # 4 MiB single-block: top of the segment-parallel frame range
+    data = np.arange(1024 * 1024, dtype=np.float32).tobytes()
+    results.append(run_config("4MB_f32_lz4_shuffle_single_block", data,
+                              Options(), reps=12))
+
     # config 2: 100 KB mixed, LZ4 + Snappy, no/byte shuffle
     rng = np.random.default_rng(42)
     mixed = np.concatenate(
