@@ -354,6 +354,32 @@ def test_parallel_decode_corruption_parity():
         assert got == want, f"divergence at flip {i}"
 
 
+@pytest.mark.parametrize(
+    "codec", [blosc.LZ4, blosc.SNAPPY, blosc.ZLIB]
+)
+def test_cross_decoding_native_python_large_frames(codec, monkeypatch):
+    """≥512 KiB the native frame bytes legitimately DIVERGE from the
+    pure-Python encoder's (segmented vs single stream) — the contract is
+    cross-decodability: each decoder reads the other's frames bit-exactly.
+    (Below 512 KiB test_differential.py still asserts byte-identity.)"""
+    from tpu_blosc import chunk
+
+    n = SEG_MIN + 17
+    data = (np.arange(n) % 239).astype(np.uint8).tobytes()
+    native_frame = blosc.compress(data, codec, 5, blosc.SHUFFLE, 4)
+
+    orig = chunk._native_pipeline_codec
+    monkeypatch.setattr(chunk, "_native_pipeline_codec", lambda c, l: None)
+    python_frame = blosc.compress_with_options(
+        data, blosc.Options(codec=codec, shuffle=blosc.SHUFFLE, type_size=4)
+    )
+    # python decoder reads the native (segmented) frame
+    assert blosc.decompress(native_frame) == data
+    monkeypatch.setattr(chunk, "_native_pipeline_codec", orig)
+    # native decoder reads the python (single-stream) frame
+    assert blosc.decompress(python_frame) == data
+
+
 def test_scan_encoder_inside_segments():
     """Segments >= 256 KiB still route through the fixed-offset scan
     encoder when the probe accepts; the stitched result must stay a valid
