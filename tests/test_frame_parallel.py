@@ -380,6 +380,43 @@ def test_cross_decoding_native_python_large_frames(codec, monkeypatch):
     assert blosc.decompress(python_frame) == data
 
 
+def test_no_frame_parallel_escape_hatch(tmp_path):
+    """TPU_BLOSC_NO_FRAME_PARALLEL=1 restores the serial encoder (read
+    once at library init → needs a subprocess); serial frames differ in
+    bytes, roundtrip there, and still decode in THIS process."""
+    import os
+    import subprocess
+    import sys
+
+    n = SEG_MIN + 5
+    data = (np.arange(n) % 233).astype(np.uint8).tobytes()
+    src = tmp_path / "in.bin"
+    src.write_bytes(data)
+    out = tmp_path / "serial.frame"
+    code = (
+        "import sys; sys.path.insert(0, %r);"
+        "import tpu_blosc as blosc;"
+        "d = open(%r,'rb').read();"
+        "f = blosc.compress(d, blosc.LZ4, 5, blosc.NOSHUFFLE, 1);"
+        "assert blosc.decompress(f) == d;"
+        "open(%r,'wb').write(f)"
+    ) % (
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        str(src), str(out),
+    )
+    env = dict(
+        os.environ, TPU_BLOSC_NO_FRAME_PARALLEL="1", TPU_BLOSC_NO_DEVICE="1"
+    )
+    subprocess.run(
+        [sys.executable, "-c", code], env=env, check=True, timeout=300,
+        capture_output=True,
+    )
+    serial_frame = out.read_bytes()
+    parallel_frame = blosc.compress(data, blosc.LZ4, 5, blosc.NOSHUFFLE, 1)
+    assert serial_frame != parallel_frame  # the hatch actually flipped paths
+    assert blosc.decompress(serial_frame) == data
+
+
 def test_scan_encoder_inside_segments():
     """Segments >= 256 KiB still route through the fixed-offset scan
     encoder when the probe accepts; the stitched result must stay a valid
