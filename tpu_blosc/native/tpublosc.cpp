@@ -24,10 +24,17 @@
 // bounded output buffers; per-thread scratch is stack/heap local).
 
 #include <atomic>
+#include <condition_variable>
 #include <cstdint>
 #include <cstring>
 #include <cstdlib>
 #include <algorithm>
+#include <mutex>
+#include <thread>
+
+#include <cstdio>
+#include <time.h>
+#include <unistd.h>
 
 #ifdef _OPENMP
 #include <omp.h>
@@ -61,6 +68,163 @@ __attribute__((constructor)) static void tpb_tune_malloc() {
 #include <zstd.h>
 
 namespace {
+
+#if defined(__x86_64__) || defined(_M_X64)
+#include <emmintrin.h>
+static inline void cpu_relax() { _mm_pause(); }
+#else
+static inline void cpu_relax() { std::this_thread::yield(); }
+#endif
+
+// ---------------------------------------------------------------------------
+// spin pool — sub-microsecond-handoff parallel-for for the small frame jobs
+//
+// OpenMP region entry costs 2.5-3 us clean and up to ~13 us under the
+// target VM's scheduler steal (measured; see kFrameSegMin history), which
+// made parallelism a loss below ~512 KiB.  This pool keeps three workers
+// spinning for ~50 us after the last task (then they futex-sleep), so a
+// hot handoff is one atomic store + CAS claims — engaging the whole host
+// on the reference's own 100 KB benchmark shape.
+//
+// Safety model: tasks are claimed by compare-exchange on a single
+// {generation, index} word, so a worker that raced past a task switch
+// can never execute a stale function on a fresh index (its CAS fails on
+// the generation bits).  run() returns only after every claimed slice
+// reported completion, and try_lock serializes callers — a concurrent
+// caller just runs its loop serially.  fork() is detected by pid and the
+// pool restarts in the child.
+//
+// No condvar: a futex wake costs ~45 us of VM exits on the target
+// firecracker host (measured — it stalled the NOTIFIER that long and
+// delayed the woken workers further).  Idle workers instead nap with
+// nanosleep on an exponential backoff (100 us → 4 ms cap) and re-check
+// the cursor when they wake: the dispatching thread never syscalls, a
+// burst's first call after an idle period simply runs its slices itself
+// while the workers self-wake, and everything after that is parallel.
+// ---------------------------------------------------------------------------
+class SpinPool {
+ public:
+  using Fn = void (*)(void *, int);
+  static constexpr int kWorkers = 3;  // + the calling thread = 4 lanes
+
+  // Run fn(arg, i) for i in [0, n); false = caller must loop serially
+  // (pool busy, single-thread config, or n tiny).
+  bool run(Fn fn, void *arg, int n) {
+    if (n <= 1 || lanes_.load(std::memory_order_relaxed) <= 1) return false;
+    if (!job_mtx_.try_lock()) return false;
+    ensure_started();
+    // relaxed is enough: the release-store to cursor_ below orders these
+    // for every legitimate claimer; a stale worker may read mid-update
+    // values but its claim then fails on the generation bits and the
+    // values are discarded
+    fn_.store(fn, std::memory_order_relaxed);
+    arg_.store(arg, std::memory_order_relaxed);
+    n_.store(n, std::memory_order_relaxed);
+    done_.store(0, std::memory_order_relaxed);
+    const uint64_t g = ++gen_;  // guarded by job_mtx_
+    cursor_.store(g << 20, std::memory_order_release);
+    for (;;) {
+      const int i = claim(g, n);
+      if (i < 0) break;
+      fn(arg, i);
+      done_.fetch_add(1, std::memory_order_release);
+    }
+    while (done_.load(std::memory_order_acquire) < n) cpu_relax();
+    job_mtx_.unlock();
+    return true;
+  }
+
+  void set_lanes(int n) {
+    lanes_user_ = true;
+    lanes_.store(n < 1 ? 1 : (n > 1 + kWorkers ? 1 + kWorkers : n),
+                 std::memory_order_relaxed);
+  }
+
+ private:
+  int claim(uint64_t g, int n) {
+    uint64_t cur = cursor_.load(std::memory_order_relaxed);
+    for (;;) {
+      if ((cur >> 20) != g) return -1;  // task switched
+      const int idx = (int)(cur & 0xFFFFF);
+      if (idx >= n) return -2;  // exhausted
+      if (cursor_.compare_exchange_weak(cur, cur + 1,
+                                        std::memory_order_acquire,
+                                        std::memory_order_relaxed))
+        return idx;
+    }
+  }
+
+  void ensure_started() {  // guarded by job_mtx_
+    const pid_t me = getpid();
+    if (started_ && pid_ == me) return;
+    if (!lanes_user_) {
+      const int hc = (int)std::thread::hardware_concurrency();
+      lanes_.store(hc < 1 ? 1 : (hc > 1 + kWorkers ? 1 + kWorkers : hc),
+                   std::memory_order_relaxed);
+    }
+    // fresh process (first use, or child after fork: inherited workers
+    // do not exist here) — reset coordination state and spawn workers
+    pid_ = me;
+    cursor_.store(gen_ << 20 | 0xFFFFF, std::memory_order_relaxed);
+    for (int w = 0; w < kWorkers; w++)
+      std::thread([this, w] { worker_loop(w); }).detach();
+    started_ = true;
+  }
+
+  void worker_loop(int w) {
+    uint64_t last = cursor_.load(std::memory_order_acquire) >> 20;
+    for (;;) {
+      uint64_t cur = cursor_.load(std::memory_order_acquire);
+      uint64_t g = cur >> 20;
+      if (g == last) {
+        // no new task: spin ~30 us, then nap with exponential backoff
+        int spins = 0;
+        long nap_ns = 100 * 1000;
+        for (;;) {
+          cpu_relax();
+          cur = cursor_.load(std::memory_order_acquire);
+          if ((cur >> 20) != last) break;
+          if (++spins > 20000) {
+            struct timespec ts = {0, nap_ns};
+            nanosleep(&ts, nullptr);
+            if (nap_ns < 4 * 1000 * 1000) nap_ns *= 2;
+            cur = cursor_.load(std::memory_order_acquire);
+            if ((cur >> 20) != last) break;
+          }
+        }
+        continue;
+      }
+      last = g;
+      if (w + 2 > lanes_.load(std::memory_order_relaxed)) continue;
+      Fn fn = fn_.load(std::memory_order_relaxed);
+      void *arg = arg_.load(std::memory_order_relaxed);
+      const int n = n_.load(std::memory_order_relaxed);
+      for (;;) {
+        const int i = claim(g, n);
+        if (i < 0) break;
+        fn(arg, i);
+        done_.fetch_add(1, std::memory_order_release);
+      }
+    }
+  }
+
+  std::mutex job_mtx_;          // one task at a time; try_lock => serial
+  std::atomic<uint64_t> cursor_{0xFFFFF};  // (gen << 20) | next index
+  std::atomic<int> done_{0};
+  std::atomic<int> lanes_{1 + kWorkers};
+  uint64_t gen_ = 0;
+  std::atomic<Fn> fn_{nullptr};
+  std::atomic<void *> arg_{nullptr};
+  std::atomic<int> n_{0};
+  bool started_ = false;
+  bool lanes_user_ = false;
+  pid_t pid_ = 0;
+};
+
+static SpinPool &spin_pool() {
+  static SpinPool *p = new SpinPool();  // leaked: workers live to exit
+  return *p;
+}
 
 // ---------------------------------------------------------------------------
 // small helpers
@@ -1147,6 +1311,22 @@ static int64_t lz4_decompress_chunk(const uint8_t *src, int64_t ns,
 constexpr int64_t kSplitReject = -1000;
 constexpr int kMaxDecodeSegments = 8;  // == kMaxFrameSegments
 
+struct Lz4DecCtx {
+  const uint8_t *src;
+  uint8_t *dst;
+  const int64_t *tok_ip;
+  const int64_t *lit_skip;
+  int64_t ns, n, seg;
+  uint8_t ok[kMaxDecodeSegments];
+};
+
+static void lz4_decode_chunk_slice(void *p, int k) {
+  Lz4DecCtx &c = *(Lz4DecCtx *)p;
+  const int64_t c0 = (int64_t)k * c.seg, c1 = std::min(c.n, c0 + c.seg);
+  c.ok[k] = lz4_decompress_chunk(c.src, c.ns, c.tok_ip[k], c.lit_skip[k],
+                                 c.dst, c0, c1) == c1 - c0;
+}
+
 static int64_t lz4_decompress_parallel(const uint8_t *src, int64_t ns,
                                        uint8_t *dst, int64_t n, int nseg) {
   const int64_t seg = (n + nseg - 1) / nseg;
@@ -1154,16 +1334,12 @@ static int64_t lz4_decompress_parallel(const uint8_t *src, int64_t ns,
   if (nseg < 2 || nseg > kMaxDecodeSegments ||
       !lz4_split_scan(src, ns, n, nseg, seg, tok_ip, lit_skip))
     return kSplitReject;
-  bool ok = true;
-#ifdef _OPENMP
-#pragma omp parallel for schedule(static) reduction(&& : ok)
-#endif
-  for (int k = 0; k < nseg; k++) {
-    const int64_t c0 = (int64_t)k * seg, c1 = std::min(n, c0 + seg);
-    ok = ok && lz4_decompress_chunk(src, ns, tok_ip[k], lit_skip[k], dst, c0,
-                                    c1) == c1 - c0;
-  }
-  return ok ? n : kSplitReject;
+  Lz4DecCtx ctx{src, dst, tok_ip, lit_skip, ns, n, seg, {}};
+  if (!spin_pool().run(lz4_decode_chunk_slice, &ctx, nseg))
+    for (int k = 0; k < nseg; k++) lz4_decode_chunk_slice(&ctx, k);
+  for (int k = 0; k < nseg; k++)
+    if (!ctx.ok[k]) return kSplitReject;
+  return n;
 }
 
 // ---------------------------------------------------------------------------
@@ -1451,6 +1627,22 @@ static int64_t snappy_decompress_chunk(const uint8_t *src, int64_t ns,
   return di - c0;
 }
 
+struct SnappyDecCtx {
+  const uint8_t *src;
+  uint8_t *dst;
+  const int64_t *elem_ip;
+  const int64_t *lit_skip;
+  int64_t ns, n, seg;
+  uint8_t ok[kMaxDecodeSegments];
+};
+
+static void snappy_decode_chunk_slice(void *p, int k) {
+  SnappyDecCtx &c = *(SnappyDecCtx *)p;
+  const int64_t c0 = (int64_t)k * c.seg, c1 = std::min(c.n, c0 + c.seg);
+  c.ok[k] = snappy_decompress_chunk(c.src, c.ns, c.elem_ip[k], c.lit_skip[k],
+                                    c.dst, c0, c1) == c1 - c0;
+}
+
 static int64_t snappy_decompress_parallel(const uint8_t *src, int64_t ns,
                                           uint8_t *dst, int64_t n, int nseg) {
   const int64_t seg = (n + nseg - 1) / nseg;
@@ -1458,16 +1650,12 @@ static int64_t snappy_decompress_parallel(const uint8_t *src, int64_t ns,
   if (nseg < 2 || nseg > kMaxDecodeSegments ||
       !snappy_split_scan(src, ns, n, nseg, seg, elem_ip, lit_skip))
     return kSplitReject;
-  bool ok = true;
-#ifdef _OPENMP
-#pragma omp parallel for schedule(static) reduction(&& : ok)
-#endif
-  for (int k = 0; k < nseg; k++) {
-    const int64_t c0 = (int64_t)k * seg, c1 = std::min(n, c0 + seg);
-    ok = ok && snappy_decompress_chunk(src, ns, elem_ip[k], lit_skip[k], dst,
-                                       c0, c1) == c1 - c0;
-  }
-  return ok ? n : kSplitReject;
+  SnappyDecCtx ctx{src, dst, elem_ip, lit_skip, ns, n, seg, {}};
+  if (!spin_pool().run(snappy_decode_chunk_slice, &ctx, nseg))
+    for (int k = 0; k < nseg; k++) snappy_decode_chunk_slice(&ctx, k);
+  for (int k = 0; k < nseg; k++)
+    if (!ctx.ok[k]) return kSplitReject;
+  return n;
 }
 
 // ---------------------------------------------------------------------------
@@ -1504,16 +1692,24 @@ static int64_t zstd_decompress_parallel(const uint8_t *src, int64_t ns,
     dofs += (int64_t)c;
   }
   if (nf < 2 || dofs != n) return kSplitReject;
-  bool ok = true;
-#ifdef _OPENMP
-#pragma omp parallel for schedule(dynamic, 1) reduction(&& : ok)
-#endif
-  for (int k = 0; k < nf; k++) {
-    const size_t w = ZSTD_decompress(dst + frames[k].dofs, (size_t)frames[k].ds,
-                                     src + frames[k].so, (size_t)frames[k].cs);
-    ok = ok && !ZSTD_isError(w) && (int64_t)w == frames[k].ds;
-  }
-  return ok ? n : kSplitReject;
+  struct ZstdDecCtx {
+    const uint8_t *src;
+    uint8_t *dst;
+    const Fr *frames;
+    uint8_t ok[2 * kMaxDecodeSegments];
+  } ctx{src, dst, frames, {}};
+  auto fn = [](void *p, int k) {
+    ZstdDecCtx &c = *(ZstdDecCtx *)p;
+    const size_t w =
+        ZSTD_decompress(c.dst + c.frames[k].dofs, (size_t)c.frames[k].ds,
+                        c.src + c.frames[k].so, (size_t)c.frames[k].cs);
+    c.ok[k] = !ZSTD_isError(w) && (int64_t)w == c.frames[k].ds;
+  };
+  if (!spin_pool().run(fn, &ctx, nf))
+    for (int k = 0; k < nf; k++) fn(&ctx, k);
+  for (int k = 0; k < nf; k++)
+    if (!ctx.ok[k]) return kSplitReject;
+  return n;
 }
 
 // ---------------------------------------------------------------------------
@@ -2303,12 +2499,13 @@ static BlockScratch &frame_scratch() {
 // ---------------------------------------------------------------------------
 
 constexpr int kMaxFrameSegments = 8;
-// Engagement floor measured on the 4-core target VM: below ~512 KiB the
-// region fork/barrier cost plus scheduler jitter (~3-9 us) beats the
-// saved encode time, and the 256 KiB point is where the fixed-offset
-// scan encoder already runs near memory speed serially.  100 KB frames
-// (the reference's own benchmark shape) deliberately stay serial.
-constexpr int64_t kFrameSegMin = 512 << 10;
+// Engagement floor: with the spin pool's ~0.5 us hot handoff the parallel
+// frame paths win from ~192-256 KiB up (measured; OpenMP's 3-13 us
+// fork/steal jitter had forced 512 KiB).  Below that, random ~5-9 us
+// vCPU preemption stalls on this shared host dominate the 1-2 us slices
+// — 100 KB frames stay serial, keeping the reference-config pins stable.
+// Segmentation is still a pure function of n — see frame_segments.
+constexpr int64_t kFrameSegMin = 256 << 10;
 
 static inline int frame_segments(int64_t n, int codec) {
   static const bool disabled =
@@ -2373,6 +2570,135 @@ static inline int64_t snappy_preamble(const uint8_t *src, int64_t n,
   return (int64_t)total;
 }
 
+// Per-segment work contexts for the SpinPool trampolines (the pool takes
+// a plain function pointer; these structs carry the closure state).
+struct FrameEncCtx {
+  const uint8_t *src;
+  uint8_t *sb;
+  const uint8_t *stream;
+  uint8_t *slots;
+  int64_t *sizes;
+  Lz4Tail *tails;
+  unsigned long *adlers;
+  int64_t n, seg, slot, units, body, per;
+  int ts, shuffle_mode, codec, depth, nseg;
+};
+
+static void frame_filter_slice(void *p, int t) {
+  FrameEncCtx &c = *(FrameEncCtx *)p;
+  const int64_t a = (int64_t)t * c.per, b = std::min(c.units, a + c.per);
+  if (a < b) {
+    if (c.shuffle_mode == kByteShuffle)
+      shuffle_range(c.src, c.sb, c.n / c.ts, c.ts, a, b);
+    else
+      bitshuffle_range(c.src, c.sb, c.ts, false, a, b);
+  }
+  if (t == c.nseg - 1 && c.body < c.n)
+    std::memcpy(c.sb + c.body, c.src + c.body, (size_t)(c.n - c.body));
+}
+
+static void frame_encode_slice(void *p, int t) {
+  FrameEncCtx &c = *(FrameEncCtx *)p;
+  const int64_t lo = (int64_t)t * c.seg, hi = std::min(c.n, lo + c.seg);
+  if (lo >= hi) {
+    c.sizes[t] = 0;
+    return;
+  }
+  if (c.codec == kCodecZlib) {
+    c.sizes[t] = zlib_deflate_segment(
+        c.stream + lo, hi - lo, c.slots + t * c.slot, c.slot, c.depth,
+        lo > 0 ? c.stream + lo - 32768 : nullptr, lo > 0 ? 32768 : 0,
+        t == c.nseg - 1);
+    c.adlers[t] =
+        adler32(adler32(0L, Z_NULL, 0), c.stream + lo, (uInt)(hi - lo));
+    return;
+  }
+  BlockScratch &ls = frame_scratch();  // per-thread tables, warm
+  const bool lz4ish = c.codec == kCodecLz4 || c.codec == kCodecLz4Hc;
+  const uint32_t ep = lz4ish ? ls.next_epoch(hi - lo) : 0;
+  c.sizes[t] = codec_compress(
+      c.codec, c.depth, c.stream + lo, hi - lo, c.slots + t * c.slot, c.slot,
+      lz4ish ? ls.lz4_head() : nullptr,
+      c.depth > 1 ? ls.lz4_chain() : nullptr, ep,
+      c.codec == kCodecLz4 ? ls.scan(hi - lo) : nullptr, &c.tails[t]);
+}
+
+// Bulk copies with precomputed destinations (stitch pieces / snappy
+// bodies): pool-dispatched when the payload is big enough to matter.
+struct CopyPiece {
+  const uint8_t *src;
+  int64_t dst;
+  int64_t len;
+};
+struct CopyCtx {
+  uint8_t *payload;
+  const CopyPiece *pieces;
+};
+static void frame_copy_piece(void *p, int k) {
+  CopyCtx &c = *(CopyCtx *)p;
+  if (c.pieces[k].len > 0)
+    std::memcpy(c.payload + c.pieces[k].dst, c.pieces[k].src,
+                (size_t)c.pieces[k].len);
+}
+static void run_pieces(uint8_t *payload, const CopyPiece *pieces, int np,
+                       int64_t total) {
+  CopyCtx c{payload, pieces};
+  if (total < (256 << 10) || !spin_pool().run(frame_copy_piece, &c, np)) {
+    for (int k = 0; k < np; k++) frame_copy_piece(&c, k);
+  }
+}
+
+// Pool-sliced whole-buffer filter/unfilter for the single-block frame
+// paths: same element/group split as shuffle_full/bitshuffle_full, but
+// dispatched on the spin pool — the OpenMP _full variants must not run
+// while pool workers spin (2x oversubscription on 4 vCPUs was measured
+// at 4x slowdown on the decode unfilter).
+struct FilterCtx {
+  const uint8_t *src;
+  uint8_t *dst;
+  int64_t n, units, per;
+  int ts, mode, nsl;
+  bool inverse;
+};
+
+static void filter_ctx_slice(void *p, int t) {
+  FilterCtx &c = *(FilterCtx *)p;
+  const int64_t a = (int64_t)t * c.per, b = std::min(c.units, a + c.per);
+  if (a < b) {
+    if (c.mode == kByteShuffle) {
+      if (c.inverse)
+        unshuffle_range(c.src, c.dst, c.n / c.ts, c.ts, a, b);
+      else
+        shuffle_range(c.src, c.dst, c.n / c.ts, c.ts, a, b);
+    } else {
+      bitshuffle_range(c.src, c.dst, c.ts, c.inverse, a, b);
+    }
+  }
+  if (t == c.nsl - 1) {
+    const int64_t body =
+        c.mode == kByteShuffle ? (c.n / c.ts) * c.ts : c.units * 8 * c.ts;
+    if (body < c.n)
+      std::memcpy(c.dst + body, c.src + body, (size_t)(c.n - body));
+  }
+}
+
+// filter (inverse=false) or unfilter (inverse=true) a whole buffer on the
+// pool; falls back to one serial slice
+static void filter_buffer_pool(const uint8_t *src, uint8_t *dst, int64_t n,
+                               int ts, int mode, bool inverse) {
+  if (ts <= 1 || n < ts) {
+    std::memcpy(dst, src, (size_t)n);
+    return;
+  }
+  const int64_t ne = n / ts;
+  const int64_t units = mode == kByteShuffle ? ne : ne / 8;
+  const int nsl = n >= kFrameSegMin ? kMaxFrameSegments : 1;
+  FilterCtx c{src, dst, n, units, (units + nsl - 1) / nsl,
+              ts,  mode, nsl, inverse};
+  if (nsl == 1 || !spin_pool().run(filter_ctx_slice, &c, nsl))
+    for (int t = 0; t < nsl; t++) filter_ctx_slice(&c, t);
+}
+
 // Returns the payload size written to ``payload``; any value >= n means
 // "incompressible, caller takes the memcpy fallback" (the concat is
 // skipped in that case); -2 on allocation failure.  LZ4/LZ4HC segments
@@ -2414,83 +2740,17 @@ static int64_t frame_compress_parallel(const uint8_t *src, int64_t n, int ts,
   int64_t sizes[kMaxFrameSegments];
   Lz4Tail tails[kMaxFrameSegments];
   unsigned long adlers[kMaxFrameSegments] = {0};
-#ifdef _OPENMP
-#pragma omp parallel
-  {
-    if (filtered) {
-#pragma omp for schedule(static)
-      for (int t = 0; t < nseg; t++) {
-        const int64_t a = t * per, b = std::min(units, a + per);
-        if (a < b) {
-          if (shuffle_mode == kByteShuffle)
-            shuffle_range(src, sb, n / ts, ts, a, b);
-          else
-            bitshuffle_range(src, sb, ts, false, a, b);
-        }
-        if (t == nseg - 1 && body < n)
-          std::memcpy(sb + body, src + body, (size_t)(n - body));
-      }
-      // implicit barrier: sb fully materialized before any encode starts
-    }
-#pragma omp for schedule(static)
-    for (int t = 0; t < nseg; t++) {
-      const int64_t lo = (int64_t)t * seg, hi = std::min(n, lo + seg);
-      if (lo >= hi) {
-        sizes[t] = 0;
-        continue;
-      }
-      if (codec == kCodecZlib) {
-        sizes[t] = zlib_deflate_segment(
-            stream + lo, hi - lo, slots + t * slot, slot, depth,
-            lo > 0 ? stream + lo - 32768 : nullptr, lo > 0 ? 32768 : 0,
-            t == nseg - 1);
-        adlers[t] = adler32(adler32(0L, Z_NULL, 0), stream + lo,
-                            (uInt)(hi - lo));
-        continue;
-      }
-      BlockScratch &ls = frame_scratch();  // per-thread tables, warm
-      const bool lz4ish = codec == kCodecLz4 || codec == kCodecLz4Hc;
-      const uint32_t ep = lz4ish ? ls.next_epoch(hi - lo) : 0;
-      sizes[t] = codec_compress(
-          codec, depth, stream + lo, hi - lo, slots + t * slot, slot,
-          lz4ish ? ls.lz4_head() : nullptr,
-          depth > 1 ? ls.lz4_chain() : nullptr, ep,
-          codec == kCodecLz4 ? ls.scan(hi - lo) : nullptr, &tails[t]);
-    }
-  }
-#else
+  FrameEncCtx ctx{src,   sb,   stream, slots, sizes, tails, adlers,
+                  n,     seg,  slot,   units, body,  per,
+                  ts,    shuffle_mode, codec, depth, nseg};
   if (filtered) {
-    if (shuffle_mode == kByteShuffle)
-      shuffle_range(src, sb, n / ts, ts, 0, units);
-    else
-      bitshuffle_range(src, sb, ts, false, 0, units);
-    if (body < n) std::memcpy(sb + body, src + body, (size_t)(n - body));
+    // sb must be fully materialized before any encode starts (run() is a
+    // completion barrier)
+    if (!spin_pool().run(frame_filter_slice, &ctx, nseg))
+      for (int t = 0; t < nseg; t++) frame_filter_slice(&ctx, t);
   }
-  for (int t = 0; t < nseg; t++) {
-    const int64_t lo = (int64_t)t * seg, hi = std::min(n, lo + seg);
-    if (lo >= hi) {
-      sizes[t] = 0;
-      continue;
-    }
-    if (codec == kCodecZlib) {
-      sizes[t] = zlib_deflate_segment(
-          stream + lo, hi - lo, slots + t * slot, slot, depth,
-          lo > 0 ? stream + lo - 32768 : nullptr, lo > 0 ? 32768 : 0,
-          t == nseg - 1);
-      adlers[t] = adler32(adler32(0L, Z_NULL, 0), stream + lo,
-                          (uInt)(hi - lo));
-      continue;
-    }
-    BlockScratch &ls = frame_scratch();
-    const bool lz4ish = codec == kCodecLz4 || codec == kCodecLz4Hc;
-    const uint32_t ep = lz4ish ? ls.next_epoch(hi - lo) : 0;
-    sizes[t] = codec_compress(
-        codec, depth, stream + lo, hi - lo, slots + t * slot, slot,
-        lz4ish ? ls.lz4_head() : nullptr,
-        depth > 1 ? ls.lz4_chain() : nullptr, ep,
-        codec == kCodecLz4 ? ls.scan(hi - lo) : nullptr, &tails[t]);
-  }
-#endif
+  if (!spin_pool().run(frame_encode_slice, &ctx, nseg))
+    for (int t = 0; t < nseg; t++) frame_encode_slice(&ctx, t);
 
   int64_t sum = 0;
   for (int t = 0; t < nseg; t++) {
@@ -2511,12 +2771,7 @@ static int64_t frame_compress_parallel(const uint8_t *src, int64_t n, int ts,
     int64_t di = 0;
     payload[di++] = 0x78;
     payload[di++] = (uint8_t)flg;
-    struct Body {
-      const uint8_t *src;
-      int64_t dst;
-      int64_t len;
-    };
-    Body bodies[kMaxFrameSegments];
+    CopyPiece bodies[kMaxFrameSegments];
     int nb = 0;
     unsigned long adler = adler32(0L, Z_NULL, 0);
     for (int t = 0; t < nseg; t++) {
@@ -2531,12 +2786,7 @@ static int64_t frame_compress_parallel(const uint8_t *src, int64_t n, int ts,
     payload[di++] = (uint8_t)(adler >> 16);
     payload[di++] = (uint8_t)(adler >> 8);
     payload[di++] = (uint8_t)adler;
-#ifdef _OPENMP
-#pragma omp parallel for schedule(dynamic, 1)
-#endif
-    for (int k = 0; k < nb; k++)
-      std::memcpy(payload + bodies[k].dst, bodies[k].src,
-                  (size_t)bodies[k].len);
+    run_pieces(payload, bodies, nb, di);
     return di;
   }
 
@@ -2551,12 +2801,7 @@ static int64_t frame_compress_parallel(const uint8_t *src, int64_t n, int ts,
       x >>= 7;
     }
     payload[di++] = (uint8_t)x;
-    struct Body {
-      const uint8_t *src;
-      int64_t dst;
-      int64_t len;
-    };
-    Body bodies[kMaxFrameSegments];
+    CopyPiece bodies[kMaxFrameSegments];
     int nb = 0;
     for (int t = 0; t < nseg; t++) {
       if (sizes[t] <= 0) continue;
@@ -2568,12 +2813,7 @@ static int64_t frame_compress_parallel(const uint8_t *src, int64_t n, int ts,
       di += sizes[t] - hdr;
     }
     if (di >= n) return di;  // caller takes the memcpy fallback
-#ifdef _OPENMP
-#pragma omp parallel for schedule(dynamic, 1)
-#endif
-    for (int k = 0; k < nb; k++)
-      std::memcpy(payload + bodies[k].dst, bodies[k].src,
-                  (size_t)bodies[k].len);
+    run_pieces(payload, bodies, nb, di);
     return di;
   }
 
@@ -2593,12 +2833,7 @@ static int64_t frame_compress_parallel(const uint8_t *src, int64_t n, int ts,
   // on barely-compressible data the concat is a full compressed-bytes
   // copy, which sequentially would eat the encode speedup.
   const int64_t cap = lz4_bound(n);
-  struct Piece {
-    const uint8_t *src;
-    int64_t dst;
-    int64_t len;
-  };
-  Piece pieces[4 * kMaxFrameSegments + 2];
+  CopyPiece pieces[4 * kMaxFrameSegments + 2];
   int npieces = 0;
   struct Chunk {
     const uint8_t *p;
@@ -2672,11 +2907,7 @@ static int64_t frame_compress_parallel(const uint8_t *src, int64_t n, int ts,
   if (!emit_lit_header(pend_total, 0)) return n;
   if (di + pend_total > cap) return n;
   flush_pend();
-#ifdef _OPENMP
-#pragma omp parallel for schedule(dynamic, 1)
-#endif
-  for (int k = 0; k < npieces; k++)
-    std::memcpy(payload + pieces[k].dst, pieces[k].src, (size_t)pieces[k].len);
+  run_pieces(payload, pieces, npieces, di);
   return di;
 }
 
@@ -3028,10 +3259,7 @@ int64_t tpb_compress_frame(const uint8_t *src, int64_t n, int ts,
     if (shuffle_mode != kNoShuffle && ts > 1 && n >= ts) {
       uint8_t *sb = scratch.get(n);
       if (!sb) return -2;
-      if (shuffle_mode == kByteShuffle)
-        shuffle_full(src, sb, n, ts);
-      else
-        bitshuffle_full(src, sb, n, ts, false);
+      filter_buffer_pool(src, sb, n, ts, shuffle_mode, false);
       to_compress = sb;
     }
     int64_t cap = codec_bound(codec, n);
@@ -3099,12 +3327,7 @@ int64_t tpb_decompress_block_into(const uint8_t *frame, int64_t payload_off,
   if (got == kSplitReject)
     got = codec_decompress(codec, payload, psize, dec, n);
   if (got != n) return got;
-  if (filtered) {
-    if (shuffle_mode == kByteShuffle)
-      unshuffle_full(dec, out, n, ts);
-    else
-      bitshuffle_full(dec, out, n, ts, true);
-  }
+  if (filtered) filter_buffer_pool(dec, out, n, ts, shuffle_mode, true);
   return n;
 }
 
@@ -3132,9 +3355,8 @@ int64_t tpb_gather(const uint8_t *slots, const int64_t *sizes, int64_t nb,
 void tpb_set_num_threads(int n) {
 #ifdef _OPENMP
   if (n > 0) omp_set_num_threads(n);
-#else
-  (void)n;
 #endif
+  if (n > 0) spin_pool().set_lanes(n);
 }
 
 int tpb_num_threads(void) {
