@@ -27,7 +27,7 @@ pytestmark = pytest.mark.skipif(
     not nb.available(), reason="native backend unavailable"
 )
 
-SEG_MIN = 512 * 1024  # tpublosc.cpp kFrameSegMin
+SEG_MIN = 256 * 1024  # tpublosc.cpp kFrameSegMin (spin-pool floor, round 3)
 
 
 def _payload(frame):

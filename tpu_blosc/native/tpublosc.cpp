@@ -187,7 +187,10 @@ class SpinPool {
           if (++spins > 20000) {
             struct timespec ts = {0, nap_ns};
             nanosleep(&ts, nullptr);
-            if (nap_ns < 4 * 1000 * 1000) nap_ns *= 2;
+            // cap 16 ms: an idle process costs ~60 timer wakes/s/worker,
+            // and a late joiner only means the burst's first calls run
+            // serial-speed while the workers arrive
+            if (nap_ns < 16 * 1000 * 1000) nap_ns *= 2;
             cur = cursor_.load(std::memory_order_acquire);
             if ((cur >> 20) != last) break;
           }
