@@ -1,10 +1,10 @@
 """Segment-parallel single-block LZ4 frame encoder (tpublosc.cpp
 lz4_frame_parallel).
 
-Frames >= 512 KiB encode their LZ4/LZ4HC payload as deterministic
-segments stitched into ONE valid LZ4 block stream, so the frame stays a
-reference-compatible single-block frame (blosc.go:364) while the encode
-uses every core.  The contract mirrors the reference's stream contract
+Frames >= 256 KiB (kFrameSegMin) encode their LZ4/LZ4HC payload as
+deterministic segments stitched into ONE valid LZ4 block stream, so the
+frame stays a reference-compatible single-block frame (blosc.go:364)
+while the encode uses every core (spin pool).  The contract mirrors the reference's stream contract
 (codec.go:63-84: any conformant LZ4 block decoder reads the payload):
 
   * the payload decodes with the independent pure-Python decoder,
@@ -290,6 +290,30 @@ def test_zstd_multiframe_payload_decodes():
     assert ZstdCodec().decompress(stream, n) == data
 
 
+def test_zstd_trailing_frame_rejected_everywhere():
+    """A payload whose FIRST frame already yields nbytes_orig but which
+    carries a further non-empty frame must be rejected by the native path
+    AND the pure-Python wrapper alike (accept/reject parity across decode
+    entry points — a first-frame-only python decode used to pass it)."""
+    import zstandard
+
+    from tpu_blosc.codecs.standard import ZstdCodec
+    from tpu_blosc.format import FORMAT_VERSION, HEADER_SIZE, Header
+
+    n = 1 << 20
+    data = (np.arange(n) % 199).astype(np.uint8).tobytes()
+    c = zstandard.ZstdCompressor(level=3)
+    stream = c.compress(data) + c.compress(b"extra!")
+    h = Header(
+        version=FORMAT_VERSION, version_lz=5, flags=0, type_size=1,
+        nbytes_orig=n, block_size=n, nbytes_comp=HEADER_SIZE + len(stream),
+    )
+    with pytest.raises(blosc.BloscError):
+        blosc.decompress(h.to_bytes() + stream)
+    out = ZstdCodec().decompress(stream, n)
+    assert len(out) != n  # wrapper must not return exactly-n silently
+
+
 def test_zstd_encode_stays_single_frame():
     """The zstd encoder must keep emitting ONE frame (no segmentation):
     bytes and size identical to the serial library call."""
@@ -358,10 +382,11 @@ def test_parallel_decode_corruption_parity():
     "codec", [blosc.LZ4, blosc.SNAPPY, blosc.ZLIB]
 )
 def test_cross_decoding_native_python_large_frames(codec, monkeypatch):
-    """≥512 KiB the native frame bytes legitimately DIVERGE from the
-    pure-Python encoder's (segmented vs single stream) — the contract is
-    cross-decodability: each decoder reads the other's frames bit-exactly.
-    (Below 512 KiB test_differential.py still asserts byte-identity.)"""
+    """At/above the 256 KiB floor the native frame bytes legitimately
+    DIVERGE from the pure-Python encoder's (segmented vs single stream) —
+    the contract is cross-decodability: each decoder reads the other's
+    frames bit-exactly.  (Well below the floor, test_differential.py's
+    ≤40 KB corpus asserts full byte-identity of native vs python frames.)"""
     from tpu_blosc import chunk
 
     n = SEG_MIN + 17

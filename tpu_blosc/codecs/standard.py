@@ -147,21 +147,20 @@ class ZstdCodec:
         return self._encoders[self._tier(level)].compress(bytes(data))
 
     def decompress(self, data: bytes, expected_size: int) -> bytes:
-        buf = bytes(data)
-        try:
-            out = self._decoder.decompress(
-                buf, max_output_size=max(expected_size, 1)
-            )
-            if len(out) < expected_size:
-                # concatenated frames (the segment-parallel encoder emits
-                # one frame per segment; RFC 8878 §3 allows back-to-back
-                # frames): plain decompress stops at the first boundary
-                import io
+        # Read across frames unconditionally: payloads may hold several
+        # concatenated frames (RFC 8878 §3 — klauspost DecodeAll and the
+        # native decoder both read them) and plain decompress() stops at
+        # the first boundary.  Reading expected_size+1 bounds memory on
+        # forged headers AND makes a trailing non-empty frame overflow
+        # into a size mismatch — the same accept/reject the native path
+        # gives (a first frame of exactly expected_size followed by more
+        # content must not silently pass).
+        import io
 
-                out = self._decoder.stream_reader(
-                    io.BytesIO(buf), read_across_frames=True
-                ).read(expected_size + 1)
-            return out
+        try:
+            return self._decoder.stream_reader(
+                io.BytesIO(bytes(data)), read_across_frames=True
+            ).read(expected_size + 1)
         except _zstd.ZstdError as exc:
             raise DecompressionFailedError(f"zstd: {exc}") from exc
 

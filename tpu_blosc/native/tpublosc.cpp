@@ -24,7 +24,6 @@
 // bounded output buffers; per-thread scratch is stack/heap local).
 
 #include <atomic>
-#include <condition_variable>
 #include <cstdint>
 #include <cstring>
 #include <cstdlib>
@@ -33,8 +32,13 @@
 #include <thread>
 
 #include <cstdio>
+#include <pthread.h>
 #include <time.h>
 #include <unistd.h>
+
+#if defined(__x86_64__) || defined(_M_X64)
+#include <emmintrin.h>
+#endif
 
 #ifdef _OPENMP
 #include <omp.h>
@@ -70,7 +74,6 @@ __attribute__((constructor)) static void tpb_tune_malloc() {
 namespace {
 
 #if defined(__x86_64__) || defined(_M_X64)
-#include <emmintrin.h>
 static inline void cpu_relax() { _mm_pause(); }
 #else
 static inline void cpu_relax() { std::this_thread::yield(); }
@@ -113,10 +116,17 @@ class SpinPool {
     if (n <= 1 || lanes_.load(std::memory_order_relaxed) <= 1) return false;
     if (!job_mtx_.try_lock()) return false;
     ensure_started();
-    // relaxed is enough: the release-store to cursor_ below orders these
-    // for every legitimate claimer; a stale worker may read mid-update
-    // values but its claim then fails on the generation bits and the
-    // values are discarded
+    // Two-generation publication: PARK the cursor on a fresh generation
+    // with an exhausted index BEFORE touching the job fields, so a worker
+    // that stalled holding the previous generation can never pair its
+    // stale generation with this job's n (it would claim an index the
+    // previous job never issued, double-executing a slice and overcounting
+    // done_ — run() would then return while a worker still used the
+    // caller's stack context).  After the park, every claim against any
+    // older generation fails on the generation bits, and claims against
+    // the park generation see an exhausted index; only the second bump
+    // publishes real work, with the job fields safely ordered before it.
+    cursor_.store((++gen_ << 20) | 0xFFFFF, std::memory_order_release);
     fn_.store(fn, std::memory_order_relaxed);
     arg_.store(arg, std::memory_order_relaxed);
     n_.store(n, std::memory_order_relaxed);
@@ -135,7 +145,8 @@ class SpinPool {
   }
 
   void set_lanes(int n) {
-    lanes_user_ = true;
+    std::lock_guard<std::mutex> lk(job_mtx_);  // orders lanes_user_ vs
+    lanes_user_ = true;                        // ensure_started's read
     lanes_.store(n < 1 ? 1 : (n > 1 + kWorkers ? 1 + kWorkers : n),
                  std::memory_order_relaxed);
   }
@@ -155,8 +166,13 @@ class SpinPool {
   }
 
   void ensure_started() {  // guarded by job_mtx_
-    const pid_t me = getpid();
-    if (started_ && pid_ == me) return;
+    if (started_ && !g_forked.load(std::memory_order_relaxed)) return;
+    if (!atfork_registered_) {
+      pthread_atfork(nullptr, nullptr,
+                     [] { g_forked.store(true, std::memory_order_relaxed); });
+      atfork_registered_ = true;
+    }
+    g_forked.store(false, std::memory_order_relaxed);
     if (!lanes_user_) {
       const int hc = (int)std::thread::hardware_concurrency();
       lanes_.store(hc < 1 ? 1 : (hc > 1 + kWorkers ? 1 + kWorkers : hc),
@@ -164,7 +180,6 @@ class SpinPool {
     }
     // fresh process (first use, or child after fork: inherited workers
     // do not exist here) — reset coordination state and spawn workers
-    pid_ = me;
     cursor_.store(gen_ << 20 | 0xFFFFF, std::memory_order_relaxed);
     for (int w = 0; w < kWorkers; w++)
       std::thread([this, w] { worker_loop(w); }).detach();
@@ -221,8 +236,11 @@ class SpinPool {
   std::atomic<int> n_{0};
   bool started_ = false;
   bool lanes_user_ = false;
-  pid_t pid_ = 0;
+  bool atfork_registered_ = false;
+  static std::atomic<bool> g_forked;
 };
+
+std::atomic<bool> SpinPool::g_forked{false};
 
 static SpinPool &spin_pool() {
   static SpinPool *p = new SpinPool();  // leaked: workers live to exit
@@ -1312,7 +1330,8 @@ static int64_t lz4_decompress_chunk(const uint8_t *src, int64_t ns,
 // stream does not match our segment layout (caller runs the sequential
 // decoder, which also owns canonical error codes for corrupt frames).
 constexpr int64_t kSplitReject = -1000;
-constexpr int kMaxDecodeSegments = 8;  // == kMaxFrameSegments
+constexpr int kMaxDecodeSegments = 8;  // == kMaxFrameSegments (asserted
+                                       // where both are visible)
 
 struct Lz4DecCtx {
   const uint8_t *src;
@@ -2502,6 +2521,8 @@ static BlockScratch &frame_scratch() {
 // ---------------------------------------------------------------------------
 
 constexpr int kMaxFrameSegments = 8;
+static_assert(kMaxFrameSegments == kMaxDecodeSegments,
+              "encoder segmentation and decode pre-scan must agree");
 // Engagement floor: with the spin pool's ~0.5 us hot handoff the parallel
 // frame paths win from ~192-256 KiB up (measured; OpenMP's 3-13 us
 // fork/steal jitter had forced 512 KiB).  Below that, random ~5-9 us
