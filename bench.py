@@ -315,11 +315,15 @@ def _run_stage_subprocess(name: str, timeout: float) -> dict:
     """Run one device stage in a killable subprocess (own process group:
     SIGKILL reaches even threads wedged inside tunnel calls)."""
     try:
+        child_env = {
+            k: v for k, v in os.environ.items() if k != "TPU_BLOSC_NO_DEVICE"
+        }
         proc = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--stage", name],
             stdout=subprocess.PIPE,
             stderr=subprocess.DEVNULL,
             start_new_session=True,
+            env=child_env,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
         try:
@@ -356,9 +360,33 @@ def _child_main(name: str) -> None:
     os._exit(0)  # never run TPU runtime teardown
 
 
+def _probe_device_present(timeout: float = 120.0) -> bool:
+    """Backend probe in a killable subprocess: jax backend init BLOCKS
+    outright (no error) when the axon tunnel transport is down — the
+    parent must never call it in-process or the whole bench (including
+    the already-measured host numbers) dies with the watchdog."""
+    try:
+        child_env = {
+            k: v for k, v in os.environ.items() if k != "TPU_BLOSC_NO_DEVICE"
+        }
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.default_backend())"],
+            capture_output=True, timeout=timeout, env=child_env,
+        )
+        return out.returncode == 0 and b"cpu" not in out.stdout
+    except Exception:
+        return False
+
+
 def main() -> None:
     signal.signal(signal.SIGALRM, _watchdog)
     signal.alarm(1500)
+    # the parent process itself never needs a device: the host pipeline is
+    # host-only and every device stage runs in its own subprocess.  The
+    # library's import-time jax probe would HANG here when the tunnel is
+    # down, losing even the host numbers (observed 2026-08-18).
+    os.environ["TPU_BLOSC_NO_DEVICE"] = "1"
     _enable_compile_cache()
     host = bench_host_pipeline()
     value = round(host["compress_gbps"], 3)
@@ -377,12 +405,7 @@ def main() -> None:
     })
     _RECORD["watchdog"] = "fired during device benches (host numbers valid)"
 
-    try:
-        import jax
-
-        device_present = jax.default_backend() != "cpu"
-    except Exception:
-        device_present = False
+    device_present = _probe_device_present()
     _RECORD["device_present"] = device_present
     if device_present:
         for name, (_, timeout) in STAGES.items():
