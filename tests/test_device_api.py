@@ -355,6 +355,11 @@ def test_decompress_array_records_many_offsets_on_device():
     """6 distinct match offsets in one frame: the row-group-chunked fill
     keeps every offset HBM-resident, so the records path decodes on
     device (round 2 fell back to transfer past 4 offsets)."""
+    from tpu_blosc.native import backend as nb
+
+    if not nb.available():
+        pytest.skip("records strategy needs the native mask emitters")
+
     from tpu_blosc import device as dv
 
     rng = np.random.default_rng(21)
@@ -424,6 +429,11 @@ def test_match_strategy_3_byte_period():
     never divides the pow2 segment — the generalized candidate list must
     engage and the frame must undercut half the raw bytes (the >=2x
     link-reduction bar), decoding everywhere."""
+    from tpu_blosc.native import backend as nb
+
+    if not nb.available():
+        pytest.skip("match strategy needs the native emitters (falls back to transfer without them)")
+
     data = _periodic_planes(1024 * 1024, 3, np.int32)  # 4 MiB
     opts = Options(type_size=4, block_size=512 * 1024)
     frame = blosc.compress_array(data, opts, strategy="match")
@@ -439,6 +449,11 @@ def test_match_strategy_3_byte_period():
 def test_match_strategy_96_byte_struct_pitch():
     """96-byte struct records as uint16 (element period 48): 48 = 3*16 is
     in the generalized candidate family."""
+    from tpu_blosc.native import backend as nb
+
+    if not nb.available():
+        pytest.skip("match strategy needs the native emitters (falls back to transfer without them)")
+
     data = _periodic_planes(2 * 1024 * 1024, 48, np.uint16)  # 4 MiB
     opts = Options(type_size=2, block_size=512 * 1024)
     frame = blosc.compress_array(data, opts, strategy="match")

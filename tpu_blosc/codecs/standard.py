@@ -128,7 +128,20 @@ class ZstdCodec:
         self._encoders = [
             _zstd.ZstdCompressor(level=lv) for lv in self._TIER_LEVELS
         ]
-        self._decoder = _zstd.ZstdDecompressor()
+        # one decompressor per thread: python-zstandard instances share a
+        # single DCtx and stream_reader corrupts under concurrent use —
+        # thread-locals keep the reference's concurrent-decoder contract
+        # (codec.go:177-198) without a lock on the decode path
+        import threading
+
+        self._local = threading.local()
+
+    def _decoder(self) -> "_zstd.ZstdDecompressor":
+        d = getattr(self._local, "d", None)
+        if d is None:
+            d = _zstd.ZstdDecompressor()
+            self._local.d = d
+        return d
 
     def name(self) -> str:
         return "zstd"
@@ -158,7 +171,7 @@ class ZstdCodec:
         import io
 
         try:
-            return self._decoder.stream_reader(
+            return self._decoder().stream_reader(
                 io.BytesIO(bytes(data)), read_across_frames=True
             ).read(expected_size + 1)
         except _zstd.ZstdError as exc:
