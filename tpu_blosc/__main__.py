@@ -29,7 +29,7 @@ from .api import (
 from .format import Codec, Shuffle
 from .options import Options
 
-_CODECS = {c.name.lower(): c for c in Codec if c != Codec.BLOSCLZ}
+_CODECS = {c.name.lower(): c for c in Codec}
 _SHUFFLES = {
     "none": Shuffle.NOSHUFFLE,
     "byte": Shuffle.SHUFFLE,

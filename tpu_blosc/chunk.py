@@ -95,6 +95,8 @@ def _native_pipeline_codec_uncached(codec: int, level: int) -> tuple[int, int] |
 
     if not is_builtin(codec):
         return None
+    if codec == Codec.BLOSCLZ:
+        return _native.NATIVE_BLOSCLZ, 1
     if codec == Codec.LZ4:
         return _native.NATIVE_LZ4, 1
     if codec == Codec.LZ4HC:

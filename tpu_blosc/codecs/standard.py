@@ -20,7 +20,7 @@ import zlib as _zlib
 
 from ..errors import CompressionFailedError, DecompressionFailedError
 from ..format import Codec
-from . import lz4_ref, snappy_ref
+from . import blosclz_ref, lz4_ref, snappy_ref
 from .registry import register_codec
 
 try:
@@ -36,6 +36,25 @@ except Exception:  # pragma: no cover - native build failure → pure Python
 
 def _native_ok() -> bool:
     return _native is not None and _native.available()
+
+
+class BloscLzCodec:
+    """BloscLZ (codec ID 0) — our extension; the reference declares the enum
+    but never implements it (blosc.go:58, "internal, not implemented").
+    Format spec + oracle: blosclz_ref.py.  Level ignored, like LZ4."""
+
+    def name(self) -> str:
+        return "blosclz"
+
+    def compress(self, data: bytes, level: int) -> bytes:
+        if _native_ok():
+            return _native.blosclz_compress(data)
+        return blosclz_ref.compress(data)
+
+    def decompress(self, data: bytes, expected_size: int) -> bytes:
+        if _native_ok():
+            return _native.blosclz_decompress(data, expected_size)
+        return blosclz_ref.decompress(data, expected_size)
 
 
 class Lz4Codec:
@@ -186,6 +205,7 @@ _BUILTIN_INSTANCES: dict[int, object] = {}
 
 def register_standard_codecs() -> None:
     pairs = [
+        (Codec.BLOSCLZ, BloscLzCodec()),
         (Codec.LZ4, Lz4Codec()),
         (Codec.LZ4HC, Lz4HcCodec()),
         (Codec.SNAPPY, SnappyCodec()),

@@ -39,7 +39,8 @@ _HEADER_STRUCT = struct.Struct("<BBBBIII")
 class Codec(enum.IntEnum):
     """Compression codec identifiers (reference: blosc.go:55-64)."""
 
-    BLOSCLZ = 0  # internal, not implemented (enum only, like the reference)
+    BLOSCLZ = 0  # our extension: implemented here (codecs/blosclz_ref.py);
+    # the reference declares the enum but never implements it (blosc.go:58)
     LZ4 = 1
     LZ4HC = 2
     SNAPPY = 3

@@ -93,6 +93,8 @@ def _load() -> None:
             "tpb_lz4_decompress",
             "tpb_snappy_compress",
             "tpb_snappy_decompress",
+            "tpb_blosclz_compress",
+            "tpb_blosclz_decompress",
         ):
             fn = getattr(lib, name)
             fn.restype = _i64
@@ -283,6 +285,32 @@ def lz4_decompress(data, expected_size: int) -> bytes:
     return out if written == expected_size else out[:written]
 
 
+def blosclz_compress(data) -> bytes:
+    _ensure()
+    a = _as_u8(data)
+    n = a.size
+    cap = n + n // 32 + 16
+    out = np.empty(cap, dtype=np.uint8)
+    written = _lib.tpb_blosclz_compress(_ptr(a), n, _ptr(out), cap)
+    if written < 0:
+        raise RuntimeError(f"native blosclz compress failed ({written})")
+    return out[:written].tobytes()
+
+
+def blosclz_decompress(data, expected_size: int) -> bytes:
+    _ensure()
+    from ..errors import DecompressionFailedError
+
+    a = _as_u8(data)
+    out, addr = alloc_bytes(expected_size)
+    written = _lib.tpb_blosclz_decompress(_ptr(a), a.size, addr, expected_size)
+    if written < 0:
+        raise DecompressionFailedError(
+            f"blosclz: malformed stream (code {written})"
+        )
+    return out if written == expected_size else out[:written]
+
+
 def snappy_compress(data) -> bytes:
     _ensure()
     a = _as_u8(data)
@@ -414,7 +442,8 @@ def bitunshuffle(data, type_size: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 # codec IDs of the native pipeline (NOT the frame codec byte; mapping is in
-# chunk.py): 1 = LZ4 (depth 1), 2 = LZ4HC (depth>1), 3 = Snappy
+# chunk.py): 0 = BloscLZ, 1 = LZ4 (depth 1), 2 = LZ4HC (depth>1), 3 = Snappy
+NATIVE_BLOSCLZ = 0
 NATIVE_LZ4 = 1
 NATIVE_LZ4HC = 2
 NATIVE_SNAPPY = 3

@@ -2328,10 +2328,253 @@ static void bitshuffle_full(const uint8_t *src, uint8_t *dst, int64_t n,
 }
 
 // ---------------------------------------------------------------------------
+// BloscLZ block codec (codec ID 0)
+//
+// Fills the enum slot the reference declares but never implements
+// ("internal, not implemented", blosc.go:58 — its codec map has no entry,
+// codec.go:27-33).  Format spec + pure-Python oracle:
+// codecs/blosclz_ref.py.  FastLZ-family tokens: 5-bit literal runs
+// (1..32), 3-bit match codes with 255-extension, 13-bit distances with a
+// 3-byte long-distance escape (up to ~16 MiB), overlap legal.  Unlike LZ4
+// there are NO end-of-stream constraints — a match may be the final token
+// and literal runs are legal anywhere — so independently encoded segments
+// concatenate into one valid stream with no seam stitching at all.
+// ---------------------------------------------------------------------------
+
+constexpr int64_t kBzMaxNearDist = 8191;
+constexpr int64_t kBzMaxDist = 8191 + ((int64_t)1 << 24);
+constexpr uint32_t kBzEscapeRaw = 0x1FFF;
+constexpr int64_t kBzMinFarMatch = 6;  // escape token costs 5 bytes
+
+static inline int64_t blosclz_bound(int64_t n) { return n + n / 32 + 16; }
+
+// Literal runs of <=32 bytes, 1 control byte each; -1 on overflow.
+static inline int64_t bz_emit_lits(uint8_t *dst, int64_t di, int64_t cap,
+                                   const uint8_t *lit, int64_t len) {
+  while (len > 0) {
+    const int64_t run = len > 32 ? 32 : len;
+    if (di + 1 + run > cap) return -1;
+    dst[di++] = (uint8_t)(run - 1);
+    std::memcpy(dst + di, lit, (size_t)run);
+    di += run;
+    lit += run;
+    len -= run;
+  }
+  return di;
+}
+
+static inline int64_t bz_emit_match(uint8_t *dst, int64_t di, int64_t cap,
+                                    int64_t len, int64_t dist) {
+  const int64_t ext = len > 8 ? (len - 9) / 255 + 1 : 0;
+  const uint32_t raw =
+      dist <= kBzMaxNearDist ? (uint32_t)(dist - 1) : kBzEscapeRaw;
+  if (di + 1 + ext + 1 + (raw == kBzEscapeRaw ? 3 : 0) > cap) return -1;
+  if (len <= 8) {
+    dst[di++] = (uint8_t)(((len - 2) << 5) | (raw >> 8));
+  } else {
+    dst[di++] = (uint8_t)((7u << 5) | (raw >> 8));
+    int64_t rem = len - 9;
+    while (rem >= 255) {
+      dst[di++] = 255;
+      rem -= 255;
+    }
+    dst[di++] = (uint8_t)rem;
+  }
+  dst[di++] = (uint8_t)(raw & 0xFF);
+  if (raw == kBzEscapeRaw) {
+    const uint32_t x = (uint32_t)(dist - (kBzMaxNearDist + 1));
+    dst[di++] = (uint8_t)(x & 0xFF);
+    dst[di++] = (uint8_t)((x >> 8) & 0xFF);
+    dst[di++] = (uint8_t)((x >> 16) & 0xFF);
+  }
+  return di;
+}
+
+// Greedy single-probe encoder, the structural twin of lz4_compress_impl:
+// same hash, same tagged-epoch head-table reuse, same AVX2 match
+// extension — different token emitter and no end-of-block constraints
+// (matches may run to the very last byte).  Native minimum match is 4
+// (one read32 compare); the format allows 3 and the Python oracle emits
+// them — decoders accept both, encoders need not agree (the
+// cross-decodability contract, tests/test_differential.py).
+template <bool TAGGED>
+static int64_t blosclz_compress_impl(const uint8_t *src, int64_t n,
+                                     uint8_t *dst, int64_t cap,
+                                     uint32_t *head, uint32_t epoch) {
+  int64_t di = 0;
+  const uint32_t tag = epoch << 24;
+  auto epos = [&](uint32_t e) -> int64_t {
+    if (TAGGED) {
+      if ((e >> 24) != epoch) return -1;
+      return (int64_t)(e & 0xFFFFFF) - 1;
+    }
+    return (int64_t)e - 1;
+  };
+  auto etag = [&](int64_t pos) -> uint32_t {
+    return TAGGED ? (tag | (uint32_t)(pos + 1)) : (uint32_t)(pos + 1);
+  };
+
+  const int64_t limit = n - 4;
+  int64_t anchor = 0, i = 0, search_count = 0;
+  while (i <= limit) {
+    const uint32_t seq = read32(src + i);
+    const uint32_t h = lz4_hash(seq);
+    const int64_t cand = epos(head[h]);
+    head[h] = etag(i);
+    if (cand >= 0 && cand < i && i - cand <= kBzMaxDist &&
+        read32(src + cand) == seq) {
+      int64_t mlen = 4;
+#if defined(__AVX2__)
+      while (i + mlen + 32 <= n) {
+        const __m256i va =
+            _mm256_loadu_si256((const __m256i *)(src + cand + mlen));
+        const __m256i vb =
+            _mm256_loadu_si256((const __m256i *)(src + i + mlen));
+        const uint32_t eq =
+            (uint32_t)_mm256_movemask_epi8(_mm256_cmpeq_epi8(va, vb));
+        if (eq != 0xFFFFFFFFu) {
+          mlen += __builtin_ctz(~eq);
+          goto bz_match_done;
+        }
+        mlen += 32;
+      }
+#endif
+      while (i + mlen + 8 <= n &&
+             read64(src + cand + mlen) == read64(src + i + mlen))
+        mlen += 8;
+      if (i + mlen + 8 > n) {
+        while (i + mlen < n && src[cand + mlen] == src[i + mlen]) mlen++;
+      } else {
+        const uint64_t diff =
+            read64(src + cand + mlen) ^ read64(src + i + mlen);
+        mlen += __builtin_ctzll(diff) >> 3;
+      }
+#if defined(__AVX2__)
+    bz_match_done:;
+#endif
+      if (i - cand <= kBzMaxNearDist || mlen >= kBzMinFarMatch) {
+        // extend backward into pending literals (distance is unchanged)
+        int64_t ref = cand;
+        while (i > anchor && ref > 0 && src[i - 1] == src[ref - 1]) {
+          i--;
+          ref--;
+          mlen++;
+        }
+        di = bz_emit_lits(dst, di, cap, src + anchor, i - anchor);
+        if (di < 0) return -1;
+        di = bz_emit_match(dst, di, cap, mlen, i - ref);
+        if (di < 0) return -1;
+        if (i + 2 <= limit) head[lz4_hash(read32(src + i + 2))] = etag(i + 2);
+        i += mlen;
+        anchor = i;
+        search_count = 0;
+        continue;
+      }
+    }
+    search_count++;
+    i += 1 + (search_count >> 6);
+  }
+  return bz_emit_lits(dst, di, cap, src + anchor, n - anchor);
+}
+
+// Dispatcher twin of lz4_compress_t: external head table + tagged epochs
+// when the caller manages them, one-shot malloc + memset otherwise.
+static int64_t blosclz_compress_t(const uint8_t *src, int64_t n, uint8_t *dst,
+                                  int64_t cap, uint32_t *head_ext,
+                                  uint32_t epoch = 0) {
+  if (n == 0) return 0;
+  if (n < 4) return bz_emit_lits(dst, 0, cap, src, n);
+  const int64_t head_sz = (int64_t)1 << kHashLog;
+  uint32_t *head = head_ext;
+  bool owned = false;
+  if (!head) {
+    head = (uint32_t *)std::malloc((size_t)head_sz * 4);
+    if (!head) return -2;
+    owned = true;
+    epoch = 0;
+  }
+  int64_t out;
+  if (epoch > 0 && n + 1 <= 0xFFFFFF) {
+    out = blosclz_compress_impl<true>(src, n, dst, cap, head, epoch);
+  } else {
+    std::memset(head, 0, (size_t)head_sz * 4);
+    out = blosclz_compress_impl<false>(src, n, dst, cap, head, 0);
+  }
+  if (owned) std::free(head);
+  return out;
+}
+
+static int64_t blosclz_compress(const uint8_t *src, int64_t n, uint8_t *dst,
+                                int64_t cap) {
+  return blosclz_compress_t(src, n, dst, cap, nullptr);
+}
+
+static int64_t blosclz_decompress(const uint8_t *src, int64_t n, uint8_t *dst,
+                                  int64_t cap) {
+  int64_t si = 0, di = 0;
+  while (si < n) {
+    const uint8_t ctrl = src[si++];
+    if (ctrl < 0x20) {
+      const int64_t run = ctrl + 1;
+      if (si + run > n) return -1;   // literal run overruns input
+      if (di + run > cap) return -2; // output overflow
+      std::memcpy(dst + di, src + si, (size_t)run);
+      si += run;
+      di += run;
+      continue;
+    }
+    int64_t len;
+    const uint32_t mcode = ctrl >> 5;
+    if (mcode < 7) {
+      len = mcode + 2;
+    } else {
+      len = 9;
+      uint8_t b;
+      do {
+        if (si >= n) return -3;  // truncated match length
+        b = src[si++];
+        len += b;
+      } while (b == 0xFF);
+    }
+    if (si >= n) return -4;  // truncated distance
+    const uint32_t raw = ((uint32_t)(ctrl & 0x1F) << 8) | src[si++];
+    int64_t dist;
+    if (raw == kBzEscapeRaw) {
+      if (si + 3 > n) return -5;  // truncated far distance
+      dist = kBzMaxNearDist + 1 +
+             (int64_t)(src[si] | ((uint32_t)src[si + 1] << 8) |
+                       ((uint32_t)src[si + 2] << 16));
+      si += 3;
+    } else {
+      dist = (int64_t)raw + 1;
+    }
+    if (dist > di) return -6;    // reaches before stream start
+    if (di + len > cap) return -7;  // output overflow
+    uint8_t *d = dst + di;
+    const uint8_t *s = d - dist;
+#if defined(__AVX2__)
+    if (dist >= 32 && di + len + 32 <= cap) {
+      for (int64_t k = 0; k < len; k += 32)
+        _mm256_storeu_si256((__m256i *)(d + k),
+                            _mm256_loadu_si256((const __m256i *)(s + k)));
+    } else
+#endif
+    if (dist >= 8 && di + len + 16 <= cap) {
+      for (int64_t k = 0; k < len; k += 8) write64(d + k, read64(s + k));
+    } else {
+      match_copy(d, dist, len);
+    }
+    di += len;
+  }
+  return di;
+}
+
+// ---------------------------------------------------------------------------
 // whole-chunk block pipelines (OpenMP across blocks)
 // ---------------------------------------------------------------------------
 
 enum CodecId {
+  kCodecBlosclz = 0,  // our extension — the reference never implements it
   kCodecLz4 = 1,
   kCodecLz4Hc = 2,
   kCodecSnappy = 3,
@@ -2350,6 +2593,8 @@ static int64_t codec_compress(int codec, int level_or_depth,
                               uint64_t *scan_mask = nullptr,
                               Lz4Tail *tail = nullptr) {
   switch (codec) {
+    case kCodecBlosclz:
+      return blosclz_compress_t(src, n, dst, cap, lz4_head, lz4_epoch);
     case kCodecSnappy:
       return snappy_compress(src, n, dst, cap);
     case kCodecZlib: {
@@ -2380,6 +2625,8 @@ static int64_t codec_compress(int codec, int level_or_depth,
 static int64_t codec_decompress(int codec, const uint8_t *src, int64_t n,
                                 uint8_t *dst, int64_t cap) {
   switch (codec) {
+    case kCodecBlosclz:
+      return blosclz_decompress(src, n, dst, cap);
     case kCodecSnappy:
       return snappy_decompress(src, n, dst, cap);
     case kCodecZlib: {
@@ -2399,6 +2646,8 @@ static int64_t codec_decompress(int codec, const uint8_t *src, int64_t n,
 
 static int64_t codec_bound(int codec, int64_t n) {
   switch (codec) {
+    case kCodecBlosclz:
+      return blosclz_bound(n);
     case kCodecSnappy:
       return snappy_bound(n);
     case kCodecZlib:
@@ -2951,6 +3200,16 @@ int64_t tpb_lz4_decompress(const uint8_t *src, int64_t n, uint8_t *dst,
   return lz4_decompress(src, n, dst, cap);
 }
 
+int64_t tpb_blosclz_compress(const uint8_t *src, int64_t n, uint8_t *dst,
+                             int64_t cap) {
+  return blosclz_compress(src, n, dst, cap);
+}
+
+int64_t tpb_blosclz_decompress(const uint8_t *src, int64_t n, uint8_t *dst,
+                               int64_t cap) {
+  return blosclz_decompress(src, n, dst, cap);
+}
+
 int64_t tpb_lz4_emit_runs(const uint8_t *vals, const int64_t *lens,
                           int64_t nruns, int64_t n, uint8_t *dst,
                           int64_t cap) {
@@ -3178,9 +3437,11 @@ int64_t tpb_compress_blocks(const uint8_t *src, int64_t n, int64_t block_size,
       int64_t bs = 0;
       const uint8_t *to_compress = prep(i, scratch, sb, bs);
       uint8_t *slot = out + i * slot_stride;
-      uint32_t ep = (codec == kCodecLz4 || codec == kCodecLz4Hc)
-                        ? scratch.next_epoch(bs)
-                        : 0;
+      uint32_t ep =
+          (codec == kCodecLz4 || codec == kCodecLz4Hc ||
+           codec == kCodecBlosclz)
+              ? scratch.next_epoch(bs)
+              : 0;
       int64_t written = codec_compress(
           codec, depth, to_compress, bs, slot, slot_stride,
           scratch.lz4_head(), depth > 1 ? scratch.lz4_chain() : nullptr, ep,
@@ -3287,7 +3548,8 @@ int64_t tpb_compress_frame(const uint8_t *src, int64_t n, int ts,
       to_compress = sb;
     }
     int64_t cap = codec_bound(codec, n);
-    uint32_t ep = (codec == kCodecLz4 || codec == kCodecLz4Hc)
+    uint32_t ep = (codec == kCodecLz4 || codec == kCodecLz4Hc ||
+                   codec == kCodecBlosclz)
                       ? scratch.next_epoch(n)
                       : 0;
     written = codec_compress(
