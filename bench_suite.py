@@ -53,6 +53,11 @@ def main():
     results.append(run_config("4MB_f32_lz4_shuffle_single_block", data,
                               Options(), reps=12))
 
+    # BloscLZ (codec 0, our extension) on the same 4 MiB single-block shape
+    results.append(run_config(
+        "4MB_f32_blosclz_shuffle_single_block", data,
+        Options(codec=blosc.BLOSCLZ), reps=12))
+
     # config 2: 100 KB mixed, LZ4 + Snappy, no/byte shuffle
     rng = np.random.default_rng(42)
     mixed = np.concatenate(

@@ -452,3 +452,103 @@ def test_scan_encoder_inside_segments():
     frame = blosc.compress(data, blosc.LZ4, 5, blosc.NOSHUFFLE, 1)
     assert blosc.decompress(frame) == data
     assert lz4_ref.decompress_block(_payload(frame), n) == data
+
+
+# ---------------------------------------------------------------------------
+# BloscLZ segment parallelism — the simplest of the family: no preamble and
+# no end-of-stream constraints, so segment outputs concatenate directly and
+# the decode pre-scan needs no literal-run bookkeeping.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "n", [SEG_MIN, SEG_MIN + 13, 2 * 1024 * 1024 + 5, 4 * 1024 * 1024 - 3]
+)
+@pytest.mark.parametrize(
+    "shuffle,ts",
+    [(blosc.SHUFFLE, 4), (blosc.BITSHUFFLE, 4), (blosc.NOSHUFFLE, 1)],
+)
+def test_blosclz_parallel_roundtrip_and_stream(n, shuffle, ts):
+    """Parallel-encoded BloscLZ payloads must be one valid stream for the
+    independent pure-Python decoder, and roundtrip through the (parallel)
+    native decode path."""
+    from tpu_blosc.codecs import blosclz_ref
+
+    data = (
+        (np.arange(n) % 251).astype(np.uint8)
+        + (np.arange(n) // 8191).astype(np.uint8)
+    ).tobytes()
+    frame = blosc.compress(data, blosc.BLOSCLZ, 5, shuffle, ts)
+    assert blosc.decompress(frame) == data
+    h = blosc.get_info(frame)
+    if not (h.flags & 0x2):
+        want = _filtered(data, shuffle, ts)
+        assert blosclz_ref.decompress(frame[16 : h.nbytes_comp], n) == want
+
+
+def test_blosclz_parallel_frame_is_segment_concat():
+    """The payload must be EXACTLY the concatenation of the per-segment
+    one-shot encodes — segmentation is a pure function of n, so the frame
+    bytes are deterministic across thread counts and machines."""
+    n = 2 * 1024 * 1024  # 8-segment size
+    data = (np.arange(n) % 239).astype(np.uint8).tobytes()
+    frame = blosc.compress(data, blosc.BLOSCLZ, 5, blosc.NOSHUFFLE, 1)
+    seg = (n + 7) // 8
+    expect = b"".join(
+        nb.blosclz_compress(data[lo : lo + seg]) for lo in range(0, n, seg)
+    )
+    assert _payload(frame) == expect
+
+
+def test_blosclz_foreign_serial_stream_decodes():
+    """Serially encoded streams (the Python oracle) fail the decode
+    pre-scan and must take the sequential decoder — byte-exact."""
+    from tpu_blosc.codecs import blosclz_ref
+    from tpu_blosc.format import FORMAT_VERSION, HEADER_SIZE, Header
+
+    n = 1 << 20
+    data = (np.arange(n) % 199).astype(np.uint8).tobytes()
+    shuf = bytes(filters.shuffle_bytes(data, 4))
+    stream = blosclz_ref.compress(shuf)
+    h = Header(
+        version=FORMAT_VERSION, version_lz=0, flags=1, type_size=4,
+        nbytes_orig=n, block_size=n, nbytes_comp=HEADER_SIZE + len(stream),
+    )
+    assert blosc.decompress(h.to_bytes() + stream) == data
+
+
+def test_blosclz_parallel_decode_corruption_parity():
+    """Bit-flipped parallel-range BloscLZ frames: the pre-scan + chunk
+    decoders must add no acceptance surface vs the Python decoder."""
+    import random
+
+    from tpu_blosc.codecs import blosclz_ref
+    from tpu_blosc.errors import BloscError
+
+    n = 1 << 20
+    data = (np.arange(n) % 97).astype(np.uint8).tobytes()
+    frame = blosc.compress(data, blosc.BLOSCLZ, 5, blosc.NOSHUFFLE, 1)
+    rng = random.Random(77)
+    for _ in range(25):
+        pos = rng.randrange(16, len(frame))
+        val = rng.randrange(256)
+        mutated = frame[:pos] + bytes([val]) + frame[pos + 1 :]
+        h = blosc.get_info(mutated)
+        native_out = native_err = None
+        try:
+            native_out = blosc.decompress(mutated)
+        except BloscError:
+            native_err = True
+        py_out = py_err = None
+        try:
+            py_out = blosclz_ref.decompress(
+                mutated[16 : h.nbytes_comp], h.nbytes_orig
+            )
+        except BloscError:
+            py_err = True
+        if native_err or py_err:
+            if native_err != py_err:
+                accepted = native_out if py_err else py_out
+                assert accepted == data
+        else:
+            assert native_out == py_out

@@ -2570,6 +2570,163 @@ static int64_t blosclz_decompress(const uint8_t *src, int64_t n, uint8_t *dst,
 }
 
 // ---------------------------------------------------------------------------
+// parallel BloscLZ decode — the simplest of the family: our segment-
+// parallel encoder concatenates independently encoded segments, so cuts
+// land exactly ON token boundaries (no LZ4-style seam stitching, no
+// snappy preamble).  The pre-scan walks tokens (no byte copying),
+// records the input offset where each chunk's output starts, and
+// verifies no match reaches back across its chunk start.  Any other
+// producer (our serial encoder, the Python oracle) fails the scan and
+// takes the sequential decoder — correctness never depends on who
+// encoded the stream.
+// ---------------------------------------------------------------------------
+
+static bool blosclz_split_scan(const uint8_t *src, int64_t ns, int64_t n,
+                               int nseg, int64_t seg, int64_t *tok_ip) {
+  int64_t si = 0, di = 0, chunk_start = 0;
+  int next = 1;
+  tok_ip[0] = 0;
+  while (si < ns) {
+    if (next < nseg && di == (int64_t)next * seg) {
+      tok_ip[next] = si;
+      chunk_start = di;
+      next++;
+    }
+    const uint8_t ctrl = src[si++];
+    if (ctrl < 0x20) {
+      const int64_t run = ctrl + 1;
+      if (si + run > ns) return false;
+      si += run;
+      di += run;
+      continue;
+    }
+    int64_t len;
+    if ((ctrl >> 5) < 7) {
+      len = (ctrl >> 5) + 2;
+    } else {
+      len = 9;
+      uint8_t b;
+      do {
+        if (si >= ns) return false;
+        b = src[si++];
+        len += b;
+      } while (b == 0xFF);
+    }
+    if (si >= ns) return false;
+    const uint32_t raw = ((uint32_t)(ctrl & 0x1F) << 8) | src[si++];
+    int64_t dist;
+    if (raw == kBzEscapeRaw) {
+      if (si + 3 > ns) return false;
+      dist = kBzMaxNearDist + 1 +
+             (int64_t)(src[si] | ((uint32_t)src[si + 1] << 8) |
+                       ((uint32_t)src[si + 2] << 16));
+      si += 3;
+    } else {
+      dist = (int64_t)raw + 1;
+    }
+    if (dist > di - chunk_start) return false;  // cross-cut or invalid
+    di += len;
+    if (di > n) return false;
+  }
+  // a token straddling a cut skips the di == next*seg equality above and
+  // leaves next short — exactly the streams that must reject
+  return next == nseg && di == n;
+}
+
+// Decode one chunk [c0, c1); all stores stay inside the chunk (wild
+// copies fall back to exact ones near c1 — neighbour chunks decode
+// concurrently).  The scan proved the token layout; bounds are still
+// re-checked so a torn buffer can only fail, never overwrite.
+static bool blosclz_decompress_chunk(const uint8_t *src, int64_t ns,
+                                     int64_t ip, uint8_t *dst, int64_t c0,
+                                     int64_t c1) {
+  int64_t si = ip, di = c0;
+  while (di < c1) {
+    if (si >= ns) return false;
+    const uint8_t ctrl = src[si++];
+    if (ctrl < 0x20) {
+      const int64_t run = ctrl + 1;
+      if (si + run > ns || di + run > c1) return false;
+      std::memcpy(dst + di, src + si, (size_t)run);
+      si += run;
+      di += run;
+      continue;
+    }
+    int64_t len;
+    if ((ctrl >> 5) < 7) {
+      len = (ctrl >> 5) + 2;
+    } else {
+      len = 9;
+      uint8_t b;
+      do {
+        if (si >= ns) return false;
+        b = src[si++];
+        len += b;
+      } while (b == 0xFF);
+    }
+    if (si >= ns) return false;
+    const uint32_t raw = ((uint32_t)(ctrl & 0x1F) << 8) | src[si++];
+    int64_t dist;
+    if (raw == kBzEscapeRaw) {
+      if (si + 3 > ns) return false;
+      dist = kBzMaxNearDist + 1 +
+             (int64_t)(src[si] | ((uint32_t)src[si + 1] << 8) |
+                       ((uint32_t)src[si + 2] << 16));
+      si += 3;
+    } else {
+      dist = (int64_t)raw + 1;
+    }
+    if (dist > di - c0 || di + len > c1) return false;
+    uint8_t *d = dst + di;
+    const uint8_t *s = d - dist;
+#if defined(__AVX2__)
+    if (dist >= 32 && di + len + 32 <= c1) {
+      for (int64_t k = 0; k < len; k += 32)
+        _mm256_storeu_si256((__m256i *)(d + k),
+                            _mm256_loadu_si256((const __m256i *)(s + k)));
+    } else
+#endif
+    if (dist >= 8 && di + len + 16 <= c1) {
+      for (int64_t k = 0; k < len; k += 8) write64(d + k, read64(s + k));
+    } else {
+      match_copy(d, dist, len);
+    }
+    di += len;
+  }
+  return di == c1;
+}
+
+struct BlosclzDecCtx {
+  const uint8_t *src;
+  uint8_t *dst;
+  const int64_t *tok_ip;
+  int64_t ns, n, seg;
+  uint8_t ok[kMaxDecodeSegments];
+};
+
+static void blosclz_decode_chunk_slice(void *p, int k) {
+  BlosclzDecCtx &c = *(BlosclzDecCtx *)p;
+  const int64_t c0 = (int64_t)k * c.seg, c1 = std::min(c.n, c0 + c.seg);
+  c.ok[k] = blosclz_decompress_chunk(c.src, c.ns, c.tok_ip[k], c.dst, c0, c1);
+}
+
+static int64_t blosclz_decompress_parallel(const uint8_t *src, int64_t ns,
+                                           uint8_t *dst, int64_t n,
+                                           int nseg) {
+  const int64_t seg = (n + nseg - 1) / nseg;
+  int64_t tok_ip[kMaxDecodeSegments];
+  if (nseg < 2 || nseg > kMaxDecodeSegments ||
+      !blosclz_split_scan(src, ns, n, nseg, seg, tok_ip))
+    return kSplitReject;
+  BlosclzDecCtx ctx{src, dst, tok_ip, ns, n, seg, {}};
+  if (!spin_pool().run(blosclz_decode_chunk_slice, &ctx, nseg))
+    for (int k = 0; k < nseg; k++) blosclz_decode_chunk_slice(&ctx, k);
+  for (int k = 0; k < nseg; k++)
+    if (!ctx.ok[k]) return kSplitReject;
+  return n;
+}
+
+// ---------------------------------------------------------------------------
 // whole-chunk block pipelines (OpenMP across blocks)
 // ---------------------------------------------------------------------------
 
@@ -2790,7 +2947,8 @@ static inline int frame_segments(int64_t n, int codec) {
   // kCodecZlib is ENCODE-side only (pigz-style raw-deflate segments under
   // one zlib wrapper; inflate has no parallelizable boundaries).
   if (codec != kCodecLz4 && codec != kCodecLz4Hc &&
-      codec != kCodecSnappy && codec != kCodecZstd && codec != kCodecZlib)
+      codec != kCodecSnappy && codec != kCodecZstd && codec != kCodecZlib &&
+      codec != kCodecBlosclz)
     return 1;
   if (n < kFrameSegMin) return 1;
   return n < (2 << 20) ? 4 : kMaxFrameSegments;
@@ -2887,7 +3045,8 @@ static void frame_encode_slice(void *p, int t) {
     return;
   }
   BlockScratch &ls = frame_scratch();  // per-thread tables, warm
-  const bool lz4ish = c.codec == kCodecLz4 || c.codec == kCodecLz4Hc;
+  const bool lz4ish = c.codec == kCodecLz4 || c.codec == kCodecLz4Hc ||
+                      c.codec == kCodecBlosclz;
   const uint32_t ep = lz4ish ? ls.next_epoch(hi - lo) : 0;
   c.sizes[t] = codec_compress(
       c.codec, c.depth, c.stream + lo, hi - lo, c.slots + t * c.slot, c.slot,
@@ -3061,6 +3220,22 @@ static int64_t frame_compress_parallel(const uint8_t *src, int64_t n, int ts,
     payload[di++] = (uint8_t)adler;
     run_pieces(payload, bodies, nb, di);
     return di;
+  }
+
+  if (codec == kCodecBlosclz) {
+    // BloscLZ has no preamble and no end-of-stream constraints: segment
+    // outputs concatenate directly into one valid stream (format spec,
+    // codecs/blosclz_ref.py)
+    int64_t di = 0;
+    CopyPiece bodies[kMaxFrameSegments];
+    int nb = 0;
+    for (int t = 0; t < nseg; t++) {
+      if (sizes[t] <= 0) continue;
+      bodies[nb++] = {slots + t * slot, di, sizes[t]};
+      di += sizes[t];
+    }
+    run_pieces(payload, bodies, nb, di);
+    return di;  // sum < n already established above
   }
 
   if (codec == kCodecSnappy) {
@@ -3607,6 +3782,8 @@ int64_t tpb_decompress_block_into(const uint8_t *frame, int64_t payload_off,
       got = snappy_decompress_parallel(payload, psize, dec, n, nseg);
     else if (codec == kCodecZstd)
       got = zstd_decompress_parallel(payload, psize, dec, n);
+    else if (codec == kCodecBlosclz)
+      got = blosclz_decompress_parallel(payload, psize, dec, n, nseg);
     else
       got = lz4_decompress_parallel(payload, psize, dec, n, nseg);
   }
