@@ -67,7 +67,7 @@ int64_t tpb_snappy_decompress(const uint8_t *, int64_t, uint8_t *, int64_t);
 
 // codec ids must match tpublosc.cpp (kCodecLz4=1, HC=2, Snappy=3, Zlib=4,
 // Zstd=5) and shuffle modes (0 none, 1 byte, 2 bit)
-enum { LZ4 = 1, LZ4HC = 2, SNAPPY = 3, ZLIB = 4, ZSTD = 5 };
+enum { BLOSCLZ = 0, LZ4 = 1, LZ4HC = 2, SNAPPY = 3, ZLIB = 4, ZSTD = 5 };
 
 static void fill_pattern(std::vector<uint8_t> &v, int kind) {
   uint32_t x = 0x9E3779B9u;
@@ -132,13 +132,14 @@ static void concurrent_frames() {
   for (int t = 0; t < 8; t++) {
     ts.emplace_back([t]() {
       const int64_t n = (t & 1) ? (512 << 10) + t * 1337 : 100000 + t * 1337;
+      const int codec = (t % 3 == 2) ? BLOSCLZ : LZ4;
       std::vector<uint8_t> src(n);
       fill_pattern(src, t % 4);
-      std::vector<uint8_t> frame(16 + tpb_compress_bound(n, LZ4));
+      std::vector<uint8_t> frame(16 + tpb_compress_bound(n, codec));
       std::vector<uint8_t> out(n);
       for (int r = 0; r < 20; r++) {
-        int64_t fsz = tpb_compress_frame(src.data(), n, 4, 1, 1, LZ4, 1,
-                                         frame.data());
+        int64_t fsz = tpb_compress_frame(src.data(), n, 4, 1, codec, codec,
+                                         1, frame.data());
         CHECK(fsz > 16);
         if (frame[2] & 0x2) {  // memcpy frame: payload IS the data
           CHECK(fsz == 16 + n);
@@ -146,7 +147,7 @@ static void concurrent_frames() {
         } else {
           int shuffle = (frame[2] & 0x1) ? 1 : 0;
           int64_t rc = tpb_decompress_block_into(
-              frame.data(), 16, fsz - 16, out.data(), n, 4, shuffle, LZ4);
+              frame.data(), 16, fsz - 16, out.data(), n, 4, shuffle, codec);
           CHECK(rc == n);
         }
         CHECK(std::memcmp(src.data(), out.data(), n) == 0);
@@ -191,6 +192,7 @@ int main() {
     pipeline_roundtrip(kind, SNAPPY, 2, 0);
     pipeline_roundtrip(kind, ZSTD, 1, 3);
     pipeline_roundtrip(kind, ZLIB, 0, 5);
+    pipeline_roundtrip(kind, BLOSCLZ, 1, 1);
   }
   // two OpenMP pipelines from two std::threads at once (nested teams)
   {

@@ -55,7 +55,7 @@ def _python_decode(frame):
 @FAST
 @given(
     data=st.binary(min_size=1, max_size=40000),
-    codec=st.sampled_from([blosc.LZ4, blosc.SNAPPY]),
+    codec=st.sampled_from([blosc.LZ4, blosc.SNAPPY, blosc.BLOSCLZ]),
     shuffle=st.sampled_from([blosc.NOSHUFFLE, blosc.SHUFFLE, blosc.BITSHUFFLE]),
     type_size=st.sampled_from([1, 2, 4, 8]),
     block_size=st.sampled_from([4096, 16384]),

@@ -29,7 +29,10 @@ FAST = settings(
     suppress_health_check=[HealthCheck.too_slow],
 )
 
-CODECS = [blosc.LZ4, blosc.LZ4HC, blosc.SNAPPY, blosc.ZLIB, blosc.ZSTD]
+CODECS = [
+    blosc.BLOSCLZ, blosc.LZ4, blosc.LZ4HC, blosc.SNAPPY, blosc.ZLIB,
+    blosc.ZSTD,
+]
 SHUFFLES = [blosc.NOSHUFFLE, blosc.SHUFFLE, blosc.BITSHUFFLE]
 
 
