@@ -89,3 +89,25 @@ def test_container_over_4gib():
     assert blosc.get_decompressed_size(comp) == n
     out = blosc.decompress(comp)
     assert out == data
+
+
+def test_container_forged_total_rejected_before_allocation():
+    """A forged uint64 total must fail cleanly against the sub-frame
+    headers, not drive the output allocation."""
+    import struct
+
+    import tpu_blosc as blosc
+    from tpu_blosc import container
+    from tpu_blosc.errors import BloscError
+    from tpu_blosc.options import Options
+
+    data = bytes(range(256)) * 64
+    blob = bytearray(
+        container.compress_container(data, Options(), frame_limit=4096)
+    )
+    # total lives at bytes 8-15 of the container header
+    blob[8:16] = struct.pack("<Q", 1 << 50)
+    with pytest.raises(BloscError):
+        container.decompress_container(bytes(blob))
+    blob[8:16] = struct.pack("<Q", len(data))
+    assert container.decompress_container(bytes(blob)) == data

@@ -352,3 +352,32 @@ def test_stream_dict_too_few_samples_falls_back(tmp_path):
     with StreamReader(path) as r:
         assert len(r) == 3
         assert r.read(2) == b"records" * 100
+
+
+def test_stream_dict_record_forged_size_rejected(tmp_path):
+    """A forged orig-size field in a dictionary record must be rejected
+    against the zstd frame header before any allocation."""
+    import struct
+
+    from tpu_blosc.errors import BloscError
+
+    from tpu_blosc import stream
+
+    path = tmp_path / "forge.tpbs"
+    samples = [bytes([i] * 50) + b"shared-structure" * 20 for i in range(16)]
+    with stream.StreamWriter(path, train_dict=8) as w:
+        for s in samples:
+            w.write(s)
+    # corrupt record 3's orig field in place (records are length-prefixed)
+    blob = bytearray(path.read_bytes())
+    with stream.StreamReader(path) as r:
+        off = r._offsets[3]
+        (flen,) = struct.unpack_from("<Q", blob, off)
+        frame = bytes(blob[off + 8 : off + 8 + flen])
+        assert frame[:4] == stream.DICT_MAGIC  # dict mode engaged
+    blob[off + 8 + 5 : off + 8 + 13] = struct.pack("<Q", 1 << 50)
+    path.write_bytes(bytes(blob))
+    with stream.StreamReader(path) as r:
+        with pytest.raises(BloscError):
+            r.read(3)
+        assert r.read(4) == samples[4]  # neighbours unaffected

@@ -150,6 +150,25 @@ def decompress_container(data, type_size: int = 0) -> bytes:
         raise InvalidDataError(
             "blosc: invalid container: frames overrun input"
         )
+    # cross-check the declared total against the sub-frame headers BEFORE
+    # the output allocation: a forged uint64 total must fail cleanly, not
+    # demand an arbitrarily large buffer
+    from .format import parse_header as _ph
+
+    pos_check = offset
+    claimed = 0
+    for fs in sizes:
+        if fs < 16:
+            raise InvalidDataError(
+                "blosc: invalid container: sub-frame shorter than a header"
+            )
+        claimed += _ph(bytes(mv[pos_check : pos_check + 16])).nbytes_orig
+        pos_check += fs
+    if claimed != total:
+        raise SizeMismatchError(
+            f"blosc: decompressed size mismatch: container declares {total} "
+            f"bytes, sub-frames declare {claimed}"
+        )
     try:
         from .native.backend import alloc_bytes, available as _native_ok
     except Exception:  # pragma: no cover

@@ -342,6 +342,17 @@ class StreamReader:
                 "blosc: invalid compressed data: malformed dictionary record"
             )
         (orig,) = struct.unpack_from("<Q", frame, 5)
+        # our writer embeds the content size in the zstd frame; cross-check
+        # BEFORE allocating so a forged orig can't demand a huge buffer
+        try:
+            known = zstd.frame_content_size(frame[13:])
+        except zstd.ZstdError as exc:
+            raise DecompressionFailedError(f"zstd: {exc}") from exc
+        if known != orig:
+            raise InvalidDataError(
+                "blosc: invalid compressed data: dictionary record size "
+                f"field {orig} disagrees with zstd frame header {known}"
+            )
         try:
             out = zstd.ZstdDecompressor(
                 dict_data=zstd.ZstdCompressionDict(self._get_dict())
