@@ -158,3 +158,29 @@ def test_checkpoint_sharded_two_processes(tmp_path):
             pytest.fail("ckpt worker timed out")
         assert proc.returncode == 0, err.decode(errors="replace")[-2000:]
     assert os.path.exists(prefix + ".ok")
+
+
+def test_checkpoint_checksum_detects_bit_rot(tmp_path):
+    """checksum=True checkpoints refuse corrupted leaves instead of
+    returning plausible garbage."""
+    import struct
+
+    import pytest
+
+    from tpu_blosc.errors import BloscError
+
+    path = tmp_path / "crc.ckpt"
+    state = {"w": np.arange(4096, dtype=np.float32), "step": 7}
+    checkpoint.save_pytree(path, state, checksum=True)
+    loaded = checkpoint.load_pytree(path)
+    np.testing.assert_array_equal(loaded["w"], state["w"])
+    # flip one byte inside the leaf record's payload
+    from tpu_blosc.stream import StreamReader
+
+    with StreamReader(path) as r:
+        off = r._offsets[1]
+    blob = bytearray(path.read_bytes())
+    blob[off + 8 + 40] ^= 0x01
+    path.write_bytes(bytes(blob))
+    with pytest.raises(BloscError):
+        checkpoint.load_pytree(path)

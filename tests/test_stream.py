@@ -381,3 +381,82 @@ def test_stream_dict_record_forged_size_rejected(tmp_path):
         with pytest.raises(BloscError):
             r.read(3)
         assert r.read(4) == samples[4]  # neighbours unaffected
+
+
+def test_stream_checksum_roundtrip_and_detection(tmp_path):
+    """checksum=True streams verify every record on read; a flipped bit
+    inside a compressed payload (which can decode to plausible garbage)
+    is caught by the crc."""
+    path = tmp_path / "crc.tpbs"
+    recs = [np.arange(2000 + i, dtype=np.int32).tobytes() for i in range(5)]
+    with StreamWriter(path, checksum=True) as w:
+        for rec in recs:
+            w.write(rec)
+    with StreamReader(path) as r:
+        assert [r.read(i) for i in range(len(r))] == recs
+        off = r._offsets[2]
+    blob = bytearray(path.read_bytes())
+    blob[off + 8 + 20] ^= 0xFF  # flip a payload byte of record 2
+    path.write_bytes(bytes(blob))
+    with StreamReader(path) as r:
+        with pytest.raises(blosc.BloscError, match="checksum"):
+            r.read(2)
+        assert r.read(1) == recs[1]  # neighbours still verify
+
+
+def test_stream_checksum_append_adopts_flag(tmp_path):
+    path = tmp_path / "crc2.tpbs"
+    with StreamWriter(path, checksum=True) as w:
+        w.write(b"first" * 100)
+    # append without asking for checksums: the file's flag wins
+    with StreamWriter(path, append=True) as w:
+        w.write(b"second" * 100)
+    with StreamReader(path) as r:
+        assert r._crc
+        assert r.read(0) == b"first" * 100
+        assert r.read(1) == b"second" * 100
+
+
+def test_stream_checksum_footerless_scan(tmp_path):
+    """Crash recovery (footer missing) must still step crc records."""
+    path = tmp_path / "crc3.tpbs"
+    with StreamWriter(path, checksum=True) as w:
+        w.write(b"alpha" * 200)
+        w.write(b"beta" * 300)
+    blob = path.read_bytes()
+    # strip the footer entirely (simulated crash before close)
+    import struct as _s
+
+    (index_size,) = _s.unpack("<Q", blob[-12:-4])
+    path.write_bytes(blob[: len(blob) - index_size])
+    with StreamReader(path) as r:
+        assert len(r) == 2
+        assert r.read(0) == b"alpha" * 200
+        assert r.read(1) == b"beta" * 300
+
+
+def test_stream_checksum_with_dictionary(tmp_path):
+    path = tmp_path / "crc4.tpbs"
+    recs = [bytes([i] * 30) + b"shared-shape" * 25 for i in range(12)]
+    with StreamWriter(path, train_dict=6, checksum=True) as w:
+        for rec in recs:
+            w.write(rec)
+    with StreamReader(path) as r:
+        assert [r.read(i) for i in range(len(r))] == recs
+
+
+def test_stream_verify_sweep(tmp_path):
+    path = tmp_path / "v.tpbs"
+    with StreamWriter(path, checksum=True) as w:
+        for i in range(4):
+            w.write(bytes([i]) * 5000)
+    with StreamReader(path) as r:
+        assert r.verify() == 4
+        assert r.verify(deep=True) == 4
+        off = r._offsets[3]
+    blob = bytearray(path.read_bytes())
+    blob[off + 8 + 2] ^= 0x10
+    path.write_bytes(bytes(blob))
+    with StreamReader(path) as r:
+        with pytest.raises(blosc.BloscError):
+            r.verify()

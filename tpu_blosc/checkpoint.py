@@ -96,14 +96,20 @@ def _decode(node, fetch):
     raise InvalidDataError(f"blosc: invalid compressed data: manifest node {t!r}")
 
 
-def save_pytree(path, tree, opts: Options | None = None) -> None:
-    """Write a nested array structure as a compressed checkpoint file."""
+def save_pytree(path, tree, opts: Options | None = None,
+                checksum: bool = False) -> None:
+    """Write a nested array structure as a compressed checkpoint file.
+
+    ``checksum=True`` adds a crc32 per record (stream flag bit 0) so
+    load_pytree detects bit rot inside compressed leaves instead of
+    returning plausible garbage — the integrity story for model state.
+    """
     leaves: list = []
     skeleton = _encode(tree, leaves)
     manifest = json.dumps(
         {"version": _MANIFEST_VERSION, "tree": skeleton, "leaves": len(leaves)}
     ).encode()
-    with StreamWriter(path, opts) as w:
+    with StreamWriter(path, opts, checksum=checksum) as w:
         w.write(manifest, Options(type_size=1))
         for leaf in leaves:
             itemsize = np.dtype(leaf.dtype).itemsize
@@ -158,7 +164,8 @@ def _slices_to_json(index, shape) -> list:
     return out
 
 
-def save_pytree_sharded(path_prefix, tree, opts: Options | None = None) -> None:
+def save_pytree_sharded(path_prefix, tree, opts: Options | None = None,
+                        checksum: bool = False) -> None:
     """Multi-process checkpoint: every process writes its addressable shards.
 
     Call from ALL processes with the same arguments.  Process p writes
@@ -201,7 +208,8 @@ def save_pytree_sharded(path_prefix, tree, opts: Options | None = None) -> None:
         "leaf_records": manifest_leaves,
         "process": pid,
     }).encode()
-    with StreamWriter(f"{path_prefix}.p{pid}.tpbs", opts) as w:
+    with StreamWriter(f"{path_prefix}.p{pid}.tpbs", opts,
+                      checksum=checksum) as w:
         w.write(manifest, Options(type_size=1))
         for kind, data in records:
             itemsize = np.dtype(data.dtype).itemsize

@@ -11,12 +11,21 @@ File layout (all little-endian):
 
     bytes 0-3   magic b"TPBS"
     byte  4     stream version = 1
-    bytes 5-7   reserved (zero)
-    then        repeated records: uint64 frame_len, frame bytes
+    byte  5     flags: bit 0 = records carry a trailing crc32
+    bytes 6-7   reserved (zero)
+    then        repeated records: uint64 frame_len, frame bytes,
+                [uint32 crc32 of the frame bytes when flag bit 0 is set]
                 (each frame is any payload decompress() accepts: a plain
                 frame, a FLAG_SPLIT chunked frame, or a TPB2 container)
     footer      uint64 count, count x uint64 record offsets,
                 uint64 index_size_bytes, magic b"TPBI"
+
+Checksums (``StreamWriter(..., checksum=True)``) are the integrity story
+for checkpoints: a flipped bit inside a compressed payload can decode to
+plausible garbage of the right length (LZ-family streams have no internal
+redundancy), and the crc32 catches it at read time.  The flag is a
+whole-stream property; appending adopts whatever the file was created
+with.
 
 The footer makes ``StreamReader`` O(1) random access; a file whose footer
 is missing or corrupt (e.g. a crashed writer) still opens — the reader
@@ -66,8 +75,11 @@ _DICT_DEF = 0
 _DICT_PAYLOAD = 1
 
 
-def _pack_header() -> bytes:
-    return MAGIC + bytes([STREAM_VERSION, 0, 0, 0])
+_FLAG_CRC = 0x1
+
+
+def _pack_header(flags: int = 0) -> bytes:
+    return MAGIC + bytes([STREAM_VERSION, flags, 0, 0])
 
 
 class StreamWriter:
@@ -88,7 +100,7 @@ class StreamWriter:
 
     def __init__(self, path, opts: Options | None = None, append: bool = False,
                  dictionary: bytes | None = None, train_dict: int = 0,
-                 dict_size: int = 64 * 1024):
+                 dict_size: int = 64 * 1024, checksum: bool = False):
         self._path = os.fspath(path)
         self._opts = opts if opts is not None else Options()
         self._offsets: list[int] = []
@@ -96,11 +108,13 @@ class StreamWriter:
         self._dict_written = False
         self._train_target = max(int(train_dict), 0)
         self._dict_size = dict_size
+        self._crc = bool(checksum)
         self._pending: list | None = [] if self._train_target else None
         if append and os.path.exists(self._path):
-            offsets, data_end = _scan_or_index(self._path)
+            offsets, data_end, crc = _scan_or_index(self._path)
+            self._crc = crc  # whole-stream property: adopt the file's flag
             self._offsets = offsets
-            existing = _find_dict(self._path, data_end)
+            existing = _find_dict(self._path, data_end, crc)
             if existing is not None:
                 self._dict = existing
                 self._dict_written = True
@@ -110,7 +124,7 @@ class StreamWriter:
             self._f.seek(data_end)
         else:
             self._f = open(self._path, "wb")
-            self._f.write(_pack_header())
+            self._f.write(_pack_header(_FLAG_CRC if self._crc else 0))
         if dictionary is not None and self._dict is None:
             self._dict = bytes(dictionary)
             self._pending = None
@@ -122,6 +136,10 @@ class StreamWriter:
         self._offsets.append(self._f.tell())
         self._f.write(struct.pack("<Q", len(frame)))
         self._f.write(frame)
+        if self._crc:
+            import zlib
+
+            self._f.write(struct.pack("<I", zlib.crc32(frame)))
         return len(self._offsets) - 1
 
     def _emit_dict_def(self) -> None:
@@ -132,6 +150,10 @@ class StreamWriter:
         # added to the logical index
         self._f.write(struct.pack("<Q", len(blob)))
         self._f.write(blob)
+        if self._crc:
+            import zlib
+
+            self._f.write(struct.pack("<I", zlib.crc32(blob)))
         self._dict_written = True
 
     def _dict_record(self, raw: bytes, opts: Options) -> bytes:
@@ -236,25 +258,27 @@ class StreamWriter:
         return self._logical_count()
 
 
-def _find_dict(path: str, data_end: int) -> bytes | None:
+def _find_dict(path: str, data_end: int, crc: bool = False) -> bytes | None:
     """Scan the data region for the stream's dictionary definition record."""
+    extra = 4 if crc else 0
     with open(path, "rb") as f:
         pos = HEADER_SIZE
         while pos + 8 <= data_end:
             f.seek(pos)
             (flen,) = struct.unpack("<Q", f.read(8))
-            if flen < 5 or pos + 8 + flen > data_end:
+            if flen < 5 or pos + 8 + flen + extra > data_end:
                 return None
             peek = f.read(5)
             if peek[:4] == DICT_MAGIC and peek[4] == _DICT_DEF:
                 f.seek(pos + 8 + 5)
                 return f.read(flen - 5)
-            pos += 8 + flen
+            pos += 8 + flen + extra
     return None
 
 
-def _scan_or_index(path: str) -> tuple[list[int], int]:
-    """Record offsets + end-of-data position, via footer or full scan."""
+def _scan_or_index(path: str) -> tuple[list[int], int, bool]:
+    """Record offsets, end-of-data position, and the crc flag — via the
+    footer when intact, else a full scan."""
     size = os.path.getsize(path)
     with open(path, "rb") as f:
         head = f.read(HEADER_SIZE)
@@ -266,6 +290,8 @@ def _scan_or_index(path: str) -> tuple[list[int], int]:
             raise InvalidHeaderError(
                 f"blosc: invalid version: stream version {head[4]}"
             )
+        crc = bool(head[5] & _FLAG_CRC)
+        extra = 4 if crc else 0
         # try the footer first
         if size >= HEADER_SIZE + 12:
             f.seek(size - 12)
@@ -286,20 +312,20 @@ def _scan_or_index(path: str) -> tuple[list[int], int]:
                                 HEADER_SIZE <= o < index_start
                                 for o in offsets
                             ) and offsets == sorted(offsets):
-                                return offsets, index_start
+                                return offsets, index_start, crc
         # sequential scan fallback (crashed writer / stripped footer)
         offsets = []
         pos = HEADER_SIZE
         while pos + 8 <= size:
             f.seek(pos)
             (flen,) = struct.unpack("<Q", f.read(8))
-            if flen < 5 or pos + 8 + flen > size:
+            if flen < 5 or pos + 8 + flen + extra > size:
                 break  # trailing garbage (partial record or stale footer)
             # a record must start like something the stream can decode
             peek = f.read(5)
             if peek[:4] == DICT_MAGIC:
                 if peek[4] == _DICT_DEF:
-                    pos += 8 + flen  # definition: skip, not a logical record
+                    pos += 8 + flen + extra  # definition: not a logical record
                     continue
                 if peek[4] != _DICT_PAYLOAD:
                     break
@@ -308,8 +334,8 @@ def _scan_or_index(path: str) -> tuple[list[int], int]:
             ):
                 break
             offsets.append(pos)
-            pos += 8 + flen
-        return offsets, pos
+            pos += 8 + flen + extra
+        return offsets, pos, crc
 
 
 class StreamReader:
@@ -317,7 +343,7 @@ class StreamReader:
 
     def __init__(self, path):
         self._path = os.fspath(path)
-        self._offsets, self._data_end = _scan_or_index(self._path)
+        self._offsets, self._data_end, self._crc = _scan_or_index(self._path)
         self._f = open(self._path, "rb")
         self._lock = threading.Lock()  # iter_arrays prefetches on a thread
         self._dict: bytes | None = None
@@ -326,7 +352,7 @@ class StreamReader:
 
     def _get_dict(self) -> bytes:
         if not self._dict_loaded:
-            self._dict = _find_dict(self._path, self._data_end)
+            self._dict = _find_dict(self._path, self._data_end, self._crc)
             self._dict_loaded = True
         if self._dict is None:
             raise InvalidDataError(
@@ -378,21 +404,32 @@ class StreamReader:
             raise InvalidDataError(
                 f"blosc: invalid compressed data: record {i} offset out of range"
             )
+        extra = 4 if self._crc else 0
         with self._lock:
             self._f.seek(off)
             (flen,) = struct.unpack("<Q", self._f.read(8))
             # bound BEFORE allocating: a corrupt length field must not
             # turn into a multi-GB read (found by the corruption fuzz)
-            if flen > self._data_end - off - 8:
+            if flen + extra > self._data_end - off - 8:
                 raise InvalidDataError(
                     f"blosc: invalid compressed data: record {i} "
                     "length overruns file"
                 )
             frame = self._f.read(flen)
-        if len(frame) != flen:
+            tail = self._f.read(extra)
+        if len(frame) != flen or len(tail) != extra:
             raise InvalidDataError(
                 f"blosc: invalid compressed data: truncated record {i}"
             )
+        if self._crc:
+            import zlib
+
+            (want,) = struct.unpack("<I", tail)
+            if zlib.crc32(frame) != want:
+                raise InvalidDataError(
+                    f"blosc: invalid compressed data: record {i} "
+                    "checksum mismatch"
+                )
         return frame
 
     def read(self, i: int) -> bytes:
@@ -432,6 +469,19 @@ class StreamReader:
         number of in-flight arrays (device memory = prefetch x record).
         """
         return _ArrayIterator(self, dtype, shape, sharding, prefetch)
+
+    def verify(self, deep: bool = False) -> int:
+        """Integrity sweep: walk every record, checking lengths and (when
+        the stream carries them) per-record crc32s; ``deep=True`` also
+        decompresses each record and discards the result.  Returns the
+        number of records verified; raises BloscError at the first bad
+        one.  The restore-path preflight for checkpoint files."""
+        for i in range(len(self)):
+            if deep:
+                self.read(i)
+            else:
+                self.read_frame(i)
+        return len(self)
 
     def sizes(self) -> list[tuple[int, int]]:
         """(compressed, uncompressed) byte sizes per record."""
