@@ -108,12 +108,21 @@ def bench_host_pipeline() -> dict:
     t1c, c1 = _best(lambda: blosc.compress(d1), reps=12)
     t1d, o1 = _best(lambda: blosc.decompress(c1), reps=12)
     assert o1 == d1, "single-block roundtrip failed"
+
+    # BloscLZ (codec 0, our extension) on the same single-block shape —
+    # guards the sixth codec's native + parallel paths
+    cb = blosc.compress(d1, blosc.BLOSCLZ)
+    tbc, cb = _best(lambda: blosc.compress(d1, blosc.BLOSCLZ), reps=12)
+    tbd, ob = _best(lambda: blosc.decompress(cb), reps=12)
+    assert ob == d1, "blosclz roundtrip failed"
     return {
         "compress_gbps": N / t_comp / 1e9,
         "decompress_gbps": N / t_dec / 1e9,
         "ratio": N / len(comp),
         "single_block_1mib_compress_gbps": n1 / t1c / 1e9,
         "single_block_1mib_decompress_gbps": n1 / t1d / 1e9,
+        "blosclz_1mib_compress_gbps": n1 / tbc / 1e9,
+        "blosclz_1mib_decompress_gbps": n1 / tbd / 1e9,
         "backend": blosc.backend_name(),
     }
 
@@ -400,6 +409,12 @@ def main() -> None:
         ),
         "single_block_1mib_decompress_gbps": round(
             host["single_block_1mib_decompress_gbps"], 3
+        ),
+        "blosclz_1mib_compress_gbps": round(
+            host["blosclz_1mib_compress_gbps"], 3
+        ),
+        "blosclz_1mib_decompress_gbps": round(
+            host["blosclz_1mib_decompress_gbps"], 3
         ),
         "backend": host["backend"],
     })

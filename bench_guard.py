@@ -28,6 +28,11 @@ FLOORS = {
     # a collapse to the serial path reads ~9 / ~7
     "single_block_1mib_compress_gbps": 3.0,
     "single_block_1mib_decompress_gbps": 3.0,
+    # BloscLZ (codec 0): typical 17-23 / 15-20 on the same shape; the
+    # pure-Python oracle fallback reads ~0.01 — this floor catches the
+    # native path silently dropping out for the sixth codec
+    "blosclz_1mib_compress_gbps": 3.0,
+    "blosclz_1mib_decompress_gbps": 3.0,
 }
 
 # enforced only when the bench ran with a real accelerator attached

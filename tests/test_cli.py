@@ -112,3 +112,31 @@ def test_cli_pack_unpack_roundtrip(tmp_path, capsys):
     out = tmp_path / "back.npy"
     assert main(["unpack", str(packed), "-o", str(out)]) == 0
     assert np.array_equal(np.load(out), arr)
+
+
+def test_cli_verify_stream(tmp_path, capsys):
+    from tpu_blosc.stream import StreamWriter
+
+    path = tmp_path / "s.tpbs"
+    with StreamWriter(path, checksum=True) as w:
+        w.write(b"payload" * 500)
+        w.write(b"more" * 800)
+    assert main(["verify", str(path)]) == 0
+    out = capsys.readouterr().out
+    assert "2 records ok" in out and "crc32-checked" in out
+    assert main(["verify", str(path), "--deep"]) == 0
+    # corrupt a payload byte: verify must fail with rc 1
+    blob = bytearray(path.read_bytes())
+    blob[30] ^= 0xFF
+    path.write_bytes(bytes(blob))
+    assert main(["verify", str(path)]) == 1
+
+
+def test_cli_compress_blosclz(sample, tmp_path, capsys):
+    out = tmp_path / "b.bl2"
+    assert main([
+        "compress", str(sample), "-o", str(out), "--codec", "blosclz",
+    ]) == 0
+    dec = tmp_path / "b.out"
+    assert main(["decompress", str(out), "-o", str(dec)]) == 0
+    assert dec.read_bytes() == sample.read_bytes()

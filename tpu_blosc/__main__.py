@@ -81,6 +81,14 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     up.add_argument("input")
     up.add_argument("-o", "--output", help="default: <input>.npy")
+
+    v = sub.add_parser(
+        "verify",
+        help="integrity-check a TPBS stream/checkpoint file (crc + decode)",
+    )
+    v.add_argument("input")
+    v.add_argument("--deep", action="store_true",
+                   help="also decompress every record")
     return p
 
 
@@ -223,6 +231,16 @@ def _run(args) -> int:
             f"{args.input}: dtype {arr.dtype}, shape {arr.shape}, "
             f"{arr.nbytes:,} bytes -> {out}"
         )
+        return 0
+
+    if args.cmd == "verify":
+        from .stream import StreamReader
+
+        with StreamReader(args.input) as r:
+            count = r.verify(deep=args.deep)
+            crc = "crc32-checked" if r._crc else "no checksums (flag off)"
+        print(f"{args.input}: {count} records ok ({crc}"
+              f"{', decoded' if args.deep else ''})")
         return 0
 
     return 2  # pragma: no cover - argparse enforces the choices
