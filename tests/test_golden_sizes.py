@@ -38,6 +38,11 @@ EXACT = {
     "16MB_f32_lz4_bitshuffle": 3166358,
     "64MB_f32_lz4_shuffle": 539719,
     "1MB_f32_lz4hc9": 13315,
+    # BloscLZ (codec 0, our extension; 2026-08-18): 6.5% smaller than LZ4
+    # on the 64 MB ramp (shorter match tokens), 9% larger on the 1 MiB
+    # single-block shape (32-byte literal runs) — both deterministic
+    "1MB_f32_blosclz_shuffle": 14465,
+    "64MB_f32_blosclz_shuffle": 504835,
 }
 
 # system-library codecs: assert we never regress past these ceilings
@@ -97,6 +102,12 @@ def _produce() -> dict[str, int]:
     d6 = np.arange(16 * 1024 * 1024, dtype=np.float32).tobytes()
     out["64MB_f32_lz4_shuffle"] = len(
         blosc.compress_with_options(d6, blosc.Options())
+    )
+    out["1MB_f32_blosclz_shuffle"] = len(
+        blosc.compress(d1, blosc.BLOSCLZ, 5, blosc.SHUFFLE, 4)
+    )
+    out["64MB_f32_blosclz_shuffle"] = len(
+        blosc.compress_with_options(d6, blosc.Options(codec=blosc.BLOSCLZ))
     )
     return out
 
