@@ -460,3 +460,15 @@ def test_stream_verify_sweep(tmp_path):
     with StreamReader(path) as r:
         with pytest.raises(blosc.BloscError):
             r.verify()
+
+
+def test_stream_read_range(tmp_path):
+    path = tmp_path / "rr.tpbs"
+    data = np.arange(200_000, dtype=np.int32).tobytes()
+    from tpu_blosc.options import Options
+
+    with StreamWriter(path, Options(block_size=16384, type_size=4)) as w:
+        w.write(data)
+    with StreamReader(path) as r:
+        assert r.read_range(0, 100_000, 5000) == data[100_000:105_000]
+        assert r.read_range(0, 0, 0) == b""

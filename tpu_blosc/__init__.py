@@ -24,6 +24,7 @@ from .api import (
     compress_with_options,
     decompress,
     decompress_into,
+    decompress_range,
     decompress_with_size,
     get_decompressed_size,
     get_info,
@@ -139,6 +140,7 @@ __all__ = [
     "decompress",
     "decompress_array",
     "decompress_into",
+    "decompress_range",
     "decompress_with_size",
     "default_options",
     "get_codec",

@@ -281,6 +281,111 @@ def decompress_with_size(data, type_size: int) -> bytes:
     return decompressed
 
 
+def decompress_range(data, start: int, size: int, type_size: int = 0) -> bytes:
+    """Decompress only bytes ``[start, start+size)`` of a frame.
+
+    Random access into compressed data — what the multi-block layout is
+    for: FLAG_SPLIT frames decode ONLY the blocks covering the range, and
+    TPB2 containers additionally skip whole sub-frames, so reading a slice
+    of a huge container costs O(covered blocks).  Single-block frames have
+    one codec stream and necessarily decode fully before slicing (the
+    reference's only layout, blosc.go:364).  The reference has no range
+    API at all.
+
+    ``start``/``size`` must lie within the decompressed size; ``size`` of
+    0 returns b"".  ``type_size`` overrides the header's filter element
+    size like decompress_with_size.
+    """
+    raw = _coerce_bytes(data)
+    if start < 0 or size < 0:
+        raise InvalidDataError(
+            "blosc: invalid compressed data: negative range"
+        )
+
+    if len(raw) >= 4 and raw[:4] == b"TPB2":
+        from . import container as _container
+        from .format import parse_header as _ph
+
+        _, _, _, _, total, sizes, off = _container.parse_container(raw)
+        if start + size > total:
+            raise SizeMismatchError(
+                f"blosc: decompressed size mismatch: range "
+                f"[{start}, {start + size}) outside {total} bytes"
+            )
+        if size == 0:
+            return b""
+        parts = []
+        pos = 0
+        fpos = off
+        for fs in sizes:
+            if fs < HEADER_SIZE or fpos + fs > len(raw):
+                raise InvalidDataError(
+                    "blosc: invalid container: bad sub-frame size"
+                )
+            n_sub = _ph(raw[fpos : fpos + 16]).nbytes_orig
+            lo = max(start, pos)
+            hi = min(start + size, pos + n_sub)
+            if lo < hi:
+                parts.append(
+                    decompress_range(
+                        raw[fpos : fpos + fs], lo - pos, hi - lo, type_size
+                    )
+                )
+            pos += n_sub
+            fpos += fs
+            if pos >= start + size:
+                break
+        return b"".join(parts)
+
+    if len(raw) < HEADER_SIZE:
+        raise InvalidHeaderError(
+            f"blosc: invalid header: need {HEADER_SIZE} bytes, got {len(raw)}"
+        )
+    header = parse_header(raw)
+    if header.nbytes_comp > len(raw) or header.nbytes_comp < HEADER_SIZE:
+        raise InvalidDataError(
+            "blosc: invalid compressed data: bad NBytesComp"
+        )
+    n = header.nbytes_orig
+    if start + size > n:
+        raise SizeMismatchError(
+            f"blosc: decompressed size mismatch: range "
+            f"[{start}, {start + size}) outside {n} bytes"
+        )
+    if size == 0:
+        return b""
+    ts = type_size if type_size > 0 else header.type_size
+
+    if header.is_split:
+        from . import chunk
+
+        entries, offset = parse_block_table_checked(raw, header)
+        bs = header.block_size
+        lo_b = start // bs
+        hi_b = (start + size - 1) // bs
+        blob = chunk.decompress_block_run(
+            raw, header, entries, offset, lo_b, hi_b, ts
+        )
+        rel = start - lo_b * bs
+        if rel == 0 and size == len(blob):  # block-aligned: no slice copy
+            return blob
+        return blob[rel : rel + size]
+
+    # single-block frame: one codec stream — decode fully, then slice
+    return decompress_with_size(raw, type_size)[start : start + size]
+
+
+def parse_block_table_checked(raw: bytes, header):
+    """Block table + layout validation in one step (range-decode entry)."""
+    from . import chunk
+
+    entries, offset = chunk.parse_block_table(raw, header)
+    chunk._validate_block_layout(
+        header.nbytes_orig, header.block_size, len(entries)
+    )
+    return entries, offset
+
+
 def _writable_u8_view(out) -> np.ndarray:
     """A writable flat uint8 view over a caller buffer (no copy)."""
     if isinstance(out, np.ndarray):

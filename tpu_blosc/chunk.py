@@ -375,6 +375,122 @@ def _validate_block_layout(n: int, block_size: int, num_blocks: int) -> None:
         )
 
 
+def decompress_single_block(
+    raw: bytes,
+    header: Header,
+    entries: list[tuple[int, bool]],
+    poff: int,
+    bi: int,
+    type_size: int,
+) -> bytes:
+    """Decode ONE block of a FLAG_SPLIT frame — the random-access unit.
+
+    ``entries`` comes from parse_block_table; ``poff`` is block ``bi``'s
+    absolute payload offset (callers accumulate it — keeping a range
+    decode O(covered blocks), not O(nb) per block).  Callers validate the
+    overall layout once (decompress_range does)."""
+    n = header.nbytes_orig
+    bs = header.block_size
+    pos = bi * bs
+    this_block = min(bs, n - pos)
+    psize, is_memcpy = entries[bi]
+    if poff + psize > header.nbytes_comp or poff + psize > len(raw):
+        raise InvalidDataError(
+            "blosc: invalid compressed data: block payload overruns frame"
+        )
+    if is_memcpy:
+        if psize != this_block:
+            raise SizeMismatchError(
+                f"blosc: decompressed size mismatch in memcpy block {bi}"
+            )
+        return bytes(raw[poff : poff + psize])
+    native = _native_pipeline_codec(header.codec, 1)
+    mode = 2 if header.flags & FLAG_BITSHUFFLE else (
+        1 if header.flags & FLAG_SHUFFLE else 0
+    )
+    if native is not None:
+        return _native.decompress_frame(
+            bytes(raw), poff, psize, this_block, type_size, mode, native[0]
+        )
+    decompressor = get_codec(header.codec)
+    if decompressor is None:
+        raise InvalidCodecError(f"blosc: unsupported codec: {header.codec}")
+    dec = decompressor.decompress(raw[poff : poff + psize], this_block)
+    dec = _unfilter_block(dec, type_size, header.flags)
+    if len(dec) != this_block:
+        raise SizeMismatchError(
+            f"blosc: decompressed size mismatch: block {bi} got "
+            f"{len(dec)}, expected {this_block}"
+        )
+    return dec
+
+
+def decompress_block_run(
+    raw: bytes,
+    header: Header,
+    entries: list[tuple[int, bool]],
+    offset: int,
+    lo_b: int,
+    hi_b: int,
+    type_size: int,
+) -> bytes:
+    """Decode blocks [lo_b, hi_b] of a FLAG_SPLIT frame into one bytes.
+
+    The range-decode workhorse: runs of >=4 blocks go through the native
+    OpenMP block pipeline (same parallel path a full decode uses), short
+    runs decode block-at-a-time."""
+    n = header.nbytes_orig
+    bs = header.block_size
+    poff0 = offset + sum(s for s, _ in entries[:lo_b])
+    nb = hi_b - lo_b + 1
+    cover = min(n, (hi_b + 1) * bs) - lo_b * bs
+    native = _native_pipeline_codec(header.codec, 1)
+    if native is not None and nb >= 4:
+        psizes = np.array(
+            [entries[b][0] for b in range(lo_b, hi_b + 1)], dtype=np.int64
+        )
+        offs = poff0 + np.concatenate(
+            [[0], np.cumsum(psizes[:-1])]
+        ).astype(np.int64)
+        memf = np.array(
+            [entries[b][1] for b in range(lo_b, hi_b + 1)], dtype=np.uint8
+        )
+        end = int(offs[-1] + psizes[-1])
+        if end > header.nbytes_comp or end > len(raw):
+            raise InvalidDataError(
+                "blosc: invalid compressed data: block payload overruns frame"
+            )
+        for k in range(nb):
+            tb = min(bs, n - (lo_b + k) * bs)
+            if memf[k] and psizes[k] != tb:
+                raise SizeMismatchError(
+                    f"blosc: decompressed size mismatch in memcpy block "
+                    f"{lo_b + k}"
+                )
+        mode = 2 if header.flags & FLAG_BITSHUFFLE else (
+            1 if header.flags & FLAG_SHUFFLE else 0
+        )
+        try:
+            return _native.decompress_blocks(
+                np.frombuffer(raw, dtype=np.uint8), offs, psizes, memf,
+                bs, cover, type_size, mode, native[0],
+            )
+        except Exception:
+            from .errors import DecompressionFailedError
+
+            raise DecompressionFailedError(
+                "blosc: decompression failed: malformed block payload"
+            ) from None
+    parts = []
+    poff = poff0
+    for bi in range(lo_b, hi_b + 1):
+        parts.append(
+            decompress_single_block(raw, header, entries, poff, bi, type_size)
+        )
+        poff += entries[bi][0]
+    return b"".join(parts)
+
+
 def decompress_chunked(raw: bytes, header: Header, type_size: int) -> bytes:
     """Decompress a FLAG_SPLIT frame."""
     entries, offset = parse_block_table(raw, header)

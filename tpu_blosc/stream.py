@@ -441,6 +441,16 @@ class StreamReader:
 
         return decompress(frame)
 
+    def read_range(self, i: int, start: int, size: int) -> bytes:
+        """Bytes [start, start+size) of record i — multi-block records
+        decode only the covering blocks (api.decompress_range)."""
+        frame = self.read_frame(i)
+        if frame[:4] == DICT_MAGIC:
+            return self._decode_dict_record(frame)[start : start + size]
+        from .api import decompress_range
+
+        return decompress_range(frame, start, size)
+
     def read_array(self, i: int, dtype, shape=None, sharding=None):
         """Decompress the i-th record straight onto a device."""
         frame = self.read_frame(i)
