@@ -243,3 +243,40 @@ def test_unpack_array_device_sharded():
     sh = NamedSharding(block_mesh(), P("blocks"))
     out = blosc.unpack_array(blosc.pack_array(x), sharding=sh)
     assert np.array_equal(np.asarray(out), x)
+
+
+def test_unpack_array_rows():
+    import tpu_blosc as blosc
+    from tpu_blosc.options import Options
+
+    arr = np.arange(600_000, dtype=np.float32).reshape(6000, 100)
+    packed = blosc.pack_array(arr, Options(block_size=16384, type_size=4))
+    got = blosc.unpack_array_rows(packed, 1234, 2345)
+    np.testing.assert_array_equal(got, arr[1234:2345])
+    assert blosc.unpack_array_rows(packed, 5, 5).shape == (0, 100)
+    np.testing.assert_array_equal(
+        blosc.unpack_array_rows(packed, 0, 6000), arr
+    )
+    import pytest
+
+    from tpu_blosc.errors import BloscError
+
+    with pytest.raises(BloscError):
+        blosc.unpack_array_rows(packed, 0, 6001)
+    with pytest.raises(BloscError):
+        blosc.unpack_array_rows(packed, -1, 5)
+
+
+def test_unpack_array_rows_fortran_and_1d():
+    import tpu_blosc as blosc
+
+    f = np.asfortranarray(np.arange(20_000, dtype=np.int32).reshape(200, 100))
+    packed = blosc.pack_array(f)
+    np.testing.assert_array_equal(
+        blosc.unpack_array_rows(packed, 10, 20), f[10:20]
+    )
+    one = np.arange(50_000, dtype=np.int16)
+    p1 = blosc.pack_array(one)
+    np.testing.assert_array_equal(
+        blosc.unpack_array_rows(p1, 100, 200), one[100:200]
+    )

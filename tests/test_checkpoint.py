@@ -184,3 +184,55 @@ def test_checkpoint_checksum_detects_bit_rot(tmp_path):
     path.write_bytes(bytes(blob))
     with pytest.raises(BloscError):
         checkpoint.load_pytree(path)
+
+
+def test_load_leaf_single_record(tmp_path):
+    """load_leaf decodes ONLY the requested leaf's record(s)."""
+    path = tmp_path / "leaf.ckpt"
+    state = {
+        "params": {
+            "layers": [
+                {"w": np.arange(100, dtype=np.float32)},
+                {"w": np.arange(100, 300, dtype=np.float32)},
+            ],
+        },
+        "step": 123,
+        "name": "run-7",
+    }
+    checkpoint.save_pytree(path, state)
+    np.testing.assert_array_equal(
+        checkpoint.load_leaf(path, "params/layers/1/w"),
+        state["params"]["layers"][1]["w"],
+    )
+    assert checkpoint.load_leaf(path, "step") == 123
+    assert checkpoint.load_leaf(path, "name") == "run-7"
+    sub = checkpoint.load_leaf(path, "params/layers/0")
+    np.testing.assert_array_equal(sub["w"], state["params"]["layers"][0]["w"])
+    import pytest
+
+    with pytest.raises(KeyError):
+        checkpoint.load_leaf(path, "params/missing")
+    with pytest.raises(KeyError):
+        checkpoint.load_leaf(path, "params/layers/9")
+    with pytest.raises(KeyError):
+        checkpoint.load_leaf(path, "step/deeper")
+
+
+def test_load_leaf_counts_reads(tmp_path, monkeypatch):
+    """Only the manifest + the one leaf record are read."""
+    from tpu_blosc.stream import StreamReader
+
+    path = tmp_path / "count.ckpt"
+    state = {"a": np.zeros(1000, np.float32), "b": np.ones(1000, np.float32),
+             "c": np.full(1000, 2.0, np.float32)}
+    checkpoint.save_pytree(path, state)
+    reads = []
+    orig = StreamReader.read
+
+    def counting_read(self, i):
+        reads.append(i)
+        return orig(self, i)
+
+    monkeypatch.setattr(StreamReader, "read", counting_read)
+    checkpoint.load_leaf(path, "b")
+    assert reads == [0, 2]  # manifest + leaf b only

@@ -66,7 +66,7 @@ from .format import (
     Shuffle,
     parse_header,
 )
-from .array import pack_array, unpack_array
+from .array import pack_array, unpack_array, unpack_array_rows
 from .device import compress_array, decompress_array
 from .options import Options, default_options
 from .stats import CompressionStats, FrameStats, compress_with_stats, frame_stats

@@ -202,3 +202,37 @@ def unpack_array(data, device: bool = False, sharding=None):
         )
     arr = np.frombuffer(body, dtype=dtype)
     return arr.reshape(shape, order=order).copy(order=order)
+
+
+def unpack_array_rows(data, start: int, stop: int) -> np.ndarray:
+    """Rows [start, stop) along axis 0 of a packed array, decoding only
+    the frame blocks that cover those rows (api.decompress_range).
+
+    C-ordered envelopes map rows to a contiguous decompressed byte range;
+    Fortran-ordered envelopes have no such range and fall back to a full
+    unpack + slice.  0-d arrays are rejected (no axis to slice)."""
+    from .api import decompress_range
+
+    buf = bytes(data) if not isinstance(data, bytes) else data
+    dtype, shape, flags, pos = _parse_envelope(buf)
+    if len(shape) == 0:
+        raise InvalidDataError(
+            "blosc: invalid compressed data: 0-d array has no rows"
+        )
+    nrows = shape[0]
+    start, stop = int(start), int(stop)
+    if not 0 <= start <= stop <= nrows:
+        raise InvalidDataError(
+            f"blosc: invalid compressed data: rows [{start}, {stop}) "
+            f"outside [0, {nrows})"
+        )
+    out_shape = (stop - start,) + shape[1:]
+    if flags & _FLAG_EMPTY or stop == start:
+        return np.empty(out_shape, dtype=dtype)
+    if flags & _FLAG_FORTRAN:
+        return unpack_array(buf)[start:stop].copy()
+    row_bytes = dtype.itemsize * int(np.prod(shape[1:], dtype=np.int64))
+    body = decompress_range(
+        buf[pos:], start * row_bytes, (stop - start) * row_bytes
+    )
+    return np.frombuffer(body, dtype=dtype).reshape(out_shape).copy()

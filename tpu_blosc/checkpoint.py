@@ -150,6 +150,62 @@ def load_pytree(path, device: bool = False):
         return _decode(meta["tree"], fetch)
 
 
+def load_leaf(path, key_path: str, device: bool = False):
+    """Load ONE leaf from a checkpoint without decoding the others.
+
+    ``key_path`` walks the tree with '/'-separated segments: dict keys by
+    name, list/tuple elements by index — e.g. ``"params/layers/0/w"``.
+    An empty path returns the root (useful for scalar checkpoints).
+    Array leaves read exactly one stream record; everything else in the
+    file stays untouched — the point of one-record-per-leaf layout.
+    """
+    with StreamReader(path) as r:
+        if len(r) == 0:
+            raise InvalidDataError(
+                "blosc: invalid compressed data: empty checkpoint"
+            )
+        meta = json.loads(r.read(0))
+        if meta.get("version") != _MANIFEST_VERSION:
+            raise InvalidDataError(
+                f"blosc: invalid version: checkpoint manifest "
+                f"{meta.get('version')}"
+            )
+        node = meta["tree"]
+        walked = []
+        for seg in (key_path.split("/") if key_path else []):
+            walked.append(seg)
+            t = node.get("t")
+            if t == "dict":
+                for k, v in node["items"]:
+                    if k == seg:
+                        node = v
+                        break
+                else:
+                    raise KeyError(
+                        f"checkpoint has no leaf {'/'.join(walked)!r}"
+                    )
+            elif t in ("list", "tuple"):
+                try:
+                    node = node["items"][int(seg)]
+                except (ValueError, IndexError):
+                    raise KeyError(
+                        f"checkpoint has no leaf {'/'.join(walked)!r}"
+                    ) from None
+            else:
+                raise KeyError(
+                    f"checkpoint path {'/'.join(walked)!r} descends into a "
+                    f"{t!r} leaf"
+                )
+
+        def fetch(i: int, dtype: np.dtype, shape: tuple):
+            if device:
+                return r.read_array(i + 1, dtype, shape=shape)
+            buf = r.read(i + 1)
+            return np.frombuffer(buf, dtype=dtype).reshape(shape).copy()
+
+        return _decode(node, fetch)
+
+
 # ---------------------------------------------------------------------------
 # multi-process sharded checkpoints
 # ---------------------------------------------------------------------------
