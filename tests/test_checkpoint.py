@@ -236,3 +236,12 @@ def test_load_leaf_counts_reads(tmp_path, monkeypatch):
     monkeypatch.setattr(StreamReader, "read", counting_read)
     checkpoint.load_leaf(path, "b")
     assert reads == [0, 2]  # manifest + leaf b only
+
+
+def test_load_leaf_rejects_negative_indices(tmp_path):
+    import pytest
+
+    path = tmp_path / "neg.ckpt"
+    checkpoint.save_pytree(path, {"xs": [np.zeros(3), np.ones(3)]})
+    with pytest.raises(KeyError):
+        checkpoint.load_leaf(path, "xs/-1")

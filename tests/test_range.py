@@ -134,3 +134,16 @@ def test_range_corrupt_block_raises():
     except BloscError:
         return
     assert len(out) == 16384
+
+
+def test_range_container_forged_total_rejected():
+    """decompress_range must apply the same total-vs-headers cross-check
+    as decompress_container (shared frame_spans walk)."""
+    import struct
+
+    blob = bytearray(CONT)
+    blob[8:16] = struct.pack("<Q", len(DATA) + 4096)
+    with pytest.raises(BloscError):
+        blosc.decompress_range(bytes(blob), len(DATA), 4096)
+    with pytest.raises(BloscError):
+        blosc.decompress_range(bytes(blob), 0, 10)

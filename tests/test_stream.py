@@ -472,3 +472,47 @@ def test_stream_read_range(tmp_path):
     with StreamReader(path) as r:
         assert r.read_range(0, 100_000, 5000) == data[100_000:105_000]
         assert r.read_range(0, 0, 0) == b""
+
+
+def test_stream_dict_definition_corruption_detected(tmp_path):
+    """A corrupted dictionary DEFINITION record (excluded from the index)
+    must be caught by the crc — both on read and in verify()."""
+    from tpu_blosc import stream as _stream
+
+    path = tmp_path / "dictcrc.tpbs"
+    samples = [bytes([i] * 40) + b"common-structure" * 30 for i in range(16)]
+    with StreamWriter(path, train_dict=8, checksum=True) as w:
+        for s in samples:
+            w.write(s)
+    # locate the definition record (first record region, before offset[0])
+    blob = bytearray(path.read_bytes())
+    import struct as _s
+
+    pos = _stream.HEADER_SIZE
+    (flen,) = _s.unpack_from("<Q", blob, pos)
+    assert blob[pos + 8 : pos + 12] == _stream.DICT_MAGIC
+    assert blob[pos + 12] == 0  # definition kind
+    blob[pos + 8 + 20] ^= 0xFF  # corrupt dictionary content
+    path.write_bytes(bytes(blob))
+    with StreamReader(path) as r:
+        with pytest.raises(blosc.BloscError, match="checksum"):
+            r.read(0)
+        with pytest.raises(blosc.BloscError, match="checksum"):
+            r.verify()
+
+
+def test_stream_read_range_dict_record_bounds(tmp_path):
+    """read_range on dict-compressed records enforces the same bounds
+    contract as decompress_range (raise, never truncate)."""
+    path = tmp_path / "rrd.tpbs"
+    samples = [bytes([i] * 40) + b"shared-shape" * 40 for i in range(12)]
+    with StreamWriter(path, train_dict=6) as w:
+        for s in samples:
+            w.write(s)
+    with StreamReader(path) as r:
+        n = len(samples[3])
+        assert r.read_range(3, 5, 20) == samples[3][5:25]
+        with pytest.raises(blosc.BloscError):
+            r.read_range(3, n - 1, 2)
+        with pytest.raises(blosc.BloscError):
+            r.read_range(3, -1, 2)

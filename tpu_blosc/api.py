@@ -304,9 +304,10 @@ def decompress_range(data, start: int, size: int, type_size: int = 0) -> bytes:
 
     if len(raw) >= 4 and raw[:4] == b"TPB2":
         from . import container as _container
-        from .format import parse_header as _ph
 
         _, _, _, _, total, sizes, off = _container.parse_container(raw)
+        # the shared validated walk: bounds + total-vs-headers cross-check
+        spans = _container.frame_spans(memoryview(raw), total, sizes, off)
         if start + size > total:
             raise SizeMismatchError(
                 f"blosc: decompressed size mismatch: range "
@@ -316,13 +317,7 @@ def decompress_range(data, start: int, size: int, type_size: int = 0) -> bytes:
             return b""
         parts = []
         pos = 0
-        fpos = off
-        for fs in sizes:
-            if fs < HEADER_SIZE or fpos + fs > len(raw):
-                raise InvalidDataError(
-                    "blosc: invalid container: bad sub-frame size"
-                )
-            n_sub = _ph(raw[fpos : fpos + 16]).nbytes_orig
+        for fpos, fs, n_sub in spans:
             lo = max(start, pos)
             hi = min(start + size, pos + n_sub)
             if lo < hi:
@@ -332,7 +327,6 @@ def decompress_range(data, start: int, size: int, type_size: int = 0) -> bytes:
                     )
                 )
             pos += n_sub
-            fpos += fs
             if pos >= start + size:
                 break
         return b"".join(parts)

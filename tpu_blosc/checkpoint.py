@@ -185,12 +185,13 @@ def load_leaf(path, key_path: str, device: bool = False):
                         f"checkpoint has no leaf {'/'.join(walked)!r}"
                     )
             elif t in ("list", "tuple"):
-                try:
-                    node = node["items"][int(seg)]
-                except (ValueError, IndexError):
+                # digits only: '-1' would silently resolve via Python's
+                # negative indexing to a leaf no manifest path names
+                if not seg.isdigit() or int(seg) >= len(node["items"]):
                     raise KeyError(
                         f"checkpoint has no leaf {'/'.join(walked)!r}"
-                    ) from None
+                    )
+                node = node["items"][int(seg)]
             else:
                 raise KeyError(
                     f"checkpoint path {'/'.join(walked)!r} descends into a "

@@ -308,35 +308,43 @@ def _decompress_chunked_native(
     type_size: int,
     native_codec: int,
     out_addr: int | None = None,
+    lo_b: int = 0,
+    hi_b: int | None = None,
 ) -> bytes | int:
-    """Whole-chunk native decode.
+    """Native decode of blocks [lo_b, hi_b] (default: the whole chunk).
 
     Returns the decoded bytes (or, with ``out_addr``, the byte count) and
-    raises on any malformed frame — validation lives here so every caller
-    (decompress_chunked, decompress_into) gets the same checks.
+    raises on any malformed frame.  Full-chunk callers
+    (decompress_chunked, decompress_into) get the layout validation here;
+    sub-range callers (decompress_block_run, via decompress_range)
+    validate the layout once at the range entry point.
     """
     n = header.nbytes_orig
     block_size = header.block_size
-    _validate_block_layout(n, block_size, len(entries))
-    psizes = np.array([s for s, _ in entries], dtype=np.int64)
+    if hi_b is None:
+        _validate_block_layout(n, block_size, len(entries))
+        hi_b = len(entries) - 1
+    sub = entries[lo_b : hi_b + 1]
+    psizes = np.array([s for s, _ in sub], dtype=np.int64)
+    base = offset + sum(s for s, _ in entries[:lo_b])
     offsets = np.concatenate(
         [[0], np.cumsum(psizes[:-1])]
-    ).astype(np.int64) + offset
-    is_memcpy = np.array([m for _, m in entries], dtype=np.uint8)
+    ).astype(np.int64) + base
+    is_memcpy = np.array([m for _, m in sub], dtype=np.uint8)
     end = int(offsets[-1] + psizes[-1])
     if end > header.nbytes_comp or end > len(raw):
         raise InvalidDataError(
             "blosc: invalid compressed data: block payload overruns frame"
         )
     # memcpy blocks must be exactly block-sized (parity with Python path)
-    pos = 0
-    for i, (psz, m) in enumerate(entries):
-        bs = min(block_size, n - pos)
+    for k, (psz, m) in enumerate(sub):
+        bs = min(block_size, n - (lo_b + k) * block_size)
         if m and psz != bs:
             raise SizeMismatchError(
-                f"blosc: decompressed size mismatch in memcpy block {i}"
+                f"blosc: decompressed size mismatch in memcpy block "
+                f"{lo_b + k}"
             )
-        pos += bs
+    cover = min(n, (hi_b + 1) * block_size) - lo_b * block_size
     shuffle_mode = 0
     if header.has_bitshuffle:
         shuffle_mode = 2
@@ -349,7 +357,7 @@ def _decompress_chunked_native(
             psizes,
             is_memcpy,
             block_size,
-            n,
+            cover,
             type_size,
             shuffle_mode,
             native_codec,
@@ -437,52 +445,17 @@ def decompress_block_run(
     """Decode blocks [lo_b, hi_b] of a FLAG_SPLIT frame into one bytes.
 
     The range-decode workhorse: runs of >=4 blocks go through the native
-    OpenMP block pipeline (same parallel path a full decode uses), short
-    runs decode block-at-a-time."""
-    n = header.nbytes_orig
-    bs = header.block_size
-    poff0 = offset + sum(s for s, _ in entries[:lo_b])
-    nb = hi_b - lo_b + 1
-    cover = min(n, (hi_b + 1) * bs) - lo_b * bs
+    OpenMP block pipeline (the same parallel path a full decode uses, via
+    _decompress_chunked_native's sub-range mode), short runs decode
+    block-at-a-time."""
     native = _native_pipeline_codec(header.codec, 1)
-    if native is not None and nb >= 4:
-        psizes = np.array(
-            [entries[b][0] for b in range(lo_b, hi_b + 1)], dtype=np.int64
+    if native is not None and hi_b - lo_b + 1 >= 4:
+        return _decompress_chunked_native(
+            raw, header, entries, offset, type_size, native[0],
+            lo_b=lo_b, hi_b=hi_b,
         )
-        offs = poff0 + np.concatenate(
-            [[0], np.cumsum(psizes[:-1])]
-        ).astype(np.int64)
-        memf = np.array(
-            [entries[b][1] for b in range(lo_b, hi_b + 1)], dtype=np.uint8
-        )
-        end = int(offs[-1] + psizes[-1])
-        if end > header.nbytes_comp or end > len(raw):
-            raise InvalidDataError(
-                "blosc: invalid compressed data: block payload overruns frame"
-            )
-        for k in range(nb):
-            tb = min(bs, n - (lo_b + k) * bs)
-            if memf[k] and psizes[k] != tb:
-                raise SizeMismatchError(
-                    f"blosc: decompressed size mismatch in memcpy block "
-                    f"{lo_b + k}"
-                )
-        mode = 2 if header.flags & FLAG_BITSHUFFLE else (
-            1 if header.flags & FLAG_SHUFFLE else 0
-        )
-        try:
-            return _native.decompress_blocks(
-                np.frombuffer(raw, dtype=np.uint8), offs, psizes, memf,
-                bs, cover, type_size, mode, native[0],
-            )
-        except Exception:
-            from .errors import DecompressionFailedError
-
-            raise DecompressionFailedError(
-                "blosc: decompression failed: malformed block payload"
-            ) from None
     parts = []
-    poff = poff0
+    poff = offset + sum(s for s, _ in entries[:lo_b])
     for bi in range(lo_b, hi_b + 1):
         parts.append(
             decompress_single_block(raw, header, entries, poff, bi, type_size)

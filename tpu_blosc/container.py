@@ -134,6 +134,42 @@ def get_container_info(data) -> ContainerInfo:
     return ContainerInfo(version, codec, flags, type_size, total, len(sizes))
 
 
+def frame_spans(mv, total: int, sizes: list[int], offset: int):
+    """Validated (frame_pos, frame_size, nbytes_orig) per sub-frame.
+
+    Shared by every container reader (full decode AND range decode):
+    bounds the frame region against the input, requires each sub-frame to
+    carry a header, and cross-checks the container's declared uint64
+    total against the sub-frame headers BEFORE any output allocation — a
+    forged total (or sub-frame header) fails cleanly here instead of
+    driving a huge buffer or silently misaligned range reads.
+    """
+    from .format import parse_header as _ph
+
+    if offset + sum(sizes) > len(mv):
+        raise InvalidDataError(
+            "blosc: invalid container: frames overrun input"
+        )
+    spans = []
+    pos = offset
+    claimed = 0
+    for fs in sizes:
+        if fs < 16:
+            raise InvalidDataError(
+                "blosc: invalid container: sub-frame shorter than a header"
+            )
+        n_sub = _ph(bytes(mv[pos : pos + 16])).nbytes_orig
+        spans.append((pos, fs, n_sub))
+        claimed += n_sub
+        pos += fs
+    if claimed != total:
+        raise SizeMismatchError(
+            f"blosc: decompressed size mismatch: container declares {total} "
+            f"bytes, sub-frames declare {claimed}"
+        )
+    return spans
+
+
 def decompress_container(data, type_size: int = 0) -> bytes:
     """Decompress a super-frame (sub-frames decoded independently, in order).
 
@@ -145,30 +181,7 @@ def decompress_container(data, type_size: int = 0) -> bytes:
 
     _, _, _, _, total, sizes, offset = parse_container(data)
     mv = memoryview(data)
-    end = offset + sum(sizes)
-    if end > len(data):
-        raise InvalidDataError(
-            "blosc: invalid container: frames overrun input"
-        )
-    # cross-check the declared total against the sub-frame headers BEFORE
-    # the output allocation: a forged uint64 total must fail cleanly, not
-    # demand an arbitrarily large buffer
-    from .format import parse_header as _ph
-
-    pos_check = offset
-    claimed = 0
-    for fs in sizes:
-        if fs < 16:
-            raise InvalidDataError(
-                "blosc: invalid container: sub-frame shorter than a header"
-            )
-        claimed += _ph(bytes(mv[pos_check : pos_check + 16])).nbytes_orig
-        pos_check += fs
-    if claimed != total:
-        raise SizeMismatchError(
-            f"blosc: decompressed size mismatch: container declares {total} "
-            f"bytes, sub-frames declare {claimed}"
-        )
+    frame_spans(mv, total, sizes, offset)  # validates before allocating
     try:
         from .native.backend import alloc_bytes, available as _native_ok
     except Exception:  # pragma: no cover

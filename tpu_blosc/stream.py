@@ -259,7 +259,12 @@ class StreamWriter:
 
 
 def _find_dict(path: str, data_end: int, crc: bool = False) -> bytes | None:
-    """Scan the data region for the stream's dictionary definition record."""
+    """Scan the data region for the stream's dictionary definition record.
+
+    When the stream carries checksums, the definition record's crc32 is
+    verified here — it is excluded from the logical index, so this is the
+    only place a corrupted dictionary can be caught before every
+    dict-compressed record silently decodes to wrong plaintext."""
     extra = 4 if crc else 0
     with open(path, "rb") as f:
         pos = HEADER_SIZE
@@ -270,8 +275,18 @@ def _find_dict(path: str, data_end: int, crc: bool = False) -> bytes | None:
                 return None
             peek = f.read(5)
             if peek[:4] == DICT_MAGIC and peek[4] == _DICT_DEF:
-                f.seek(pos + 8 + 5)
-                return f.read(flen - 5)
+                f.seek(pos + 8)
+                blob = f.read(flen)
+                if crc:
+                    import zlib
+
+                    (want,) = struct.unpack("<I", f.read(4))
+                    if zlib.crc32(blob) != want:
+                        raise InvalidDataError(
+                            "blosc: invalid compressed data: dictionary "
+                            "record checksum mismatch"
+                        )
+                return blob[5:]
             pos += 8 + flen + extra
     return None
 
@@ -446,7 +461,19 @@ class StreamReader:
         decode only the covering blocks (api.decompress_range)."""
         frame = self.read_frame(i)
         if frame[:4] == DICT_MAGIC:
-            return self._decode_dict_record(frame)[start : start + size]
+            # same bounds contract as decompress_range: out-of-range must
+            # raise, never silently truncate
+            buf = self._decode_dict_record(frame)
+            if start < 0 or size < 0:
+                raise InvalidDataError(
+                    "blosc: invalid compressed data: negative range"
+                )
+            if start + size > len(buf):
+                raise SizeMismatchError(
+                    f"blosc: decompressed size mismatch: range "
+                    f"[{start}, {start + size}) outside {len(buf)} bytes"
+                )
+            return buf[start : start + size]
         from .api import decompress_range
 
         return decompress_range(frame, start, size)
@@ -486,6 +513,9 @@ class StreamReader:
         decompresses each record and discards the result.  Returns the
         number of records verified; raises BloscError at the first bad
         one.  The restore-path preflight for checkpoint files."""
+        # the dictionary definition record is excluded from the logical
+        # index; _find_dict crc-checks it for checksummed streams
+        _find_dict(self._path, self._data_end, self._crc)
         for i in range(len(self)):
             if deep:
                 self.read(i)
