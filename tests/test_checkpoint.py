@@ -245,3 +245,45 @@ def test_load_leaf_rejects_negative_indices(tmp_path):
     checkpoint.save_pytree(path, {"xs": [np.zeros(3), np.ones(3)]})
     with pytest.raises(KeyError):
         checkpoint.load_leaf(path, "xs/-1")
+
+
+def test_load_leaf_sharded_single_process(tmp_path):
+    """load_leaf_sharded reads only the requested leaf's records."""
+    import jax
+    import pytest
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from tpu_blosc.stream import StreamReader
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("x",))
+    data = np.arange(8 * 500, dtype=np.float32).reshape(8, 500)
+    arr = jax.device_put(data, NamedSharding(mesh, P("x", None)))
+    extra = np.linspace(0, 1, 300, dtype=np.float64)
+    prefix = str(tmp_path / "shl")
+    checkpoint.save_pytree_sharded(
+        prefix, {"w": arr, "extra": extra, "k": 5}
+    )
+    assert np.array_equal(
+        checkpoint.load_leaf_sharded(prefix, 1, "w"), data
+    )
+    assert np.array_equal(
+        checkpoint.load_leaf_sharded(prefix, 1, "extra"), extra
+    )
+    assert checkpoint.load_leaf_sharded(prefix, 1, "k") == 5
+    with pytest.raises(KeyError):
+        checkpoint.load_leaf_sharded(prefix, 1, "nope")
+    # read-count proof: manifest + only w's shard records
+    reads = []
+    orig = StreamReader.read
+
+    def counting(self, i):
+        reads.append(i)
+        return orig(self, i)
+
+    try:
+        StreamReader.read = counting
+        checkpoint.load_leaf_sharded(prefix, 1, "extra")
+    finally:
+        StreamReader.read = orig
+    # record 0 = manifest; 'extra' is one record after w's 4 shards
+    assert reads[0] == 0 and len(reads) == 2

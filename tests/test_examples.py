@@ -167,3 +167,47 @@ def test_example_suggest_options():
     opts = blosc.suggest_options(data, type_size=4)
     frame = blosc.compress_with_options(data, opts)
     assert blosc.decompress(frame) == data
+
+
+def test_example_random_access(tmp_path):
+    """Read a slice of a large frame without decoding the rest."""
+    data = np.arange(1_000_000, dtype=np.float32).tobytes()
+    frame = blosc.compress_with_options(
+        data, blosc.Options(block_size=65536, type_size=4)
+    )
+    middle = blosc.decompress_range(frame, 1_000_000, 4096)
+    assert middle == data[1_000_000:1_004_096]
+
+
+def test_example_checksummed_checkpoint(tmp_path):
+    """Integrity-checked model state: save, preflight, partial load."""
+    from tpu_blosc import checkpoint
+    from tpu_blosc.stream import StreamReader
+
+    state = {
+        "params": {"w": np.ones((64, 64), np.float32), "b": np.zeros(64)},
+        "step": 1000,
+    }
+    path = tmp_path / "model.ckpt"
+    checkpoint.save_pytree(path, state, checksum=True)
+    with StreamReader(path) as r:
+        assert r.verify(deep=True) == len(r)  # restore preflight
+    w = checkpoint.load_leaf(path, "params/w")  # one tensor only
+    assert w.shape == (64, 64)
+
+
+def test_example_packed_array_rows():
+    """Dataset-shard pattern: pack once, read row ranges on demand."""
+    table = np.arange(400_000, dtype=np.int32).reshape(4000, 100)
+    packed = blosc.pack_array(table, blosc.Options(block_size=16384))
+    batch = blosc.unpack_array_rows(packed, 1000, 1032)
+    np.testing.assert_array_equal(batch, table[1000:1032])
+
+
+def test_example_blosclz_codec():
+    """Codec 0 — the enum slot the reference declares but never
+    implements — works like any other codec here."""
+    data = np.arange(30_000, dtype=np.float32).tobytes()
+    frame = blosc.compress(data, blosc.BLOSCLZ, 5, blosc.SHUFFLE, 4)
+    assert blosc.get_info(frame).codec == 0
+    assert blosc.decompress(frame) == data

@@ -170,33 +170,7 @@ def load_leaf(path, key_path: str, device: bool = False):
                 f"blosc: invalid version: checkpoint manifest "
                 f"{meta.get('version')}"
             )
-        node = meta["tree"]
-        walked = []
-        for seg in (key_path.split("/") if key_path else []):
-            walked.append(seg)
-            t = node.get("t")
-            if t == "dict":
-                for k, v in node["items"]:
-                    if k == seg:
-                        node = v
-                        break
-                else:
-                    raise KeyError(
-                        f"checkpoint has no leaf {'/'.join(walked)!r}"
-                    )
-            elif t in ("list", "tuple"):
-                # digits only: '-1' would silently resolve via Python's
-                # negative indexing to a leaf no manifest path names
-                if not seg.isdigit() or int(seg) >= len(node["items"]):
-                    raise KeyError(
-                        f"checkpoint has no leaf {'/'.join(walked)!r}"
-                    )
-                node = node["items"][int(seg)]
-            else:
-                raise KeyError(
-                    f"checkpoint path {'/'.join(walked)!r} descends into a "
-                    f"{t!r} leaf"
-                )
+        node = _walk_manifest(meta["tree"], key_path)
 
         def fetch(i: int, dtype: np.dtype, shape: tuple):
             if device:
@@ -326,6 +300,99 @@ def _encode_sharded(obj, leaves: list, pid: int):
     if obj is None or isinstance(obj, (bool, int, float, str)):
         return {"t": "raw", "v": obj}
     raise TypeError(f"unsupported checkpoint leaf type: {type(obj)!r}")
+
+
+def _walk_manifest(tree: dict, key_path: str) -> dict:
+    """Resolve a '/'-separated path in a manifest tree (shared by
+    load_leaf and load_leaf_sharded); raises KeyError on misses."""
+    node = tree
+    walked = []
+    for seg in (key_path.split("/") if key_path else []):
+        walked.append(seg)
+        t = node.get("t")
+        if t == "dict":
+            for k, v in node["items"]:
+                if k == seg:
+                    node = v
+                    break
+            else:
+                raise KeyError(f"checkpoint has no leaf {'/'.join(walked)!r}")
+        elif t in ("list", "tuple"):
+            if not seg.isdigit() or int(seg) >= len(node["items"]):
+                raise KeyError(f"checkpoint has no leaf {'/'.join(walked)!r}")
+            node = node["items"][int(seg)]
+        else:
+            raise KeyError(
+                f"checkpoint path {'/'.join(walked)!r} descends into a "
+                f"{t!r} leaf"
+            )
+    return node
+
+
+def load_leaf_sharded(path_prefix, num_processes: int, key_path: str):
+    """Load ONE leaf of a sharded checkpoint, reading only its records.
+
+    Per-process record indices are computable from the manifest alone
+    (record 0 is the manifest; leaf i's records start at
+    1 + sum(n of leaves before i) in each process file), so a single
+    tensor comes out of a multi-terabyte sharded checkpoint touching one
+    manifest + that leaf's shard records per process.
+    """
+    files = [f"{path_prefix}.p{p}.tpbs" for p in range(num_processes)]
+    readers = [StreamReader(f) for f in files]
+    try:
+        metas = [json.loads(r.read(0)) for r in readers]
+        for m in metas:
+            if m.get("version") != _MANIFEST_VERSION:
+                raise InvalidDataError(
+                    "blosc: invalid version: sharded checkpoint manifest"
+                )
+        node = _walk_manifest(metas[0]["tree"], key_path)
+        t = node.get("t")
+        if t == "raw":
+            return node["v"]
+        if t == "array0":
+            return np.empty(tuple(node["shape"]), np.dtype(node["dtype"]))
+        if t not in ("array", "sharded_array"):
+            raise KeyError(
+                f"checkpoint path {key_path!r} is a {t!r} subtree; "
+                "load_leaf_sharded loads single leaves"
+            )
+        i = node["i"]
+        dtype = np.dtype(node["dtype"])
+        shape = tuple(node["shape"])
+        if t == "array":  # replicated: stored by whichever process has n=1
+            for p, m in enumerate(metas):
+                info = m["leaf_records"][i]
+                if info["n"]:
+                    base = 1 + sum(
+                        x["n"] for x in m["leaf_records"][:i]
+                    )
+                    buf = readers[p].read(base)
+                    return np.frombuffer(buf, dtype=dtype).reshape(shape).copy()
+            raise InvalidDataError(
+                "blosc: invalid compressed data: replicated leaf missing"
+            )
+        out = np.empty(shape, dtype=dtype)
+        filled = np.zeros(shape, dtype=bool) if out.size else None
+        for p, m in enumerate(metas):
+            info = m["leaf_records"][i]
+            base = 1 + sum(x["n"] for x in m["leaf_records"][:i])
+            for k, span in enumerate(info.get("spans", [])):
+                buf = readers[p].read(base + k)
+                sub_shape = tuple(b - a for a, b in span)
+                idx = tuple(slice(a, b) for a, b in span)
+                out[idx] = np.frombuffer(buf, dtype=dtype).reshape(sub_shape)
+                if filled is not None:
+                    filled[idx] = True
+        if filled is not None and not filled.all():
+            raise InvalidDataError(
+                "blosc: invalid compressed data: sharded leaf has holes"
+            )
+        return out
+    finally:
+        for r in readers:
+            r.close()
 
 
 def load_pytree_sharded(path_prefix, num_processes: int):
