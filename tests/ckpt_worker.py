@@ -49,6 +49,10 @@ def main() -> None:
         assert np.array_equal(out["w"], data), "sharded leaf mismatch"
         assert np.array_equal(out["bias"], tree["bias"])
         assert out["step"] == 42
+        # single-leaf load across the real process files
+        leaf = checkpoint.load_leaf_sharded(prefix, nprocs, "w")
+        assert np.array_equal(leaf, data), "load_leaf_sharded mismatch"
+        assert checkpoint.load_leaf_sharded(prefix, nprocs, "step") == 42
         with open(prefix + ".ok", "w") as f:
             f.write("ok")
 
