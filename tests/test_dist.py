@@ -211,3 +211,17 @@ def test_mesh_stats_histogram_sampling_engages():
     assert 0 < stats.sample_bytes < len(data)
     assert int(stats.histogram.sum()) == stats.sample_bytes
     assert (stats.histogram >= 0).all()
+
+
+def test_compress_chunked_mesh_invariance_blosclz():
+    """Codec 0 (our extension) through the mesh path: frames identical
+    across mesh sizes AND to the host pipeline."""
+    data = np.arange(60_000, dtype=np.float32).tobytes()
+    opts = Options(codec=blosc.BLOSCLZ, type_size=4, block_size=16384)
+    frames = [
+        dmesh.compress_chunked_mesh(data, opts, dmesh.block_mesh(n))
+        for n in (1, 4, 8)
+    ]
+    assert frames[0] == frames[1] == frames[2]
+    assert frames[0] == blosc.compress_with_options(data, opts)
+    assert blosc.decompress(frames[0]) == data
