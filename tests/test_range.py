@@ -42,6 +42,9 @@ FRAME_SPLIT_SHUF = blosc.compress_with_options(
     Options(block_size=8192, type_size=4),
 )
 DATA_SHUF = np.arange(75_000, dtype=np.float32).tobytes()
+FRAME_SPLIT_BIT = blosc.compress_with_options(
+    DATA_SHUF, Options(block_size=8192, type_size=4, shuffle=blosc.BITSHUFFLE)
+)
 FRAME_ONE = blosc.compress(DATA[:60_000])
 CONT = container.compress_container(DATA, Options(type_size=1), frame_limit=65536)
 
@@ -69,6 +72,7 @@ def test_range_property_all_layouts(data):
     for frame, ref in (
         (FRAME_SPLIT, DATA),
         (FRAME_SPLIT_SHUF, DATA_SHUF),
+        (FRAME_SPLIT_BIT, DATA_SHUF),
         (FRAME_ONE, DATA[:60_000]),
         (CONT, DATA),
     ):
