@@ -151,3 +151,43 @@ def test_range_container_forged_total_rejected():
         blosc.decompress_range(bytes(blob), len(DATA), 4096)
     with pytest.raises(BloscError):
         blosc.decompress_range(bytes(blob), 0, 10)
+
+
+@pytest.mark.parametrize("start,size", [
+    (0, 0), (0, 300_000), (8192, 81920), (8191, 2), (100, 150_000),
+    (12_345, 98_765), (299_000, 1000), (8192, 8192), (0, 8191),
+])
+def test_range_into(start, size):
+    out = bytearray(size + 7)  # slack: must write exactly size bytes
+    out[size:] = b"\xAA" * 7
+    got = blosc.decompress_range_into(FRAME_SPLIT, start, size, out)
+    assert got == size
+    assert bytes(out[:size]) == DATA[start : start + size]
+    assert bytes(out[size:]) == b"\xAA" * 7  # no overwrite past size
+
+
+@FAST
+@given(st.data())
+def test_range_into_property(data):
+    for frame, ref in (
+        (FRAME_SPLIT, DATA),
+        (FRAME_SPLIT_SHUF, DATA_SHUF),
+        (FRAME_ONE, DATA[:60_000]),
+        (CONT, DATA),
+    ):
+        n = len(ref)
+        start = data.draw(st.integers(0, n))
+        size = data.draw(st.integers(0, n - start))
+        out = bytearray(size)
+        assert blosc.decompress_range_into(frame, start, size, out) == size
+        assert bytes(out) == ref[start : start + size]
+
+
+def test_range_into_errors():
+    with pytest.raises(BloscError):
+        blosc.decompress_range_into(FRAME_SPLIT, 0, 100, bytearray(50))
+    with pytest.raises(BloscError):
+        blosc.decompress_range_into(FRAME_SPLIT, len(DATA), 1,
+                                    bytearray(16))
+    with pytest.raises(BloscError):
+        blosc.decompress_range_into(FRAME_SPLIT, -2, 1, bytearray(16))

@@ -25,6 +25,7 @@ from .api import (
     decompress,
     decompress_into,
     decompress_range,
+    decompress_range_into,
     decompress_with_size,
     get_decompressed_size,
     get_info,
@@ -141,6 +142,7 @@ __all__ = [
     "decompress_array",
     "decompress_into",
     "decompress_range",
+    "decompress_range_into",
     "decompress_with_size",
     "default_options",
     "get_codec",

@@ -369,6 +369,87 @@ def decompress_range(data, start: int, size: int, type_size: int = 0) -> bytes:
     return decompress_with_size(raw, type_size)[start : start + size]
 
 
+def decompress_range_into(data, start: int, size: int, out,
+                          type_size: int = 0) -> int:
+    """decompress_range straight into a caller buffer; returns ``size``.
+
+    The zero-copy range read for data-loader hot paths: on FLAG_SPLIT
+    frames, interior covering blocks decode natively straight into
+    ``out`` (the same out_addr pipeline decompress_into uses) and only
+    the unaligned edge blocks pay an intermediate copy.  Other layouts
+    (containers, single-block frames) decode via decompress_range and
+    copy once.
+    """
+    raw = _coerce_bytes(data)
+    view = _writable_u8_view(out)
+    if size > view.size:
+        raise InvalidDataError(
+            f"blosc: output buffer too small: need {size}, have {view.size}"
+        )
+    if (
+        len(raw) >= HEADER_SIZE
+        and raw[:4] != b"TPB2"
+        and (parse_header(raw)).is_split
+    ):
+        header = parse_header(raw)
+        if header.nbytes_comp > len(raw) or header.nbytes_comp < HEADER_SIZE:
+            raise InvalidDataError(
+                "blosc: invalid compressed data: bad NBytesComp"
+            )
+        n = header.nbytes_orig
+        if start < 0 or size < 0:
+            raise InvalidDataError(
+                "blosc: invalid compressed data: negative range"
+            )
+        if start + size > n:
+            raise SizeMismatchError(
+                f"blosc: decompressed size mismatch: range "
+                f"[{start}, {start + size}) outside {n} bytes"
+            )
+        if size == 0:
+            return 0
+        from . import chunk
+
+        entries, offset = parse_block_table_checked(raw, header)
+        ts = type_size if type_size > 0 else header.type_size
+        bs = header.block_size
+        lo_b, hi_b = start // bs, (start + size - 1) // bs
+        native = chunk._native_pipeline_codec(header.codec, 1)
+        # interior run = the fully-covered blocks; decode those straight
+        # into out, and the (at most two) partial edge blocks via bytes
+        in_lo = lo_b + (1 if start % bs else 0)
+        in_hi = hi_b - (1 if (start + size) % bs and (start + size) < n else 0)
+        if native is not None and in_hi - in_lo + 1 >= 4:
+            dst0 = in_lo * bs - start  # offset of the interior run in out
+            chunk._decompress_chunked_native(
+                raw, header, entries, offset, ts, native[0],
+                out_addr=int(view.ctypes.data) + dst0,
+                lo_b=in_lo, hi_b=in_hi,
+            )
+            poff = offset + sum(s for s, _ in entries[:lo_b])
+            if in_lo > lo_b:  # leading partial block
+                blob = chunk.decompress_single_block(
+                    raw, header, entries, poff, lo_b, ts
+                )
+                rel = start - lo_b * bs
+                view[: len(blob) - rel] = np.frombuffer(
+                    blob, dtype=np.uint8
+                )[rel:]
+            if in_hi < hi_b:  # trailing partial block
+                poff_hi = offset + sum(s for s, _ in entries[:hi_b])
+                blob = chunk.decompress_single_block(
+                    raw, header, entries, poff_hi, hi_b, ts
+                )
+                take = (start + size) - hi_b * bs
+                view[size - take : size] = np.frombuffer(
+                    blob, dtype=np.uint8
+                )[:take]
+            return size
+    blob = decompress_range(raw, start, size, type_size)
+    view[:size] = np.frombuffer(blob, dtype=np.uint8)
+    return size
+
+
 def parse_block_table_checked(raw: bytes, header):
     """Block table + layout validation in one step (range-decode entry)."""
     from . import chunk
