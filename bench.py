@@ -115,6 +115,20 @@ def bench_host_pipeline() -> dict:
     tbc, cb = _best(lambda: blosc.compress(d1, blosc.BLOSCLZ), reps=12)
     tbd, ob = _best(lambda: blosc.decompress(cb), reps=12)
     assert ob == d1, "blosclz roundtrip failed"
+
+    # batch API on the reference's own 100 KB config: 64 frames per call,
+    # whole small frames scheduled across the SpinPool (per-frame
+    # parallelism stays impossible below 256 KiB on this host — see
+    # kFrameSegMin; batching is how the small-frame regime engages all
+    # cores).  Aggregate GB/s over the batch.
+    db = bytes(bytearray(i % 256 for i in range(100 * 1024)))
+    items = [db] * 64
+    nb_total = len(db) * 64
+    fb = blosc.compress_batch(items)
+    assert fb[0] == blosc.compress(db), "batch bytes diverge from scalar"
+    tbat_c, fb = _best(lambda: blosc.compress_batch(items), reps=10)
+    tbat_d, ob2 = _best(lambda: blosc.decompress_batch(fb), reps=10)
+    assert ob2 == items, "batch roundtrip failed"
     return {
         "compress_gbps": N / t_comp / 1e9,
         "decompress_gbps": N / t_dec / 1e9,
@@ -123,6 +137,8 @@ def bench_host_pipeline() -> dict:
         "single_block_1mib_decompress_gbps": n1 / t1d / 1e9,
         "blosclz_1mib_compress_gbps": n1 / tbc / 1e9,
         "blosclz_1mib_decompress_gbps": n1 / tbd / 1e9,
+        "batch_100kb_compress_gbps": nb_total / tbat_c / 1e9,
+        "batch_100kb_decompress_gbps": nb_total / tbat_d / 1e9,
         "backend": blosc.backend_name(),
     }
 
@@ -415,6 +431,12 @@ def main() -> None:
         ),
         "blosclz_1mib_decompress_gbps": round(
             host["blosclz_1mib_decompress_gbps"], 3
+        ),
+        "batch_100kb_compress_gbps": round(
+            host["batch_100kb_compress_gbps"], 3
+        ),
+        "batch_100kb_decompress_gbps": round(
+            host["batch_100kb_decompress_gbps"], 3
         ),
         "backend": host["backend"],
     })

@@ -33,6 +33,11 @@ FLOORS = {
     # native path silently dropping out for the sixth codec
     "blosclz_1mib_compress_gbps": 3.0,
     "blosclz_1mib_decompress_gbps": 3.0,
+    # batch API over 64x100 KB frames (round 3): whole-frame SpinPool
+    # slices read ~25-31 / 18-24; a collapse to the scalar loop reads
+    # ~7-10 both ways
+    "batch_100kb_compress_gbps": 5.0,
+    "batch_100kb_decompress_gbps": 5.0,
 }
 
 # enforced only when the bench ran with a real accelerator attached

@@ -21,8 +21,11 @@ All functions are safe for concurrent use (reference parity, blosc.go:37-39).
 from .api import (
     AUTO_BLOCK_THRESHOLD,
     compress,
+    compress_batch,
+    compress_batch_with_options,
     compress_with_options,
     decompress,
+    decompress_batch,
     decompress_into,
     decompress_range,
     decompress_range_into,
@@ -133,6 +136,8 @@ __all__ = [
     "bit_unshuffle",
     "compress",
     "compress_array",
+    "compress_batch",
+    "compress_batch_with_options",
     "compress_with_options",
     "compress_with_stats",
     "CompressionStats",
@@ -140,6 +145,7 @@ __all__ = [
     "frame_stats",
     "decompress",
     "decompress_array",
+    "decompress_batch",
     "decompress_into",
     "decompress_range",
     "decompress_range_into",

@@ -625,6 +625,47 @@ def compress_frame(
     return out
 
 
+def compress_frames(
+    items,
+    type_size: int,
+    shuffle_mode: int,
+    header_codec: int,
+    native_codec: int,
+    depth: int,
+) -> list:
+    """Batch compress_frame: one binding crossing for N frames.
+
+    With the fastcall module present, the native side runs whole small
+    frames (< the segment-parallel floor) across the SpinPool and larger
+    frames through their normal internally-parallel path, so output bytes
+    are identical to per-item compress_frame at every size.  Without it,
+    a scalar loop provides the same results.
+    """
+    if _fast is not None and hasattr(_fast, "compress_batch"):
+        return _fast.compress_batch(
+            items, type_size, shuffle_mode, header_codec, native_codec, depth
+        )
+    return [
+        compress_frame(d, type_size, shuffle_mode, header_codec,
+                       native_codec, depth)
+        for d in items
+    ]
+
+
+def decompress_frames(items, type_size: int, native_map: bytes) -> list:
+    """Batch single-block frame decode; None entries mean "not handled".
+
+    native_map[codec_id] is the native codec id for header byte 1, 0xFF
+    when that id must take the Python path (unknown / user-overridden /
+    native unavailable).  Items that are not plain single-block frames,
+    or whose payload fails to decode, come back as None — the caller
+    re-runs those through the scalar path, which owns every typed error.
+    """
+    if _fast is not None and hasattr(_fast, "decompress_batch"):
+        return _fast.decompress_batch(items, type_size, native_map)
+    return [None] * len(items)
+
+
 def decompress_frame(
     data: bytes,
     payload_off: int,

@@ -3815,6 +3815,121 @@ int64_t tpb_gather(const uint8_t *slots, const int64_t *sizes, int64_t nb,
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// batch frame entry points — N independent single-block frames per crossing
+//
+// Per-frame parallelism has a hard floor on this host: below kFrameSegMin
+// the 1-2 us intra-frame slices lose to random 5-9 us vCPU preemption
+// stalls (see kFrameSegMin).  Whole frames are different: a 100 KB frame
+// is a ~10 us unit of work, comfortably above the stall noise, so a batch
+// of small frames scales across all lanes even though each frame alone
+// would stay serial.  Frames BELOW kFrameSegMin therefore run as
+// whole-frame SpinPool slices (at that size they never touch the pool
+// internally — frame_segments()==1 and the filter pool floor is the same
+// constant — so worker recursion is impossible); frames at/above it run
+// on the calling thread through the normal segment-parallel path, outside
+// the pool job.  Either way every frame takes exactly the code path the
+// scalar entry points would take, so batch output bytes are IDENTICAL to
+// per-frame calls at every size — batching changes scheduling, not bytes.
+//
+// The reference has no batch surface (its API is one frame per call,
+// blosc.go:257-303); this is the host-side analogue of mapping the codec
+// over a device mesh: same per-element semantics, executed data-parallel.
+
+struct CompressBatchCtx {
+  const uint8_t *const *srcs;
+  const int64_t *ns;
+  uint8_t *const *dsts;
+  int64_t *results;
+  const int64_t *idx;  // pool slice s -> frame index idx[s]
+  int ts, shuffle, hdr_id, codec, depth;
+};
+
+static void compress_batch_slice(void *p, int s) {
+  auto *c = (CompressBatchCtx *)p;
+  const int64_t i = c->idx[s];
+  c->results[i] = tpb_compress_frame(c->srcs[i], c->ns[i], c->ts, c->shuffle,
+                                     c->hdr_id, c->codec, c->depth, c->dsts[i]);
+}
+
+struct DecompressBatchCtx {
+  const uint8_t *const *frames;
+  const int64_t *psizes;
+  const int64_t *ns;
+  const int32_t *tss;
+  const int32_t *modes;
+  const int32_t *codecs;
+  uint8_t *const *outs;
+  int64_t *results;
+  const int64_t *idx;
+};
+
+static void decompress_batch_slice(void *p, int s) {
+  auto *c = (DecompressBatchCtx *)p;
+  const int64_t i = c->idx[s];
+  c->results[i] =
+      tpb_decompress_block_into(c->frames[i], 16, c->psizes[i], c->outs[i],
+                                c->ns[i], (int)c->tss[i], (int)c->modes[i],
+                                (int)c->codecs[i]);
+}
+
+// pool index space is 20 bits; run pooled slices in bounded windows
+static const int64_t kBatchChunk = 1 << 19;
+
+// Compress nf independent frames sharing one option set.  dsts[i] must
+// have capacity >= 16 + tpb_compress_bound(ns[i], codec); results[i]
+// receives the total frame size (negative on per-frame error).  idx_buf
+// is caller-provided scratch of nf int64 (keeps this ABI allocation-free).
+void tpb_compress_batch(const uint8_t *const *srcs, const int64_t *ns,
+                        int64_t nf, int ts, int shuffle_mode,
+                        int header_codec_id, int codec, int depth,
+                        uint8_t *const *dsts, int64_t *results,
+                        int64_t *idx_buf) {
+  CompressBatchCtx c{srcs, ns,           dsts,            results, nullptr,
+                     ts,   shuffle_mode, header_codec_id, codec,   depth};
+  int64_t nsmall = 0;
+  for (int64_t i = 0; i < nf; i++) {
+    if (ns[i] >= kFrameSegMin)  // large: inline, segment-parallel internally
+      results[i] = tpb_compress_frame(srcs[i], ns[i], ts, shuffle_mode,
+                                      header_codec_id, codec, depth, dsts[i]);
+    else
+      idx_buf[nsmall++] = i;
+  }
+  for (int64_t base = 0; base < nsmall; base += kBatchChunk) {
+    const int nrun = (int)std::min(kBatchChunk, nsmall - base);
+    c.idx = idx_buf + base;
+    if (!spin_pool().run(compress_batch_slice, &c, nrun))
+      for (int s = 0; s < nrun; s++) compress_batch_slice(&c, s);
+  }
+}
+
+// Decompress nf independent single-block frames (payload at offset 16).
+// Per-frame header-derived params; results[i] = ns[i] on success, else
+// the native status (caller maps to typed errors / refuses).
+void tpb_decompress_batch(const uint8_t *const *frames, const int64_t *psizes,
+                          const int64_t *ns, const int32_t *tss,
+                          const int32_t *modes, const int32_t *codecs,
+                          int64_t nf, uint8_t *const *outs, int64_t *results,
+                          int64_t *idx_buf) {
+  DecompressBatchCtx c{frames, psizes,  ns,     tss, modes,
+                       codecs, outs,    results, nullptr};
+  int64_t nsmall = 0;
+  for (int64_t i = 0; i < nf; i++) {
+    if (ns[i] >= kFrameSegMin)
+      results[i] = tpb_decompress_block_into(frames[i], 16, psizes[i], outs[i],
+                                             ns[i], (int)tss[i],
+                                             (int)modes[i], (int)codecs[i]);
+    else
+      idx_buf[nsmall++] = i;
+  }
+  for (int64_t base = 0; base < nsmall; base += kBatchChunk) {
+    const int nrun = (int)std::min(kBatchChunk, nsmall - base);
+    c.idx = idx_buf + base;
+    if (!spin_pool().run(decompress_batch_slice, &c, nrun))
+      for (int s = 0; s < nrun; s++) decompress_batch_slice(&c, s);
+  }
+}
+
 void tpb_set_num_threads(int n) {
 #ifdef _OPENMP
   if (n > 0) omp_set_num_threads(n);
