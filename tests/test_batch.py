@@ -214,3 +214,78 @@ def test_batch_property_roundtrip(items, codec, shuffle, ts):
     batch = blosc.compress_batch(items, codec, 5, shuffle, ts)
     assert batch == [blosc.compress(d, codec, 5, shuffle, ts) for d in items]
     assert blosc.decompress_batch(batch) == items
+
+
+def test_decompress_batch_into_matches_scalar():
+    items = mixed_items()
+    frames = blosc.compress_batch(items)
+    outs = [bytearray(len(d)) for d in items]
+    counts = blosc.decompress_batch_into(frames, outs)
+    assert counts == [len(d) for d in items]
+    assert [bytes(o) for o in outs] == items
+
+
+def test_decompress_batch_into_numpy_outs_and_oversize():
+    data = np.arange(5000, dtype=np.float32)
+    frame = blosc.compress(data.tobytes(), blosc.LZ4, 5, blosc.SHUFFLE, 4)
+    out = np.empty(5000, dtype=np.float32)
+    big = bytearray(len(data.tobytes()) + 100)  # oversized out is fine
+    counts = blosc.decompress_batch_into([frame, frame], [out, big])
+    assert counts == [data.nbytes, data.nbytes]
+    np.testing.assert_array_equal(out, data)
+    assert bytes(big[: data.nbytes]) == data.tobytes()
+
+
+def test_decompress_batch_into_error_paths():
+    data = b"hello world " * 100
+    frame = blosc.compress(data)
+    with pytest.raises(blosc.InvalidDataError, match="too small"):
+        blosc.decompress_batch_into([frame], [bytearray(10)])
+    with pytest.raises(TypeError):
+        # read-only out buffer: scalar path owns the error
+        blosc.decompress_batch_into([frame], [b"x" * len(data)])
+    with pytest.raises(ValueError, match="must match"):
+        blosc.decompress_batch_into([frame, frame], [bytearray(len(data))])
+
+
+def test_decompress_batch_into_special_frames():
+    from tpu_blosc.options import Options
+
+    data = np.arange(300_000, dtype=np.float32).tobytes()
+    split = blosc.compress_with_options(
+        data, Options(codec=blosc.LZ4, block_size=65536, type_size=4))
+    memcpy = blosc.compress(os.urandom(4000), blosc.LZ4, 5,
+                            blosc.NOSHUFFLE, 1)
+    outs = [bytearray(len(data)), bytearray(4000)]
+    counts = blosc.decompress_batch_into([split, memcpy], outs)
+    assert counts == [len(data), 4000]
+    assert bytes(outs[0]) == data
+    assert bytes(outs[1]) == blosc.decompress(memcpy)
+
+
+def test_stream_read_many_into(tmp_path):
+    from tpu_blosc.stream import StreamReader, StreamWriter
+
+    chunks = [np.arange(20_000, dtype=np.float32).tobytes(),
+              b"abc" * 5000, os.urandom(3000)]
+    path = tmp_path / "s.tpbs"
+    with StreamWriter(path, checksum=True) as w:
+        w.write_many(chunks)
+    with StreamReader(path) as r:
+        outs = [bytearray(len(c)) for c in chunks]
+        assert r.read_many_into(range(3), outs) == [len(c) for c in chunks]
+        assert [bytes(o) for o in outs] == chunks
+
+
+def test_stream_read_many_into_dict_records(tmp_path):
+    from tpu_blosc.stream import StreamReader, StreamWriter
+
+    recs = [b"shared structure " * 8 + bytes([i]) * 30 for i in range(10)]
+    path = tmp_path / "d.tpbs"
+    with StreamWriter(path, train_dict=8) as w:
+        w.write_many(recs)
+    with StreamReader(path) as r:
+        outs = [bytearray(len(x)) for x in recs]
+        assert r.read_many_into(range(len(recs)), outs) == [
+            len(x) for x in recs]
+        assert [bytes(o) for o in outs] == recs

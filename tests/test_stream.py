@@ -516,3 +516,71 @@ def test_stream_read_range_dict_record_bounds(tmp_path):
             r.read_range(3, n - 1, 2)
         with pytest.raises(blosc.BloscError):
             r.read_range(3, -1, 2)
+
+
+def test_stream_write_many_bytes_identical(tmp_path):
+    """write_many must produce a byte-identical FILE to per-record write()."""
+    chunks = _chunks() + [b"small" * 10, bytes(400_000)]
+    a, b = tmp_path / "a.tpbs", tmp_path / "b.tpbs"
+    with StreamWriter(a, checksum=True) as w:
+        idxs = w.write_many(chunks)
+        assert idxs == list(range(len(chunks)))
+    with StreamWriter(b, checksum=True) as w:
+        for c in chunks:
+            w.write(c)
+    assert a.read_bytes() == b.read_bytes()
+    with StreamReader(a) as r:
+        assert r.read_many() == chunks
+        assert r.read_many([2, 0]) == [chunks[2], chunks[0]]
+
+
+def test_stream_write_many_dict_mode_falls_back(tmp_path):
+    """Training/dictionary streams keep per-record dict compression."""
+    recs = [b"common prefix abcdef " + bytes([i]) * 40 for i in range(12)]
+    path = tmp_path / "d.tpbs"
+    with StreamWriter(path, train_dict=8) as w:
+        w.write_many(recs)
+    with StreamReader(path) as r:
+        assert r.read_many() == recs
+        assert [r.read(i) for i in range(len(r))] == recs
+
+
+def test_checkpoint_batched_save_matches_per_leaf_bytes(tmp_path):
+    """save_pytree's batched writer must keep the exact file bytes of the
+    per-leaf path (frames are byte-equal, emission order is leaf order)."""
+    from tpu_blosc import checkpoint
+    from tpu_blosc.options import Options
+
+    rng = np.random.default_rng(3)
+    tree = {
+        "w": np.arange(5000, dtype=np.float32),
+        "b": rng.standard_normal(64).astype(np.float64),
+        "step": 7,
+        "layers": [
+            {"k": np.arange(100, dtype=np.int16)},
+            {"k": np.arange(200, dtype=np.int16) * 2},
+        ],
+    }
+    p1 = tmp_path / "batched.ckpt"
+    checkpoint.save_pytree(p1, tree, checksum=True)
+    # per-leaf reference file: same records via the scalar write() path
+    leaves: list = []
+    skeleton = checkpoint._encode(tree, leaves)
+    import json
+
+    manifest = json.dumps(
+        {"version": checkpoint._MANIFEST_VERSION, "tree": skeleton,
+         "leaves": len(leaves)}
+    ).encode()
+    p2 = tmp_path / "scalar.ckpt"
+    with StreamWriter(p2, checksum=True) as w:
+        w.write(manifest, Options(type_size=1))
+        for leaf in leaves:
+            w.write(np.ascontiguousarray(leaf),
+                    Options(type_size=np.dtype(leaf.dtype).itemsize))
+    assert p1.read_bytes() == p2.read_bytes()
+    loaded = checkpoint.load_pytree(p1)
+    assert loaded["step"] == 7
+    np.testing.assert_array_equal(loaded["w"], tree["w"])
+    np.testing.assert_array_equal(loaded["layers"][1]["k"],
+                                  tree["layers"][1]["k"])

@@ -26,6 +26,7 @@ from .api import (
     compress_with_options,
     decompress,
     decompress_batch,
+    decompress_batch_into,
     decompress_into,
     decompress_range,
     decompress_range_into,
@@ -146,6 +147,7 @@ __all__ = [
     "decompress",
     "decompress_array",
     "decompress_batch",
+    "decompress_batch_into",
     "decompress_into",
     "decompress_range",
     "decompress_range_into",

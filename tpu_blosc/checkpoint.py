@@ -96,6 +96,36 @@ def _decode(node, fetch):
     raise InvalidDataError(f"blosc: invalid compressed data: manifest node {t!r}")
 
 
+def _collect_leaf_specs(tree, n_leaves: int):
+    """Map leaf index -> (dtype, shape) by walking the manifest skeleton.
+
+    Returns None when the manifest's leaf indices are not exactly
+    0..n_leaves-1 (forged/damaged manifest) — the caller then keeps the
+    per-leaf allocating path, whose errors match the original loader.
+    """
+    specs: dict[int, tuple] = {}
+
+    def walk(node):
+        t = node.get("t") if isinstance(node, dict) else None
+        if t == "array":
+            i = node["i"]
+            if not isinstance(i, int) or i in specs:
+                raise ValueError
+            specs[i] = (np.dtype(node["dtype"]), tuple(node["shape"]))
+        elif t == "dict":
+            for _, v in node["items"]:
+                walk(v)
+        elif t in ("list", "tuple"):
+            for v in node["items"]:
+                walk(v)
+
+    try:
+        walk(tree)
+    except Exception:
+        return None
+    return specs if sorted(specs) == list(range(n_leaves)) else None
+
+
 def save_pytree(path, tree, opts: Options | None = None,
                 checksum: bool = False) -> None:
     """Write a nested array structure as a compressed checkpoint file.
@@ -109,21 +139,41 @@ def save_pytree(path, tree, opts: Options | None = None,
     manifest = json.dumps(
         {"version": _MANIFEST_VERSION, "tree": skeleton, "leaves": len(leaves)}
     ).encode()
+    base = opts if opts is not None else Options()
+
+    def leaf_opts_for(itemsize: int) -> Options:
+        return Options(
+            codec=base.codec, level=base.level, shuffle=base.shuffle,
+            type_size=itemsize, block_size=base.block_size,
+            num_threads=base.num_threads,
+        )
+
+    # host leaves batch-compress grouped by type_size (one native crossing
+    # per group, small leaves scheduled across the core pool — record
+    # bytes stay identical to the per-leaf write() path); device leaves
+    # keep the on-chip filter path.  Emission order is still leaf order.
+    by_ts: dict[int, list[int]] = {}
+    for j, leaf in enumerate(leaves):
+        if isinstance(leaf, np.ndarray):
+            by_ts.setdefault(np.dtype(leaf.dtype).itemsize, []).append(j)
+    host_frames: dict[int, bytes] = {}
+    from .api import compress_batch_with_options
+
+    for itemsize, idxs in by_ts.items():
+        frames = compress_batch_with_options(
+            [np.ascontiguousarray(leaves[j]) for j in idxs],
+            leaf_opts_for(itemsize),
+        )
+        host_frames.update(zip(idxs, frames))
     with StreamWriter(path, opts, checksum=checksum) as w:
         w.write(manifest, Options(type_size=1))
-        for leaf in leaves:
-            itemsize = np.dtype(leaf.dtype).itemsize
-            leaf_opts = opts if opts is not None else Options()
-            leaf_opts = Options(
-                codec=leaf_opts.codec, level=leaf_opts.level,
-                shuffle=leaf_opts.shuffle, type_size=itemsize,
-                block_size=leaf_opts.block_size,
-                num_threads=leaf_opts.num_threads,
-            )
-            if isinstance(leaf, np.ndarray):
-                w.write(np.ascontiguousarray(leaf), leaf_opts)
+        for j, leaf in enumerate(leaves):
+            if j in host_frames:
+                w.write_frame(host_frames[j])
             else:  # device array: filter on device
-                w.write_array(leaf, leaf_opts)
+                w.write_array(
+                    leaf, leaf_opts_for(np.dtype(leaf.dtype).itemsize)
+                )
 
 
 def load_pytree(path, device: bool = False):
@@ -141,9 +191,34 @@ def load_pytree(path, device: bool = False):
                 "blosc: invalid compressed data: checkpoint leaf count mismatch"
             )
 
+        # host loads decode every leaf anyway: pre-allocate each array
+        # from its manifest dtype/shape and batch-decode straight into
+        # them (read_many_into) — no intermediate bytes objects and no
+        # frombuffer().copy() second pass.  Leaves whose record size
+        # disagrees with the manifest re-fetch through the allocating
+        # path, which raises exactly like the per-leaf loop did.
+        arrs: dict[int, np.ndarray] = {}
+        if not device:
+            specs = _collect_leaf_specs(meta["tree"], meta["leaves"])
+            if specs is not None:
+                arrs = {
+                    i: np.empty(shape, dtype) for i, (dtype, shape) in
+                    specs.items()
+                }
+                order = sorted(arrs)
+                counts = r.read_many_into(
+                    [i + 1 for i in order], [arrs[i] for i in order]
+                )
+                for i, c in zip(order, counts):
+                    if c != arrs[i].nbytes:
+                        del arrs[i]  # size mismatch: allocating path raises
+
         def fetch(i: int, dtype: np.dtype, shape: tuple):
             if device:
                 return r.read_array(i + 1, dtype, shape=shape)
+            got = arrs.get(i)
+            if got is not None:
+                return got
             buf = r.read(i + 1)
             return np.frombuffer(buf, dtype=dtype).reshape(shape).copy()
 

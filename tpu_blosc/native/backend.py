@@ -646,8 +646,8 @@ def compress_frames(
             items, type_size, shuffle_mode, header_codec, native_codec, depth
         )
     return [
-        compress_frame(d, type_size, shuffle_mode, header_codec,
-                       native_codec, depth)
+        compress_frame(d if isinstance(d, bytes) else bytes(d), type_size,
+                       shuffle_mode, header_codec, native_codec, depth)
         for d in items
     ]
 
@@ -663,6 +663,18 @@ def decompress_frames(items, type_size: int, native_map: bytes) -> list:
     """
     if _fast is not None and hasattr(_fast, "decompress_batch"):
         return _fast.decompress_batch(items, type_size, native_map)
+    return [None] * len(items)
+
+
+def decompress_frames_into(items, outs, native_map: bytes) -> list:
+    """Batch decode into caller buffers; entries are byte counts or None.
+
+    The zero-copy sibling of decompress_frames: eligible frames decode
+    straight into ``outs[i]`` (writable, >= the frame's NBytesOrig).
+    None entries punt to the scalar path exactly like decompress_frames.
+    """
+    if _fast is not None and hasattr(_fast, "decompress_batch_into"):
+        return _fast.decompress_batch_into(items, outs, 0, native_map)
     return [None] * len(items)
 
 

@@ -367,11 +367,150 @@ static PyObject *fast_decompress_batch(PyObject *self, PyObject *const *args,
   return out_list;
 }
 
+/* decompress_batch_into(items, outs, type_size, native_map) -> list
+ * Zero-copy batch decode: eligible frames decode straight into the
+ * caller's writable buffers (outs[i].nbytes >= the frame's NBytesOrig).
+ * Result entries are the byte count written (int) or None when the item
+ * punts to the scalar Python path (ineligible frame, undersized buffer,
+ * or a payload that failed to decode — out may then hold partial data,
+ * same as the scalar contract's failure mode). */
+static PyObject *fast_decompress_batch_into(PyObject *self,
+                                            PyObject *const *args,
+                                            Py_ssize_t nargs) {
+  (void)self;
+  if (nargs != 4) {
+    PyErr_SetString(PyExc_TypeError,
+                    "decompress_batch_into expects 4 arguments");
+    return NULL;
+  }
+  long ts_override = PyLong_AsLong(args[2]);
+  if (PyErr_Occurred()) return NULL;
+  char *map;
+  Py_ssize_t map_len;
+  if (PyBytes_AsStringAndSize(args[3], &map, &map_len) < 0) return NULL;
+  if (map_len < 6) {
+    PyErr_SetString(PyExc_ValueError, "native_map must have 6 entries");
+    return NULL;
+  }
+  PyObject *seq = PySequence_Fast(args[0], "decompress_batch_into frames");
+  if (!seq) return NULL;
+  PyObject *oseq = PySequence_Fast(args[1], "decompress_batch_into outs");
+  if (!oseq) {
+    Py_DECREF(seq);
+    return NULL;
+  }
+  Py_ssize_t nf = PySequence_Fast_GET_SIZE(seq);
+  if (PySequence_Fast_GET_SIZE(oseq) != nf) {
+    Py_DECREF(seq);
+    Py_DECREF(oseq);
+    PyErr_SetString(PyExc_ValueError, "outs length must match items");
+    return NULL;
+  }
+  PyObject *out_list = PyList_New(nf);
+  if (!out_list || nf == 0) {
+    Py_DECREF(seq);
+    Py_DECREF(oseq);
+    return out_list;
+  }
+  size_t arr_bytes = (size_t)nf * (2 * sizeof(void *) + 4 * sizeof(int64_t) +
+                                   3 * sizeof(int32_t) + 2 * sizeof(Py_buffer) +
+                                   sizeof(Py_ssize_t));
+  char *blk = (char *)malloc(arr_bytes);
+  if (!blk) {
+    Py_DECREF(seq);
+    Py_DECREF(oseq);
+    Py_DECREF(out_list);
+    return PyErr_NoMemory();
+  }
+  const uint8_t **frames = (const uint8_t **)blk;
+  uint8_t **outs = (uint8_t **)(frames + nf);
+  int64_t *psizes = (int64_t *)(outs + nf);
+  int64_t *ns = (int64_t *)(psizes + nf);
+  int64_t *results = (int64_t *)(ns + nf);
+  int64_t *idx = (int64_t *)(results + nf);
+  Py_buffer *views = (Py_buffer *)(idx + nf); /* 2*nf: frame + out pairs */
+  Py_ssize_t *orig = (Py_ssize_t *)(views + 2 * nf);
+  int32_t *tss = (int32_t *)(orig + nf);
+  int32_t *modes = tss + nf;
+  int32_t *codecs = modes + nf;
+  Py_ssize_t nviews = 0, nel = 0;
+  int failed = 0;
+  for (Py_ssize_t i = 0; i < nf; i++) {
+    Py_INCREF(Py_None);
+    PyList_SET_ITEM(out_list, i, Py_None);
+    PyObject *item = PySequence_Fast_GET_ITEM(seq, i);
+    if (PyObject_GetBuffer(item, &views[nviews], PyBUF_SIMPLE) < 0) {
+      failed = 1;
+      break;
+    }
+    const uint8_t *b = (const uint8_t *)views[nviews].buf;
+    int64_t blen = (int64_t)views[nviews].len;
+    nviews++;
+    if (blen <= 16 || b[0] != 2) continue;
+    uint8_t codec_id = b[1], flags = b[2], ts_hdr = b[3];
+    if (flags & (0x8 | 0x2)) continue;
+    if (codec_id >= 6 || (uint8_t)map[codec_id] == 0xFF) continue;
+    uint32_t n_orig, n_comp;
+    memcpy(&n_orig, b + 4, 4);
+    memcpy(&n_comp, b + 12, 4);
+    if (n_comp <= 16 || (int64_t)n_comp > blen || n_orig == 0) continue;
+    PyObject *ob = PySequence_Fast_GET_ITEM(oseq, i);
+    if (PyObject_GetBuffer(ob, &views[nviews], PyBUF_WRITABLE) < 0) {
+      PyErr_Clear(); /* read-only buffer: scalar path raises the error */
+      continue;
+    }
+    if ((int64_t)views[nviews].len < (int64_t)n_orig) {
+      PyBuffer_Release(&views[nviews]); /* undersized: scalar raises */
+      continue;
+    }
+    uint8_t *outp = (uint8_t *)views[nviews].buf;
+    nviews++;
+    Py_ssize_t j = nel++;
+    frames[j] = b;
+    outs[j] = outp;
+    psizes[j] = (int64_t)n_comp - 16;
+    ns[j] = (int64_t)n_orig;
+    tss[j] = ts_override > 0 ? (int32_t)ts_override : (int32_t)ts_hdr;
+    modes[j] = (flags & 0x4) ? 2 : (flags & 0x1) ? 1 : 0;
+    codecs[j] = (int32_t)(uint8_t)map[codec_id];
+    orig[j] = i;
+  }
+  if (!failed && nel > 0) {
+    Py_BEGIN_ALLOW_THREADS;
+    tpb_decompress_batch(frames, psizes, ns, tss, modes, codecs, (int64_t)nel,
+                         outs, results, idx);
+    Py_END_ALLOW_THREADS;
+    for (Py_ssize_t j = 0; j < nel; j++) {
+      if (results[j] != ns[j]) continue; /* stays None -> scalar path */
+      PyObject *count = PyLong_FromLongLong((long long)ns[j]);
+      if (!count) {
+        failed = 1;
+        break;
+      }
+      PyObject *prev = PyList_GET_ITEM(out_list, orig[j]);
+      PyList_SET_ITEM(out_list, orig[j], count);
+      Py_DECREF(prev);
+    }
+  }
+  for (Py_ssize_t i = 0; i < nviews; i++) PyBuffer_Release(&views[i]);
+  free(blk);
+  Py_DECREF(seq);
+  Py_DECREF(oseq);
+  if (failed) {
+    Py_DECREF(out_list);
+    return NULL;
+  }
+  return out_list;
+}
+
 static PyMethodDef methods[] = {
     {"compress_frame", (PyCFunction)(void (*)(void))fast_compress_frame,
      METH_FASTCALL, "single-shot frame compress"},
     {"decompress_frame", (PyCFunction)(void (*)(void))fast_decompress_frame,
      METH_FASTCALL, "single-shot frame decompress"},
+    {"decompress_batch_into", (PyCFunction)(void (*)(void))
+     fast_decompress_batch_into,
+     METH_FASTCALL, "batch single-block frame decode into caller buffers"},
     {"compress_batch", (PyCFunction)(void (*)(void))fast_compress_batch,
      METH_FASTCALL, "batch single-block frame compress"},
     {"decompress_batch", (PyCFunction)(void (*)(void))fast_decompress_batch,

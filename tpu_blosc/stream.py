@@ -220,6 +220,26 @@ class StreamWriter:
 
         return self._emit(compress_with_options(raw, opts))
 
+    def write_many(self, items, opts: Options | None = None) -> list[int]:
+        """Compress many records in one native batch; append in order.
+
+        Record bytes are identical to calling write() per item (the batch
+        compressor is byte-equal to the scalar path), but the frames are
+        produced through one binding crossing with small frames scheduled
+        across the core pool — the fast path for many-small-record
+        streams.  Training/dictionary-mode streams keep the per-record
+        path (dict records are zstd-dict streams, not Blosc frames).
+        """
+        if self._closed:
+            raise ValueError("stream writer is closed")
+        opts = opts if opts is not None else self._opts
+        if self._pending is not None or self._dict is not None:
+            return [self.write(d, opts) for d in items]
+        from .api import compress_batch_with_options
+
+        frames = compress_batch_with_options(items, opts)
+        return [self._emit(f) for f in frames]
+
     def write_array(self, x, opts: Options | None = None,
                     strategy: str = "transfer") -> int:
         """Compress a (device) array via compress_array and append."""
@@ -455,6 +475,71 @@ class StreamReader:
         from .api import decompress
 
         return decompress(frame)
+
+    def read_many(self, indices=None) -> list[bytes]:
+        """Decompress several records (default: all) in one native batch.
+
+        Results match ``[self.read(i) for i in indices]`` exactly; plain
+        Blosc-frame records decode through api.decompress_batch (one
+        binding crossing, whole small frames across the core pool),
+        dictionary records through their zstd-dict path per record.
+        """
+        if indices is None:
+            indices = range(len(self._offsets))
+        frames = [self.read_frame(i) for i in indices]
+        out: list = [None] * len(frames)
+        plain = [k for k, f in enumerate(frames) if f[:4] != DICT_MAGIC]
+        if plain:
+            from .api import decompress_batch
+
+            for k, data in zip(plain, decompress_batch([frames[k] for k in plain])):
+                out[k] = data
+        for k, f in enumerate(frames):
+            if out[k] is None:
+                out[k] = self._decode_dict_record(f)
+        return out
+
+    def read_many_into(self, indices, outs) -> list[int]:
+        """Batch-decode records straight into caller buffers (zero-copy).
+
+        ``outs[k]`` receives record ``indices[k]``; returns bytes written
+        per record.  Plain frames go through api.decompress_batch_into;
+        dictionary records decode and copy (their zstd path has no
+        in-place decode).
+        """
+        indices = list(indices)
+        outs = list(outs)
+        if len(indices) != len(outs):
+            raise ValueError("outs length must match indices length")
+        frames = [self.read_frame(i) for i in indices]
+        plain = [k for k, f in enumerate(frames) if f[:4] != DICT_MAGIC]
+        counts: list = [None] * len(frames)
+        if plain:
+            from .api import decompress_batch_into
+
+            for k, c in zip(
+                plain,
+                decompress_batch_into(
+                    [frames[k] for k in plain], [outs[k] for k in plain]
+                ),
+            ):
+                counts[k] = c
+        for k, f in enumerate(frames):
+            if counts[k] is None:
+                import numpy as np
+
+                from .api import _writable_u8_view
+
+                buf = self._decode_dict_record(f)
+                view = _writable_u8_view(outs[k])
+                if view.size < len(buf):
+                    raise InvalidDataError(
+                        f"blosc: output buffer too small: need {len(buf)}, "
+                        f"have {view.size}"
+                    )
+                view[: len(buf)] = np.frombuffer(buf, dtype=np.uint8)
+                counts[k] = len(buf)
+        return counts
 
     def read_range(self, i: int, start: int, size: int) -> bytes:
         """Bytes [start, start+size) of record i — multi-block records
