@@ -136,6 +136,26 @@ def main():
         }
     )
 
+    # batch API: 64 x 100 KB ramp frames per call (the reference's own
+    # benchmark payload), aggregate GB/s — the sub-256 KiB regime's
+    # all-cores path (whole-frame SpinPool slices; see BASELINE.md)
+    db = bytes(bytearray(i % 256 for i in range(100 * 1024)))
+    items = [db] * 64
+    nb = len(db) * 64
+    frames = blosc.compress_batch(items)
+    t_c, frames = _best(lambda: blosc.compress_batch(items), 10)
+    t_d, back = _best(lambda: blosc.decompress_batch(frames), 10)
+    assert back == items
+    results.append(
+        {
+            "config": "batch_64x100KB_lz4_shuffle",
+            "bytes": nb,
+            "compress_gbps": round(nb / t_c / 1e9, 3),
+            "decompress_gbps": round(nb / t_d / 1e9, 3),
+            "ratio": round(nb / sum(len(f) for f in frames), 2),
+        }
+    )
+
     for r in results:
         print(json.dumps(r))
 

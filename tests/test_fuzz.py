@@ -220,3 +220,57 @@ def test_decompress_type_size_override(data, override):
     assert len(out) == len(data)
     if override in (0, 4):
         assert out == data
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.lists(st.binary(min_size=0, max_size=400), min_size=1, max_size=8))
+def test_decompress_batch_differential_vs_scalar(frames):
+    """decompress_batch on arbitrary (mostly corrupt) inputs must agree
+    with the scalar path: same first-error type, same successes."""
+    try:
+        scalar = [blosc.decompress(f) for f in frames]
+        scalar_err = None
+    except Exception as e:
+        scalar, scalar_err = None, type(e)
+    try:
+        batch = blosc.decompress_batch(frames)
+        batch_err = None
+    except Exception as e:
+        batch, batch_err = None, type(e)
+    assert batch_err is scalar_err
+    if scalar_err is None:
+        assert batch == scalar
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.binary(min_size=1, max_size=600), min_size=1, max_size=6),
+    st.integers(min_value=0, max_value=9),
+)
+def test_compress_batch_differential_vs_scalar(items, seed):
+    """Valid-frame mutation fuzz: batch compress equals scalar compress,
+    and mutated copies of the frames decode identically both ways."""
+    frames = blosc.compress_batch(items, blosc.LZ4, 5, blosc.SHUFFLE, 4)
+    assert frames == [
+        blosc.compress(d, blosc.LZ4, 5, blosc.SHUFFLE, 4) for d in items
+    ]
+    # flip one byte in one frame; both paths must fail or succeed alike
+    rng = np.random.default_rng(seed)
+    k = int(rng.integers(0, len(frames)))
+    mut = bytearray(frames[k])
+    mut[int(rng.integers(0, len(mut)))] ^= 1 + int(rng.integers(0, 255))
+    mutated = list(frames)
+    mutated[k] = bytes(mut)
+    try:
+        scalar = [blosc.decompress(f) for f in mutated]
+        scalar_err = None
+    except Exception as e:
+        scalar, scalar_err = None, type(e)
+    try:
+        batch = blosc.decompress_batch(mutated)
+        batch_err = None
+    except Exception as e:
+        batch, batch_err = None, type(e)
+    assert batch_err is scalar_err
+    if scalar_err is None:
+        assert batch == scalar

@@ -584,3 +584,36 @@ def test_checkpoint_batched_save_matches_per_leaf_bytes(tmp_path):
     np.testing.assert_array_equal(loaded["w"], tree["w"])
     np.testing.assert_array_equal(loaded["layers"][1]["k"],
                                   tree["layers"][1]["k"])
+
+
+def test_stream_peek_size(tmp_path):
+    path = tmp_path / "p.tpbs"
+    chunks = [np.arange(1000, dtype=np.float32).tobytes(), b"xy" * 600]
+    with StreamWriter(path) as w:
+        w.write_many(chunks)
+    with StreamReader(path) as r:
+        assert [r.peek_size(i) for i in range(2)] == [len(c) for c in chunks]
+        with pytest.raises(IndexError):
+            r.peek_size(5)
+
+
+def test_checkpoint_forged_manifest_shape_does_not_preallocate(tmp_path):
+    """A manifest claiming a huge leaf shape must not drive allocation —
+    the loader falls back to the per-leaf path, whose error is typed."""
+    import json
+
+    from tpu_blosc import checkpoint
+    from tpu_blosc.options import Options
+
+    leaves = [np.arange(100, dtype=np.float32)]
+    skeleton = {"t": "dict", "items": [
+        ["w", {"t": "array", "i": 0, "dtype": "float32",
+               "shape": [1 << 40]}]]}  # 4 TB claim vs a 400-byte record
+    manifest = json.dumps({"version": checkpoint._MANIFEST_VERSION,
+                           "tree": skeleton, "leaves": 1}).encode()
+    path = tmp_path / "forged.ckpt"
+    with StreamWriter(path) as w:
+        w.write(manifest, Options(type_size=1))
+        w.write(leaves[0], Options(type_size=4))
+    with pytest.raises(Exception):  # reshape mismatch, as the old path
+        checkpoint.load_pytree(path)

@@ -201,10 +201,19 @@ def load_pytree(path, device: bool = False):
         if not device:
             specs = _collect_leaf_specs(meta["tree"], meta["leaves"])
             if specs is not None:
-                arrs = {
-                    i: np.empty(shape, dtype) for i, (dtype, shape) in
-                    specs.items()
-                }
+                # allocate only leaves whose manifest size AGREES with the
+                # record's own declared size (peek_size): a forged manifest
+                # must not drive allocations past what the record headers
+                # themselves claim (the same validate-before-allocate
+                # posture as the container/range decoders)
+                for i, (dtype, shape) in specs.items():
+                    nbytes = dtype.itemsize * int(np.prod(shape, dtype=np.int64))
+                    try:
+                        if r.peek_size(i + 1) != nbytes:
+                            continue
+                        arrs[i] = np.empty(shape, dtype)
+                    except (InvalidDataError, MemoryError):
+                        continue  # allocating path raises the typed error
                 order = sorted(arrs)
                 counts = r.read_many_into(
                     [i + 1 for i in order], [arrs[i] for i in order]

@@ -499,6 +499,40 @@ class StreamReader:
                 out[k] = self._decode_dict_record(f)
         return out
 
+    def peek_size(self, i: int) -> int:
+        """Declared decompressed size of record i from its header prefix.
+
+        Reads ~28 bytes: plain frames report NBytesOrig, TPB2 containers
+        their u64 total, dictionary records their u64 original size.  The
+        value is the producer's declaration — decoding still validates it
+        — so callers may use it to size buffers without trusting it as
+        ground truth (read_many_into re-checks on decode).
+        """
+        if not 0 <= i < len(self._offsets):
+            raise IndexError(f"record {i} out of range ({len(self._offsets)})")
+        off = self._offsets[i]
+        with self._lock:
+            self._f.seek(off)
+            hdr = self._f.read(8 + 20)
+        if len(hdr) < 8 + 16:
+            raise InvalidDataError(
+                f"blosc: invalid compressed data: truncated record {i}"
+            )
+        (flen,) = struct.unpack_from("<Q", hdr, 0)
+        prefix = hdr[8 : 8 + min(20, flen)]
+        if prefix[:4] == DICT_MAGIC:
+            if len(prefix) >= 13 and prefix[4] == _DICT_PAYLOAD:
+                return struct.unpack_from("<Q", prefix, 5)[0]
+        elif prefix[:4] == b"TPB2":
+            if len(prefix) >= 16:
+                return struct.unpack_from("<Q", prefix, 8)[0]
+        elif len(prefix) >= 16 and prefix[0] == 2:
+            return struct.unpack_from("<I", prefix, 4)[0]
+        raise InvalidDataError(
+            f"blosc: invalid compressed data: record {i} has no "
+            "recognizable header"
+        )
+
     def read_many_into(self, indices, outs) -> list[int]:
         """Batch-decode records straight into caller buffers (zero-copy).
 
