@@ -236,3 +236,24 @@ def test_compression_is_deterministic():
     opts = blosc.Options(block_size=65536)
     frames = {blosc.compress_with_options(data, opts) for _ in range(5)}
     assert len(frames) == 1
+
+
+def test_compress_array_input_zero_copy_equality():
+    """ndarray/memoryview inputs compress byte-identically to their
+    tobytes() form at every path (single-block, chunked, F-order,
+    strided, exotic dtypes) — the zero-copy coercion must never change
+    output bytes."""
+    rng2 = np.random.default_rng(11)
+    arrays = [
+        np.arange(25600, dtype=np.float32),              # single-block
+        np.arange(3_000_000, dtype=np.float32),          # multi-block
+        rng2.standard_normal((100, 300)),                # 2-D C-order
+        np.asfortranarray(rng2.standard_normal((50, 40))),
+        np.arange(100, dtype=np.int16)[::2],             # strided
+        np.array([1, 2, 3], dtype="<M8[ns]"),            # buffer-hostile
+    ]
+    for arr in arrays:
+        want = blosc.compress(arr.tobytes())
+        assert blosc.compress(arr) == want
+        assert blosc.compress(memoryview(arr.tobytes())) == want
+        assert blosc.compress(bytearray(arr.tobytes())) == want

@@ -100,6 +100,30 @@ _OPTIONS_CACHE: dict = {}
 FRAME_SAFE_LIMIT = MAX_UINT32 - (64 << 20)
 
 
+def _coerce_flat(data):
+    """Flat byte view of the input — zero-copy when possible.
+
+    Contiguous ndarrays and memoryviews flow through the compress
+    pipeline as flat uint8 memoryviews (the native paths read them via
+    the buffer protocol / np.frombuffer), so an array input pays no
+    ``tobytes()`` staging copy — on this VM that copy can cost more than
+    the compression itself.  Non-contiguous inputs still flatten to
+    bytes, matching ``tobytes()``'s C-order semantics.
+    """
+    if isinstance(data, (bytes, bytearray)):
+        return data
+    if isinstance(data, memoryview):
+        return data.cast("B") if data.contiguous else bytes(data)
+    if isinstance(data, np.ndarray):
+        try:
+            return memoryview(data).cast("B")
+        except (TypeError, BufferError, ValueError):
+            # non-contiguous, or a dtype the buffer protocol refuses
+            # (datetime/bfloat16/...) — flatten like tobytes always did
+            return data.tobytes()
+    raise TypeError(f"expected bytes-like or ndarray, got {type(data)!r}")
+
+
 def compress_with_options(data, opts: Options) -> bytes:
     """≙ CompressWithOptions (blosc.go:268-286): reject empty, clamp, compress.
 
@@ -107,7 +131,7 @@ def compress_with_options(data, opts: Options) -> bytes:
     truncates through, blosc.go:362-365) route to the 64-bit super-frame
     container — see container.py.
     """
-    raw = _coerce_bytes(data)
+    raw = _coerce_flat(data)
     if len(raw) == 0:
         raise InvalidDataError("blosc: invalid compressed data: empty input")
     opts = opts.clamped()
@@ -133,8 +157,6 @@ def _compress_frame_sized(raw: bytes, opts: Options) -> bytes:
 
 def _compress_single_block(raw: bytes, opts: Options) -> bytes:
     """Single-block pipeline (≙ compressBackend, blosc.go:319-374)."""
-    if isinstance(raw, memoryview):  # container path passes zero-copy slices
-        raw = bytes(raw)
     compressor = get_codec(opts.codec)
     if compressor is None:
         raise InvalidCodecError(f"blosc: unsupported codec: {opts.codec}")
@@ -142,7 +164,9 @@ def _compress_single_block(raw: bytes, opts: Options) -> bytes:
     # Single-shot native path: filter + codec + memcpy fallback + header in
     # one C call (tpb_compress_frame).  This is what the reference's own
     # 100 KB benchmark point measures (blosc_test.go:363-413); collapsing
-    # the four ctypes crossings is worth ~2x there.
+    # the four ctypes crossings is worth ~2x there.  Memoryview inputs
+    # (zero-copy array/container slices) pass straight through — the
+    # binding reads them via the buffer protocol.
     native = _chunk._native_pipeline_codec(opts.codec, opts.level)
     if native is not None:
         return _nb.compress_frame(
@@ -150,6 +174,8 @@ def _compress_single_block(raw: bytes, opts: Options) -> bytes:
             int(opts.codec), native[0], native[1],
         )
 
+    if isinstance(raw, memoryview):  # python codecs/filters want bytes
+        raw = bytes(raw)
     shuffled = raw
     if opts.shuffle == Shuffle.SHUFFLE and opts.type_size > 1:
         shuffled = filters.shuffle_bytes(raw, opts.type_size).tobytes()

@@ -105,11 +105,15 @@ def pack_array(arr, opts: Options | None = None) -> bytes:
         raise TypeError("arrays beyond 255 dimensions cannot be packed")
 
     fortran = arr.ndim > 1 and arr.flags.f_contiguous and not arr.flags.c_contiguous
-    body = np.asfortranarray(arr).tobytes(order="F") if fortran else \
-        np.ascontiguousarray(arr).tobytes()
+    # zero-copy into the compressor: F-contiguous arrays pack in F order by
+    # flattening the transposed (C-contiguous) view; everything else passes
+    # as a contiguous array — compress_with_options reads both through the
+    # buffer protocol with no tobytes staging copy
+    body = np.ascontiguousarray(arr.T) if fortran else \
+        np.ascontiguousarray(arr)
 
     flags = _FLAG_FORTRAN if fortran else 0
-    if len(body) == 0:
+    if body.nbytes == 0:
         flags |= _FLAG_EMPTY
         return bytes(_envelope_head(arr.dtype, arr.shape, flags))
     head = _envelope_head(arr.dtype, arr.shape, flags)

@@ -612,6 +612,8 @@ def compress_frame(
         return _fast.compress_frame(
             data, type_size, shuffle_mode, header_codec, native_codec, depth
         )
+    if not isinstance(data, bytes):  # ctypes c_char_p needs a bytes object
+        data = bytes(data)
     n = len(data)
     dst = _staging_addr(_universal_bound(n))
     total = _lib.tpb_compress_frame(
