@@ -197,13 +197,29 @@ def unpack_array(data, device: bool = False, sharding=None):
     if flags & _FLAG_EMPTY:
         return np.empty(shape, dtype=dtype)
 
-    body = decompress(buf[pos:])
+    payload = buf[pos:]
     order = "F" if flags & _FLAG_FORTRAN else "C"
     n_el = int(np.prod(shape)) if shape else 1
-    if dtype.itemsize * n_el != len(body):
+    # validate the declared size BEFORE allocating, then decode straight
+    # into the result array (no intermediate bytes + frombuffer copy);
+    # F-ordered payloads are the F-layout byte stream, so filling the
+    # F-ordered array's memory in linear order is exactly right
+    from .api import decompress_into, get_decompressed_size
+
+    if dtype.itemsize * n_el != get_decompressed_size(payload):
         raise InvalidDataError(
             "blosc: invalid compressed data: payload size does not match shape"
         )
+    view = None
+    try:
+        out = np.empty(shape, dtype=dtype, order=order)
+        view = out.reshape(-1, order=order).view(np.uint8)
+    except Exception:  # dtype/shape the u8 view can't express
+        pass
+    if view is not None and view.flags.c_contiguous:
+        decompress_into(payload, view)
+        return out
+    body = decompress(payload)
     arr = np.frombuffer(body, dtype=dtype)
     return arr.reshape(shape, order=order).copy(order=order)
 
@@ -236,6 +252,19 @@ def unpack_array_rows(data, start: int, stop: int) -> np.ndarray:
     if flags & _FLAG_FORTRAN:
         return unpack_array(buf)[start:stop].copy()
     row_bytes = dtype.itemsize * int(np.prod(shape[1:], dtype=np.int64))
+    view = None
+    try:
+        out = np.empty(out_shape, dtype=dtype)
+        view = out.reshape(-1).view(np.uint8)
+    except Exception:
+        pass
+    if view is not None and view.flags.c_contiguous:
+        from .api import decompress_range_into
+
+        decompress_range_into(
+            buf[pos:], start * row_bytes, (stop - start) * row_bytes, view
+        )
+        return out
     body = decompress_range(
         buf[pos:], start * row_bytes, (stop - start) * row_bytes
     )
