@@ -140,3 +140,30 @@ def test_cli_compress_blosclz(sample, tmp_path, capsys):
     dec = tmp_path / "b.out"
     assert main(["decompress", str(out), "-o", str(dec)]) == 0
     assert dec.read_bytes() == sample.read_bytes()
+
+
+def test_cli_compress_multiple_files(tmp_path):
+    paths = []
+    for i in range(3):
+        p = tmp_path / f"f{i}.bin"
+        p.write_bytes(np.arange(5000 + i, dtype=np.float32).tobytes())
+        paths.append(p)
+    rc = main(["compress", *map(str, paths)])
+    assert rc == 0
+    for p in paths:
+        out = tmp_path / (p.name + ".bl2")
+        assert blosc.decompress(out.read_bytes()) == p.read_bytes()
+    rc = main(["decompress", *(str(p) + ".bl2" for p in paths)])
+    assert rc == 0
+    for p in paths:
+        assert (tmp_path / (p.name + ".bl2.out")).read_bytes() == p.read_bytes()
+
+
+def test_cli_multi_input_with_output_rejected(tmp_path, capsys):
+    a = tmp_path / "a.bin"
+    b = tmp_path / "b.bin"
+    a.write_bytes(b"aa" * 100)
+    b.write_bytes(b"bb" * 100)
+    rc = main(["compress", str(a), str(b), "-o", str(tmp_path / "x")])
+    assert rc == 2
+    assert "single input" in capsys.readouterr().err

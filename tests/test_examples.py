@@ -211,3 +211,36 @@ def test_example_blosclz_codec():
     frame = blosc.compress(data, blosc.BLOSCLZ, 5, blosc.SHUFFLE, 4)
     assert blosc.get_info(frame).codec == 0
     assert blosc.decompress(frame) == data
+
+
+def test_example_batch_api():
+    """Many independent chunks through one call — same frames as the
+    scalar API, executed across all cores (beyond-parity surface)."""
+    chunks = [
+        np.arange(10_000, dtype=np.float32).tobytes(),
+        b"log line: status ok\n" * 500,
+        np.linspace(0, 1, 8_000, dtype=np.float64).tobytes(),
+    ]
+    frames = blosc.compress_batch(chunks)              # LZ4-5, shuffle, ts4
+    assert frames == [blosc.compress(c) for c in chunks]
+    assert blosc.decompress_batch(frames) == chunks
+
+    # zero-copy decode into preallocated buffers
+    outs = [bytearray(len(c)) for c in chunks]
+    counts = blosc.decompress_batch_into(frames, outs)
+    assert counts == [len(c) for c in chunks]
+    assert [bytes(o) for o in outs] == chunks
+
+
+def test_example_stream_batch(tmp_path):
+    """Record streams write and read in batches; bytes equal the
+    one-at-a-time API."""
+    from tpu_blosc.stream import StreamReader, StreamWriter
+
+    records = [np.full(2_000, i, dtype=np.int32).tobytes() for i in range(8)]
+    path = tmp_path / "batch.tpbs"
+    with StreamWriter(path, checksum=True) as w:
+        w.write_many(records)
+    with StreamReader(path) as r:
+        assert r.read_many() == records
+        assert r.peek_size(3) == len(records[3])

@@ -20,8 +20,10 @@ import time
 
 from .errors import BloscError
 from .api import (
+    compress_batch_with_options,
     compress_with_options,
     decompress,
+    decompress_batch,
     get_decompressed_size,
     get_info,
     suggest_options,
@@ -44,9 +46,11 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     sub = p.add_subparsers(dest="cmd", required=True)
 
-    c = sub.add_parser("compress", help="compress a file into a Blosc frame")
-    c.add_argument("input")
-    c.add_argument("-o", "--output", help="default: <input>.bl2")
+    c = sub.add_parser("compress", help="compress file(s) into Blosc frames")
+    c.add_argument("input", nargs="+",
+                   help="input file(s); several batch across all cores")
+    c.add_argument("-o", "--output",
+                   help="default: <input>.bl2 (single input only)")
     c.add_argument("--codec", choices=sorted(_CODECS), default="lz4")
     c.add_argument("--level", type=int, default=5)
     c.add_argument("--shuffle", choices=sorted(_SHUFFLES), default="byte")
@@ -56,9 +60,11 @@ def _build_parser() -> argparse.ArgumentParser:
     c.add_argument("--auto", action="store_true",
                    help="probe the data and pick filter+codec automatically")
 
-    d = sub.add_parser("decompress", help="decompress a Blosc frame file")
-    d.add_argument("input")
-    d.add_argument("-o", "--output", help="default: <input>.out")
+    d = sub.add_parser("decompress", help="decompress Blosc frame file(s)")
+    d.add_argument("input", nargs="+",
+                   help="input file(s); several batch across all cores")
+    d.add_argument("-o", "--output",
+                   help="default: <input>.out (single input only)")
 
     i = sub.add_parser("info", help="print frame header/metadata")
     i.add_argument("input")
@@ -107,47 +113,71 @@ def main(argv: list[str] | None = None) -> int:
 def _run(args) -> int:
 
     if args.cmd == "compress":
-        with open(args.input, "rb") as f:
-            data = f.read()
+        if args.output and len(args.input) > 1:
+            print("error: -o/--output requires a single input file",
+                  file=sys.stderr)
+            return 2
+        datas = []
+        for path in args.input:
+            with open(path, "rb") as f:
+                datas.append(f.read())
+        t0 = time.perf_counter()
         if args.auto:
-            # the probe picks codec+filter; level/block always come from
-            # the flags (suggest_options never chooses a level)
-            opts = suggest_options(data, type_size=args.typesize)
-            opts = Options(
-                codec=opts.codec, level=args.level, shuffle=opts.shuffle,
-                type_size=opts.type_size, block_size=args.block,
-            )
+            # the probe picks codec+filter per file; level/block always
+            # come from the flags (suggest_options never chooses a level)
+            frames = []
+            for data in datas:
+                opts = suggest_options(data, type_size=args.typesize)
+                opts = Options(
+                    codec=opts.codec, level=args.level, shuffle=opts.shuffle,
+                    type_size=opts.type_size, block_size=args.block,
+                )
+                frames.append(compress_with_options(data, opts))
         else:
             opts = Options(
                 codec=_CODECS[args.codec], level=args.level,
                 shuffle=_SHUFFLES[args.shuffle], type_size=args.typesize,
                 block_size=args.block,
             )
-        t0 = time.perf_counter()
-        frame = compress_with_options(data, opts)
+            # one native crossing; small files parallelize across cores
+            frames = compress_batch_with_options(datas, opts)
         dt = time.perf_counter() - t0
-        out = args.output or args.input + ".bl2"
-        with open(out, "wb") as f:
-            f.write(frame)
+        for path, data, frame in zip(args.input, datas, frames):
+            out = args.output or path + ".bl2"
+            with open(out, "wb") as f:
+                f.write(frame)
+            print(
+                f"{path}: {len(data):,} -> {len(frame):,} bytes "
+                f"(ratio {len(data) / max(len(frame), 1):.2f}x) -> {out}"
+            )
+        total = sum(len(d) for d in datas)
         print(
-            f"{args.input}: {len(data):,} -> {len(frame):,} bytes "
-            f"(ratio {len(data) / max(len(frame), 1):.2f}x, "
-            f"{len(data) / max(dt, 1e-9) / 1e9:.2f} GB/s) -> {out}"
+            f"{len(datas)} file(s), {total:,} bytes in "
+            f"{dt * 1e3:.1f} ms ({total / max(dt, 1e-9) / 1e9:.2f} GB/s)"
         )
         return 0
 
     if args.cmd == "decompress":
-        with open(args.input, "rb") as f:
-            frame = f.read()
+        if args.output and len(args.input) > 1:
+            print("error: -o/--output requires a single input file",
+                  file=sys.stderr)
+            return 2
+        frames = []
+        for path in args.input:
+            with open(path, "rb") as f:
+                frames.append(f.read())
         t0 = time.perf_counter()
-        data = decompress(frame)
+        datas = decompress_batch(frames)
         dt = time.perf_counter() - t0
-        out = args.output or args.input + ".out"
-        with open(out, "wb") as f:
-            f.write(data)
+        for path, frame, data in zip(args.input, frames, datas):
+            out = args.output or path + ".out"
+            with open(out, "wb") as f:
+                f.write(data)
+            print(f"{path}: {len(frame):,} -> {len(data):,} bytes -> {out}")
+        total = sum(len(d) for d in datas)
         print(
-            f"{args.input}: {len(frame):,} -> {len(data):,} bytes "
-            f"({len(data) / max(dt, 1e-9) / 1e9:.2f} GB/s) -> {out}"
+            f"{len(frames)} file(s), {total:,} bytes in "
+            f"{dt * 1e3:.1f} ms ({total / max(dt, 1e-9) / 1e9:.2f} GB/s)"
         )
         return 0
 
