@@ -323,21 +323,40 @@ def save_pytree_sharded(path_prefix, tree, opts: Options | None = None,
         "leaf_records": manifest_leaves,
         "process": pid,
     }).encode()
+    base = opts if opts is not None else Options()
+
+    def leaf_opts_for(itemsize: int) -> Options:
+        return Options(
+            codec=base.codec, level=base.level, shuffle=base.shuffle,
+            type_size=itemsize, block_size=base.block_size,
+            num_threads=base.num_threads,
+        )
+
+    # host records batch-compress per type_size (same pattern and same
+    # record bytes as save_pytree); device shards keep the on-chip filter
+    by_ts: dict[int, list[int]] = {}
+    for j, (kind, data) in enumerate(records):
+        if kind == "host":
+            by_ts.setdefault(np.dtype(data.dtype).itemsize, []).append(j)
+    host_frames: dict[int, bytes] = {}
+    from .api import compress_batch_with_options
+
+    for itemsize, idxs in by_ts.items():
+        frames = compress_batch_with_options(
+            [np.ascontiguousarray(records[j][1]) for j in idxs],
+            leaf_opts_for(itemsize),
+        )
+        host_frames.update(zip(idxs, frames))
     with StreamWriter(f"{path_prefix}.p{pid}.tpbs", opts,
                       checksum=checksum) as w:
         w.write(manifest, Options(type_size=1))
-        for kind, data in records:
-            itemsize = np.dtype(data.dtype).itemsize
-            base = opts if opts is not None else Options()
-            leaf_opts = Options(
-                codec=base.codec, level=base.level, shuffle=base.shuffle,
-                type_size=itemsize, block_size=base.block_size,
-                num_threads=base.num_threads,
-            )
-            if kind == "host":
-                w.write(np.ascontiguousarray(data), leaf_opts)
+        for j, (kind, data) in enumerate(records):
+            if j in host_frames:
+                w.write_frame(host_frames[j])
             else:
-                w.write_array(data, leaf_opts)
+                w.write_array(
+                    data, leaf_opts_for(np.dtype(data.dtype).itemsize)
+                )
 
 
 def _encode_sharded(obj, leaves: list, pid: int):
