@@ -157,6 +157,97 @@ static void concurrent_frames() {
   for (auto &th : ts) th.join();
 }
 
+extern "C" void tpb_compress_batch(const uint8_t *const *srcs,
+                                   const int64_t *ns, int64_t nf, int ts,
+                                   int shuffle_mode, int header_codec_id,
+                                   int codec, int depth,
+                                   uint8_t *const *dsts, int64_t *results,
+                                   int64_t *idx_buf);
+extern "C" void tpb_decompress_batch(const uint8_t *const *frames,
+                                     const int64_t *psizes, const int64_t *ns,
+                                     const int32_t *tss, const int32_t *modes,
+                                     const int32_t *codecs, int64_t nf,
+                                     uint8_t *const *outs, int64_t *results,
+                                     int64_t *idx_buf);
+
+static void concurrent_batches() {
+  // Two threads drive whole batches at once (the pool's try_lock makes
+  // the loser run serially) while a third hammers scalar frames: the
+  // batch slice functions run tpb_compress_frame on pool workers, so
+  // this checks worker-side scratch isolation and the cursor publication
+  // under contention.  Mixed sizes cross the kFrameSegMin split.
+  auto batch_work = [](int seed) {
+    const int nf = 12;
+    std::vector<std::vector<uint8_t>> srcs(nf);
+    std::vector<const uint8_t *> sp(nf);
+    std::vector<int64_t> ns(nf), results(nf), idx(nf), psz(nf), dn(nf);
+    std::vector<std::vector<uint8_t>> dsts(nf), outs(nf);
+    std::vector<uint8_t *> dp(nf), op(nf);
+    std::vector<const uint8_t *> fp(nf);
+    std::vector<int32_t> tss(nf), modes(nf), codecs(nf);
+    for (int i = 0; i < nf; i++) {
+      int64_t n = (i % 3 == 0) ? (300 << 10) + i * 977 : 40000 + i * 1337;
+      srcs[i].resize(n);
+      fill_pattern(srcs[i], (seed + i) % 4);
+      sp[i] = srcs[i].data();
+      ns[i] = n;
+      dsts[i].resize(16 + tpb_compress_bound(n, LZ4));
+      dp[i] = dsts[i].data();
+      outs[i].resize(n);
+      op[i] = outs[i].data();
+    }
+    for (int r = 0; r < 10; r++) {
+      tpb_compress_batch(sp.data(), ns.data(), nf, 4, 1, LZ4, LZ4, 1,
+                         dp.data(), results.data(), idx.data());
+      int nk = 0;  // compact out memcpy frames (batch decode is codec-only)
+      std::vector<int> keep;
+      for (int i = 0; i < nf; i++) {
+        CHECK(results[i] > 16);
+        if (dsts[i][2] & 0x2) continue;
+        fp[nk] = dsts[i].data();
+        psz[nk] = results[i] - 16;
+        dn[nk] = ns[i];
+        tss[nk] = 4;
+        modes[nk] = (dsts[i][2] & 0x1) ? 1 : 0;
+        codecs[nk] = LZ4;
+        op[nk] = outs[i].data();
+        keep.push_back(i);
+        nk++;
+      }
+      tpb_decompress_batch(fp.data(), psz.data(), dn.data(), tss.data(),
+                           modes.data(), codecs.data(), nk, op.data(),
+                           results.data(), idx.data());
+      for (int k = 0; k < nk; k++) {
+        const int i = keep[k];
+        CHECK(results[k] == ns[i]);
+        CHECK(std::memcmp(srcs[i].data(), outs[i].data(), ns[i]) == 0);
+      }
+    }
+  };
+  std::thread a([&] { batch_work(0); });
+  std::thread b([&] { batch_work(2); });
+  std::thread c([] {
+    const int64_t n = 120000;
+    std::vector<uint8_t> src(n);
+    fill_pattern(src, 1);
+    std::vector<uint8_t> frame(16 + tpb_compress_bound(n, LZ4)), out(n);
+    for (int r = 0; r < 30; r++) {
+      int64_t fsz =
+          tpb_compress_frame(src.data(), n, 4, 1, LZ4, LZ4, 1, frame.data());
+      CHECK(fsz > 16);
+      if (!(frame[2] & 0x2)) {
+        CHECK(tpb_decompress_block_into(frame.data(), 16, fsz - 16,
+                                        out.data(), n, 4,
+                                        (frame[2] & 0x1) ? 1 : 0, LZ4) == n);
+        CHECK(std::memcmp(src.data(), out.data(), n) == 0);
+      }
+    }
+  });
+  a.join();
+  b.join();
+  c.join();
+}
+
 static void concurrent_codecs() {
   std::vector<std::thread> ts;
   for (int t = 0; t < 6; t++) {
@@ -202,6 +293,7 @@ int main() {
     b.join();
   }
   concurrent_frames();
+  concurrent_batches();
   concurrent_codecs();
   std::puts("tsan driver: all roundtrips ok");
   return 0;
