@@ -134,3 +134,40 @@ def test_zlib_zstd_native_frames_identical_to_python():
         for frame in (nf, pf):
             assert blosc.decompress(frame) == data
             assert _python_decode(frame) == data
+
+
+@pytest.mark.parametrize("period", [1, 3, 32, 96, 128, 1024])
+@pytest.mark.parametrize("tweak", [-1, 0, 1, 63, 64, 65])
+def test_scan_encoder_streams_decode_under_python_oracle(period, tweak):
+    """The fixed-offset scan encoder (word-walk emit) engages on periodic
+    data >= 256 KiB; its streams must decode under the pure-Python LZ4
+    decoder at sizes that place island edges on and around 64-bit mask
+    word boundaries (the walk's carry/boundary cases)."""
+    n = 512 * 1024 + tweak
+    base = bytes(bytearray((i // period * 31 + i % period) % 256
+                           for i in range(n)))
+    buf = bytearray(base)
+    for i in range(100, n, 911):  # breaks -> non-trivial islands
+        buf[i] ^= 0x5A
+    # islands ending exactly at word boundaries
+    for w in range(1000, 3000, 128):
+        buf[w * 64] ^= 0xFF
+    data = bytes(buf)
+    frame = blosc.compress(data, blosc.LZ4, 5, blosc.NOSHUFFLE, 1)
+    assert blosc.decompress(frame) == data
+    assert _python_decode(frame) == data
+
+
+def test_scan_encoder_all_match_and_tiny_tail():
+    """Degenerate scan inputs: fully periodic (single island spanning the
+    whole block) and a block whose only matches sit in the final words."""
+    n = 300 * 1024
+    solid = bytes(range(256)) * (n // 256)
+    f1 = blosc.compress(solid, blosc.LZ4, 5, blosc.NOSHUFFLE, 1)
+    assert blosc.decompress(f1) == solid and _python_decode(f1) == solid
+    rng2 = np.random.default_rng(5)
+    mostly_noise = bytearray(rng2.integers(0, 255, n, dtype=np.uint8).tobytes())
+    mostly_noise[-2048:] = bytes(64) * 32
+    data = bytes(mostly_noise)
+    f2 = blosc.compress(data, blosc.LZ4, 5, blosc.NOSHUFFLE, 1)
+    assert blosc.decompress(f2) == data and _python_decode(f2) == data
