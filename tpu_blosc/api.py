@@ -70,14 +70,7 @@ def _coerce_bytes(data) -> bytes:
     raise TypeError(f"expected bytes-like or ndarray, got {type(data)!r}")
 
 
-def compress(
-    data,
-    codec: Codec = Codec.LZ4,
-    level: int = 5,
-    shuffle: Shuffle = Shuffle.SHUFFLE,
-    type_size: int = 4,
-) -> bytes:
-    """Compress data into a Blosc frame (≙ Compress, blosc.go:257-265)."""
+def _cached_options(codec, level, shuffle, type_size) -> Options:
     # Options is frozen, so identical positional combos can share one
     # instance — the dataclass init is ~10% of a 100 KB compress call.
     key = (codec, level, shuffle, type_size)
@@ -88,7 +81,20 @@ def compress(
         )
         if len(_OPTIONS_CACHE) < 256:
             _OPTIONS_CACHE[key] = opts
-    return compress_with_options(data, opts)
+    return opts
+
+
+def compress(
+    data,
+    codec: Codec = Codec.LZ4,
+    level: int = 5,
+    shuffle: Shuffle = Shuffle.SHUFFLE,
+    type_size: int = 4,
+) -> bytes:
+    """Compress data into a Blosc frame (≙ Compress, blosc.go:257-265)."""
+    return compress_with_options(
+        data, _cached_options(codec, level, shuffle, type_size)
+    )
 
 
 _OPTIONS_CACHE: dict = {}
@@ -228,15 +234,9 @@ def compress_batch(
     batch surface (one frame per call, blosc.go:257-265); this is the
     host analogue of mapping the codec data-parallel over a mesh.
     """
-    key = (codec, level, shuffle, type_size)
-    opts = _OPTIONS_CACHE.get(key)
-    if opts is None:
-        opts = Options(
-            codec=codec, level=level, shuffle=shuffle, type_size=type_size
-        )
-        if len(_OPTIONS_CACHE) < 256:
-            _OPTIONS_CACHE[key] = opts
-    return compress_batch_with_options(items, opts)
+    return compress_batch_with_options(
+        items, _cached_options(codec, level, shuffle, type_size)
+    )
 
 
 def _coerce_buffer(item):
@@ -310,11 +310,8 @@ def decompress_batch(items, type_size: int = 0) -> list[bytes]:
     the scalar API exactly and abort on the first offending item.
     """
     raws = [_coerce_bytes(x) for x in items]
-    native_map = bytes(
-        (_chunk._native_pipeline_codec(cid, 1) or (0xFF,))[0]
-        for cid in range(6)
-    )
-    if _nb is not None and native_map != b"\xff" * 6:
+    native_map = _decode_native_map()
+    if _nb is not None and native_map is not None:
         out = _nb.decompress_frames(raws, type_size, native_map)
     else:
         out = [None] * len(raws)
@@ -322,6 +319,20 @@ def decompress_batch(items, type_size: int = 0) -> list[bytes]:
         if r is None:
             out[i] = decompress_with_size(raws[i], type_size)
     return out
+
+
+def _decode_native_map() -> bytes | None:
+    """Header-codec-id -> native-codec-id table for the C batch decoders.
+
+    0xFF marks ids that must take the Python path (unknown codec, user
+    registry override, native unavailable); None means nothing is
+    natively decodable at all (skip the native call entirely).
+    """
+    native_map = bytes(
+        (_chunk._native_pipeline_codec(cid, 1) or (0xFF,))[0]
+        for cid in range(6)
+    )
+    return None if native_map == b"\xff" * 6 else native_map
 
 
 def decompress_batch_into(items, outs) -> list[int]:
@@ -332,6 +343,12 @@ def decompress_batch_into(items, outs) -> list[int]:
     bytes object — the zero-copy path checkpoint loading uses); anything
     else falls back to the scalar decompress_into per item, which owns
     the typed errors (undersized buffer, malformed frame, ...).
+
+    Error side effects differ from a scalar loop in one way: the batch
+    decodes eligible items before the fallback pass, so when an earlier
+    item raises, LATER outs may already hold decoded data (a scalar loop
+    would not have reached them).  Buffer contents are only defined for
+    items before the first failure.
     """
     raws = [_coerce_bytes(x) for x in items]
     outs = list(outs)
@@ -339,11 +356,8 @@ def decompress_batch_into(items, outs) -> list[int]:
         raise ValueError(
             f"outs length {len(outs)} must match items length {len(raws)}"
         )
-    native_map = bytes(
-        (_chunk._native_pipeline_codec(cid, 1) or (0xFF,))[0]
-        for cid in range(6)
-    )
-    if _nb is not None and native_map != b"\xff" * 6:
+    native_map = _decode_native_map()
+    if _nb is not None and native_map is not None:
         res = _nb.decompress_frames_into(raws, outs, native_map)
     else:
         res = [None] * len(raws)

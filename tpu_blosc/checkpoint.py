@@ -96,6 +96,60 @@ def _decode(node, fetch):
     raise InvalidDataError(f"blosc: invalid compressed data: manifest node {t!r}")
 
 
+# Host leaves batch-compress in bounded windows: grouping by type_size
+# within a window gives one native crossing per group (small leaves
+# schedule across the core pool), while the window cap bounds peak memory
+# to ~window + bound-sized outputs instead of "every frame of the
+# checkpoint at once".  Record bytes and emission order are identical to
+# the per-leaf write() path (batching never changes bytes).
+_BATCH_WINDOW_BYTES = 64 * 1024 * 1024
+
+
+def _write_leaf_records(w: StreamWriter, records, opts: Options | None):
+    """Emit ("host", ndarray) / ("device", jax-array) records in order."""
+    base = opts if opts is not None else Options()
+
+    def leaf_opts_for(itemsize: int) -> Options:
+        return Options(
+            codec=base.codec, level=base.level, shuffle=base.shuffle,
+            type_size=itemsize, block_size=base.block_size,
+            num_threads=base.num_threads,
+        )
+
+    from .api import compress_batch_with_options
+
+    pending: list[np.ndarray] = []
+    pending_bytes = 0
+
+    def flush():
+        nonlocal pending, pending_bytes
+        if not pending:
+            return
+        by_ts: dict[int, list[int]] = {}
+        for k, arr in enumerate(pending):
+            by_ts.setdefault(arr.dtype.itemsize, []).append(k)
+        frames: dict[int, bytes] = {}
+        for itemsize, idxs in by_ts.items():
+            for k, frame in zip(idxs, compress_batch_with_options(
+                    [pending[k] for k in idxs], leaf_opts_for(itemsize))):
+                frames[k] = frame
+        for k in range(len(pending)):
+            w.write_frame(frames[k])
+        pending, pending_bytes = [], 0
+
+    for kind, data in records:
+        if kind == "host":
+            arr = np.ascontiguousarray(data)
+            pending.append(arr)
+            pending_bytes += arr.nbytes
+            if pending_bytes >= _BATCH_WINDOW_BYTES:
+                flush()
+        else:  # device array: flush to keep record order, filter on chip
+            flush()
+            w.write_array(data, leaf_opts_for(np.dtype(data.dtype).itemsize))
+    flush()
+
+
 def _collect_leaf_specs(tree, n_leaves: int):
     """Map leaf index -> (dtype, shape) by walking the manifest skeleton.
 
@@ -139,41 +193,14 @@ def save_pytree(path, tree, opts: Options | None = None,
     manifest = json.dumps(
         {"version": _MANIFEST_VERSION, "tree": skeleton, "leaves": len(leaves)}
     ).encode()
-    base = opts if opts is not None else Options()
-
-    def leaf_opts_for(itemsize: int) -> Options:
-        return Options(
-            codec=base.codec, level=base.level, shuffle=base.shuffle,
-            type_size=itemsize, block_size=base.block_size,
-            num_threads=base.num_threads,
-        )
-
-    # host leaves batch-compress grouped by type_size (one native crossing
-    # per group, small leaves scheduled across the core pool — record
-    # bytes stay identical to the per-leaf write() path); device leaves
-    # keep the on-chip filter path.  Emission order is still leaf order.
-    by_ts: dict[int, list[int]] = {}
-    for j, leaf in enumerate(leaves):
-        if isinstance(leaf, np.ndarray):
-            by_ts.setdefault(np.dtype(leaf.dtype).itemsize, []).append(j)
-    host_frames: dict[int, bytes] = {}
-    from .api import compress_batch_with_options
-
-    for itemsize, idxs in by_ts.items():
-        frames = compress_batch_with_options(
-            [np.ascontiguousarray(leaves[j]) for j in idxs],
-            leaf_opts_for(itemsize),
-        )
-        host_frames.update(zip(idxs, frames))
     with StreamWriter(path, opts, checksum=checksum) as w:
         w.write(manifest, Options(type_size=1))
-        for j, leaf in enumerate(leaves):
-            if j in host_frames:
-                w.write_frame(host_frames[j])
-            else:  # device array: filter on device
-                w.write_array(
-                    leaf, leaf_opts_for(np.dtype(leaf.dtype).itemsize)
-                )
+        _write_leaf_records(
+            w,
+            (("host" if isinstance(lf, np.ndarray) else "device", lf)
+             for lf in leaves),
+            opts,
+        )
 
 
 def load_pytree(path, device: bool = False):
@@ -323,40 +350,10 @@ def save_pytree_sharded(path_prefix, tree, opts: Options | None = None,
         "leaf_records": manifest_leaves,
         "process": pid,
     }).encode()
-    base = opts if opts is not None else Options()
-
-    def leaf_opts_for(itemsize: int) -> Options:
-        return Options(
-            codec=base.codec, level=base.level, shuffle=base.shuffle,
-            type_size=itemsize, block_size=base.block_size,
-            num_threads=base.num_threads,
-        )
-
-    # host records batch-compress per type_size (same pattern and same
-    # record bytes as save_pytree); device shards keep the on-chip filter
-    by_ts: dict[int, list[int]] = {}
-    for j, (kind, data) in enumerate(records):
-        if kind == "host":
-            by_ts.setdefault(np.dtype(data.dtype).itemsize, []).append(j)
-    host_frames: dict[int, bytes] = {}
-    from .api import compress_batch_with_options
-
-    for itemsize, idxs in by_ts.items():
-        frames = compress_batch_with_options(
-            [np.ascontiguousarray(records[j][1]) for j in idxs],
-            leaf_opts_for(itemsize),
-        )
-        host_frames.update(zip(idxs, frames))
     with StreamWriter(f"{path_prefix}.p{pid}.tpbs", opts,
                       checksum=checksum) as w:
         w.write(manifest, Options(type_size=1))
-        for j, (kind, data) in enumerate(records):
-            if j in host_frames:
-                w.write_frame(host_frames[j])
-            else:
-                w.write_array(
-                    data, leaf_opts_for(np.dtype(data.dtype).itemsize)
-                )
+        _write_leaf_records(w, records, opts)
 
 
 def _encode_sharded(obj, leaves: list, pid: int):

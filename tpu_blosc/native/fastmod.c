@@ -247,6 +247,30 @@ static PyObject *fast_compress_batch(PyObject *self, PyObject *const *args,
   return out_list;
 }
 
+/* Parse + eligibility mirror of the scalar fast path (api.py:198-211),
+ * shared by both batch decoders so the single-block rules (version byte,
+ * FLAG_SPLIT|FLAG_MEMCPY, native codec map, size sanity, shuffle-mode
+ * precedence) live in exactly one place.  Returns 1 and fills the out
+ * params when the frame can take the native batch path. */
+static int parse_batch_frame(const uint8_t *b, int64_t blen, const char *map,
+                             long ts_override, int64_t *psize, int64_t *n,
+                             int32_t *ts, int32_t *mode, int32_t *codec) {
+  if (blen <= 16 || b[0] != 2) return 0;
+  uint8_t codec_id = b[1], flags = b[2], ts_hdr = b[3];
+  if (flags & (0x8 | 0x2)) return 0; /* FLAG_SPLIT | FLAG_MEMCPY */
+  if (codec_id >= 6 || (uint8_t)map[codec_id] == 0xFF) return 0;
+  uint32_t n_orig, n_comp;
+  memcpy(&n_orig, b + 4, 4);
+  memcpy(&n_comp, b + 12, 4);
+  if (n_comp <= 16 || (int64_t)n_comp > blen || n_orig == 0) return 0;
+  *psize = (int64_t)n_comp - 16;
+  *n = (int64_t)n_orig;
+  *ts = ts_override > 0 ? (int32_t)ts_override : (int32_t)ts_hdr;
+  *mode = (flags & 0x4) ? 2 : (flags & 0x1) ? 1 : 0;
+  *codec = (int32_t)(uint8_t)map[codec_id];
+  return 1;
+}
+
 /* decompress_batch(items, type_size, native_map: bytes[6]) -> list
  * Each result is the decoded bytes, or None when the frame is not
  * eligible for the native single-block fast path or failed decoding —
@@ -313,17 +337,12 @@ static PyObject *fast_decompress_batch(PyObject *self, PyObject *const *args,
     const uint8_t *b = (const uint8_t *)views[nviews].buf;
     int64_t blen = (int64_t)views[nviews].len;
     nviews++;
-    /* eligibility mirror of the scalar fast path (api.py:198-211):
-     * version 2, no split/memcpy flags, native codec, sane sizes */
-    if (blen <= 16 || b[0] != 2) continue;
-    uint8_t codec_id = b[1], flags = b[2], ts_hdr = b[3];
-    if (flags & (0x8 | 0x2)) continue; /* FLAG_SPLIT | FLAG_MEMCPY */
-    if (codec_id >= 6 || (uint8_t)map[codec_id] == 0xFF) continue;
-    uint32_t n_orig, n_comp;
-    memcpy(&n_orig, b + 4, 4);
-    memcpy(&n_comp, b + 12, 4);
-    if (n_comp <= 16 || (int64_t)n_comp > blen || n_orig == 0) continue;
-    PyObject *ob = PyBytes_FromStringAndSize(NULL, (Py_ssize_t)n_orig);
+    int64_t psize, dn;
+    int32_t ts, mode, codec;
+    if (!parse_batch_frame(b, blen, map, ts_override, &psize, &dn, &ts,
+                           &mode, &codec))
+      continue;
+    PyObject *ob = PyBytes_FromStringAndSize(NULL, (Py_ssize_t)dn);
     if (!ob) {
       failed = 1;
       break;
@@ -331,11 +350,11 @@ static PyObject *fast_decompress_batch(PyObject *self, PyObject *const *args,
     Py_ssize_t j = nel++;
     frames[j] = b;
     outs[j] = (uint8_t *)PyBytes_AS_STRING(ob);
-    psizes[j] = (int64_t)n_comp - 16;
-    ns[j] = (int64_t)n_orig;
-    tss[j] = ts_override > 0 ? (int32_t)ts_override : (int32_t)ts_hdr;
-    modes[j] = (flags & 0x4) ? 2 : (flags & 0x1) ? 1 : 0;
-    codecs[j] = (int32_t)(uint8_t)map[codec_id];
+    psizes[j] = psize;
+    ns[j] = dn;
+    tss[j] = ts;
+    modes[j] = mode;
+    codecs[j] = codec;
     orig[j] = i;
     PyObject *prev = PyList_GET_ITEM(out_list, i);
     PyList_SET_ITEM(out_list, i, ob); /* replace the None (steals ref) */
@@ -446,20 +465,17 @@ static PyObject *fast_decompress_batch_into(PyObject *self,
     const uint8_t *b = (const uint8_t *)views[nviews].buf;
     int64_t blen = (int64_t)views[nviews].len;
     nviews++;
-    if (blen <= 16 || b[0] != 2) continue;
-    uint8_t codec_id = b[1], flags = b[2], ts_hdr = b[3];
-    if (flags & (0x8 | 0x2)) continue;
-    if (codec_id >= 6 || (uint8_t)map[codec_id] == 0xFF) continue;
-    uint32_t n_orig, n_comp;
-    memcpy(&n_orig, b + 4, 4);
-    memcpy(&n_comp, b + 12, 4);
-    if (n_comp <= 16 || (int64_t)n_comp > blen || n_orig == 0) continue;
+    int64_t psize, dn;
+    int32_t ts, mode, codec;
+    if (!parse_batch_frame(b, blen, map, ts_override, &psize, &dn, &ts,
+                           &mode, &codec))
+      continue;
     PyObject *ob = PySequence_Fast_GET_ITEM(oseq, i);
     if (PyObject_GetBuffer(ob, &views[nviews], PyBUF_WRITABLE) < 0) {
       PyErr_Clear(); /* read-only buffer: scalar path raises the error */
       continue;
     }
-    if ((int64_t)views[nviews].len < (int64_t)n_orig) {
+    if ((int64_t)views[nviews].len < dn) {
       PyBuffer_Release(&views[nviews]); /* undersized: scalar raises */
       continue;
     }
@@ -468,11 +484,11 @@ static PyObject *fast_decompress_batch_into(PyObject *self,
     Py_ssize_t j = nel++;
     frames[j] = b;
     outs[j] = outp;
-    psizes[j] = (int64_t)n_comp - 16;
-    ns[j] = (int64_t)n_orig;
-    tss[j] = ts_override > 0 ? (int32_t)ts_override : (int32_t)ts_hdr;
-    modes[j] = (flags & 0x4) ? 2 : (flags & 0x1) ? 1 : 0;
-    codecs[j] = (int32_t)(uint8_t)map[codec_id];
+    psizes[j] = psize;
+    ns[j] = dn;
+    tss[j] = ts;
+    modes[j] = mode;
+    codecs[j] = codec;
     orig[j] = i;
   }
   if (!failed && nel > 0) {
