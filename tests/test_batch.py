@@ -289,3 +289,62 @@ def test_stream_read_many_into_dict_records(tmp_path):
         assert r.read_many_into(range(len(recs)), outs) == [
             len(x) for x in recs]
         assert [bytes(o) for o in outs] == recs
+
+
+def test_batch_with_num_threads_one(monkeypatch):
+    """tpb_set_num_threads(1) drops the pool to one lane; the batch entry
+    points must fall back to in-place serial loops with identical bytes."""
+    from tpu_blosc.native import backend
+
+    if not backend.available():
+        pytest.skip("native backend unavailable")
+    items = [os.urandom(500) + b"B" * 50_000 for _ in range(8)]
+    expected = blosc.compress_batch(items)
+    backend._lib.tpb_set_num_threads(1)
+    try:
+        assert blosc.compress_batch(items) == expected
+        assert blosc.decompress_batch(expected) == items
+    finally:
+        backend._lib.tpb_set_num_threads(4)
+
+
+def test_batch_with_frame_parallel_disabled():
+    """TPU_BLOSC_NO_FRAME_PARALLEL only affects intra-frame segmentation;
+    batch scheduling stays on and bytes match the scalar calls (both see
+    the same serial frame encoder)."""
+    import subprocess
+    import sys
+
+    code = """
+import tpu_blosc as blosc
+items = [bytes(bytearray(i % 251 for i in range(s))) for s in (70_000, 400_000)]
+batch = blosc.compress_batch(items)
+scalar = [blosc.compress(d) for d in items]
+assert batch == scalar
+assert blosc.decompress_batch(batch) == items
+print("OK")
+"""
+    env = dict(os.environ, TPU_BLOSC_NO_FRAME_PARALLEL="1",
+               TPU_BLOSC_NO_DEVICE="1")
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=120)
+    assert out.returncode == 0 and "OK" in out.stdout, out.stderr
+
+
+def test_batch_concurrent_decompress():
+    import threading
+
+    items = [os.urandom(1000) + b"C" * 40_000 for _ in range(12)]
+    frames = blosc.compress_batch(items)
+    results: dict = {}
+
+    def work(k):
+        for _ in range(5):
+            results[k] = blosc.decompress_batch(frames)
+
+    threads = [threading.Thread(target=work, args=(k,)) for k in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert results[0] == items and results[1] == items
