@@ -121,9 +121,12 @@ def test_decoders_agree_on_corrupted_frames(data, corruption):
 
 
 def test_zlib_zstd_native_frames_identical_to_python():
-    """ZLIB via libz == CPython zlib (same library); assert bit-identity.
-    ZSTD streams may differ between libzstd and python-zstandard builds —
-    assert cross-decodability instead."""
+    """ZLIB via libz == CPython zlib (same library); assert bit-identity —
+    decode may ride libdeflate but frames we PRODUCE stay libz (its
+    encoder measured ~6% larger on small blocks, breaking the size
+    contract; see zlib_decompress_fast in tpublosc.cpp).  ZSTD streams
+    may differ between libzstd and python-zstandard builds — assert
+    cross-decodability instead."""
     data = np.arange(30_000, dtype=np.float32).tobytes()
     for codec, expect_identical in ((blosc.ZLIB, True), (blosc.ZSTD, False)):
         opts = Options(codec=codec, block_size=8192)
@@ -134,6 +137,29 @@ def test_zlib_zstd_native_frames_identical_to_python():
         for frame in (nf, pf):
             assert blosc.decompress(frame) == data
             assert _python_decode(frame) == data
+
+
+def test_zlib_decode_without_libdeflate_agrees():
+    """The libz fallback decode path (TPU_BLOSC_NO_LIBDEFLATE=1) reads the
+    same frames; subprocess because the probe is load-time state."""
+    import os
+    import subprocess
+    import sys
+
+    code = """
+import numpy as np
+import tpu_blosc as blosc
+from tpu_blosc.options import Options
+data = np.arange(30_000, dtype=np.float32).tobytes()
+for bs in (0, 8192):
+    f = blosc.compress_with_options(data, Options(codec=blosc.ZLIB, block_size=bs))
+    assert blosc.decompress(f) == data
+print("OK")
+"""
+    env = dict(os.environ, TPU_BLOSC_NO_LIBDEFLATE="1", TPU_BLOSC_NO_DEVICE="1")
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=120)
+    assert out.returncode == 0 and "OK" in out.stdout, out.stderr
 
 
 @pytest.mark.parametrize("period", [1, 3, 32, 96, 128, 1024])
