@@ -710,6 +710,15 @@ def decompress_into(data, out) -> int:
                 raw, header, entries, offset, header.type_size, native[0],
                 out_addr=int(view.ctypes.data),
             )
+    elif not header.is_memcpy and _nb is not None:
+        # plain single-block frame: decode + unfilter straight into the
+        # caller buffer through the batch-into fastcall (no intermediate
+        # bytes object); ineligible/failed items fall through below
+        native_map = _decode_native_map()
+        if native_map is not None:
+            res = _nb.decompress_frames_into([raw], [view[:n]], native_map)
+            if res[0] == n:
+                return n
 
     view[:n] = np.frombuffer(decompress_with_size(raw, 0), dtype=np.uint8)
     return n
