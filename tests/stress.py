@@ -37,8 +37,25 @@ while time.time() < t_end:
     bs = random.choice([0, 4096, 65536, 1<<20])
     level = random.choice([1, 5, 9])
     opts = blosc.Options(codec=codec, level=level, shuffle=shuffle, type_size=ts, block_size=bs)
-    api = random.choice(["bytes", "into", "container", "array"])
+    api = random.choice(["bytes", "into", "container", "array", "batch"])
     try:
+        if api == "batch":
+            # split into 1-9 random pieces; batch must equal scalar calls
+            cuts = sorted(rng.integers(1, max(n, 2), rng.integers(0, 8)).tolist())
+            pieces, prev = [], 0
+            for c in cuts + [n]:
+                if c > prev:
+                    pieces.append(data[prev:c])
+                    prev = c
+            if not pieces:
+                continue
+            frames = blosc.compress_batch_with_options(pieces, opts)
+            assert frames == [blosc.compress_with_options(p, opts) for p in pieces]
+            assert blosc.decompress_batch(frames) == pieces, ("batch", pat, codec, shuffle, ts, bs)
+            outs = [bytearray(len(p)) for p in pieces]
+            assert blosc.decompress_batch_into(frames, outs) == [len(p) for p in pieces]
+            assert [bytes(o) for o in outs] == pieces
+            continue
         if api == "container" and n > 1000:
             frame = container.compress_container(data, opts, frame_limit=max(n//3, 1024))
         elif api == "array" and n >= 4 and codec in (blosc.LZ4, blosc.LZ4HC) and ts in (2,4,8):

@@ -617,3 +617,30 @@ def test_checkpoint_forged_manifest_shape_does_not_preallocate(tmp_path):
         w.write(leaves[0], Options(type_size=4))
     with pytest.raises(Exception):  # reshape mismatch, as the old path
         checkpoint.load_pytree(path)
+
+
+def test_stream_verify_deep_batched_matches_serial_errors(tmp_path):
+    """deep verify batches decodes in windows; errors must still surface
+    for the FIRST bad record with the same typed error the serial
+    read() loop raised."""
+    path = tmp_path / "v.tpbs"
+    chunks = [np.arange(4000 + i, dtype=np.float32).tobytes() for i in range(6)]
+    with StreamWriter(path, checksum=True) as w:
+        w.write_many(chunks)
+    with StreamReader(path) as r:
+        assert r.verify(deep=True) == 6
+    # corrupt record 2's payload (recompute its crc so the crc layer
+    # passes and the DECODE layer must catch it)
+    import zlib as _zlib
+
+    with StreamReader(path) as r:
+        off = r._offsets[2]
+    raw = bytearray(path.read_bytes())
+    (flen,) = struct.unpack_from("<Q", raw, off)
+    raw[off + 8 + 30] ^= 0xFF
+    frame = bytes(raw[off + 8 : off + 8 + flen])
+    struct.pack_into("<I", raw, off + 8 + flen, _zlib.crc32(frame))
+    path.write_bytes(bytes(raw))
+    with StreamReader(path) as r:
+        with pytest.raises(blosc.BloscError):
+            r.verify(deep=True)

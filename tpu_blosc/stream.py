@@ -52,6 +52,7 @@ import threading
 
 
 from .errors import (
+    BloscError,
     DecompressionFailedError,
     InvalidDataError,
     InvalidHeaderError,
@@ -635,12 +636,27 @@ class StreamReader:
         # the dictionary definition record is excluded from the logical
         # index; _find_dict crc-checks it for checksummed streams
         _find_dict(self._path, self._data_end, self._crc)
-        for i in range(len(self)):
-            if deep:
-                self.read(i)
-            else:
+        if not deep:
+            for i in range(len(self)):
                 self.read_frame(i)
-        return len(self)
+            return len(self)
+        # deep: batch-decode in windows bounded by declared size (memory
+        # stays ~window-sized on huge checkpoints); read_many walks its
+        # frames in order, so the first bad record raises the same typed
+        # error the serial loop would
+        n_rec = len(self)
+        i = 0
+        while i < n_rec:
+            j, budget = i + 1, 0
+            while j < n_rec and budget < (64 << 20):
+                try:
+                    budget += self.peek_size(j)
+                except BloscError:
+                    break  # malformed header: let read_many raise canonically
+                j += 1
+            self.read_many(range(i, j))
+            i = j
+        return n_rec
 
     def sizes(self) -> list[tuple[int, int]]:
         """(compressed, uncompressed) byte sizes per record."""
