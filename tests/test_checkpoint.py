@@ -287,3 +287,96 @@ def test_load_leaf_sharded_single_process(tmp_path):
         StreamReader.read = orig
     # record 0 = manifest; 'extra' is one record after w's 4 shards
     assert reads[0] == 0 and len(reads) == 2
+
+
+# ---------------------------------------------------------------------------
+# device-leaf pipelining (save: stage1/stage2 split; load: decode prefetch)
+# ---------------------------------------------------------------------------
+
+
+def test_checkpoint_device_pipeline_bytes_identical(tmp_path, monkeypatch):
+    """Pipelined device-leaf saves are byte-identical to the serial
+    write_array path (compress_array == stage2(stage1) by construction),
+    and pipelined device loads match host loads."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    # two device runs (3 leaves, then 2) split by a host leaf; mixed
+    # chunked and single-block routing, mixed dtypes
+    state = {
+        "a": jnp.asarray(rng.integers(0, 40, 2_000_000).astype(np.float32)),
+        "b": jnp.asarray(np.tile(rng.random(1000).astype(np.float32), 1200)),
+        "c": jnp.asarray(rng.integers(0, 1000, 30_000).astype(np.uint16)),
+        "h": rng.random(10_000).astype(np.float32),
+        "d": jnp.asarray(np.zeros(800_000, np.int32)),
+        "e": jnp.asarray(rng.random(50).astype(np.float32)),
+    }
+    p_pipe = tmp_path / "pipe.tpbs"
+    p_serial = tmp_path / "serial.tpbs"
+    checkpoint.save_pytree(p_pipe, state)
+    monkeypatch.setenv("TPU_BLOSC_NO_CKPT_PIPELINE", "1")
+    checkpoint.save_pytree(p_serial, state)
+    monkeypatch.delenv("TPU_BLOSC_NO_CKPT_PIPELINE")
+    assert p_pipe.read_bytes() == p_serial.read_bytes()
+
+    out = checkpoint.load_pytree(p_pipe, device=True)
+    ref = checkpoint.load_pytree(p_pipe)
+    for k in ("a", "b", "c", "d", "e"):
+        assert isinstance(out[k], jax.Array)
+        assert np.array_equal(np.asarray(out[k]), np.asarray(ref[k]))
+    # serial device load (pipeline disabled) agrees too
+    monkeypatch.setenv("TPU_BLOSC_NO_CKPT_PIPELINE", "1")
+    out2 = checkpoint.load_pytree(p_pipe, device=True)
+    for k in ("a", "b", "c", "d", "e"):
+        assert np.array_equal(np.asarray(out2[k]), np.asarray(ref[k]))
+
+
+def test_checkpoint_device_load_permuted_manifest(tmp_path):
+    """A manifest whose tree walks leaves out of index order still loads
+    on device: the pipeline buffers decoded leaves until requested."""
+    import json
+
+    from tpu_blosc.options import Options
+    from tpu_blosc.stream import StreamWriter
+
+    a = np.arange(50_000, dtype=np.float32)
+    b = np.full(30_000, 7, np.int32)
+    tree = {"t": "dict", "items": [
+        ["b", {"t": "array", "i": 1, "dtype": "int32", "shape": [30_000]}],
+        ["a", {"t": "array", "i": 0, "dtype": "float32", "shape": [50_000]}],
+    ]}
+    manifest = json.dumps(
+        {"version": 1, "tree": tree, "leaves": 2}
+    ).encode()
+    path = tmp_path / "perm.tpbs"
+    with StreamWriter(path) as w:
+        w.write(manifest, Options(type_size=1))
+        w.write(a, Options(type_size=4))
+        w.write(b, Options(type_size=4))
+    out = checkpoint.load_pytree(path, device=True)
+    assert np.array_equal(np.asarray(out["a"]), a)
+    assert np.array_equal(np.asarray(out["b"]), b)
+
+
+def test_checkpoint_device_load_bad_leaf_raises(tmp_path):
+    """Manifest shape disagreeing with the record raises through the
+    pipeline exactly like the serial read_array path (ValueError from
+    the reshape)."""
+    import json
+
+    from tpu_blosc.options import Options
+    from tpu_blosc.stream import StreamWriter
+
+    tree = {"t": "dict", "items": [
+        ["x", {"t": "array", "i": 0, "dtype": "float32", "shape": [100]}],
+    ]}
+    manifest = json.dumps(
+        {"version": 1, "tree": tree, "leaves": 1}
+    ).encode()
+    path = tmp_path / "bad.tpbs"
+    with StreamWriter(path) as w:
+        w.write(manifest, Options(type_size=1))
+        w.write(np.arange(50, dtype=np.float32), Options(type_size=4))
+    with pytest.raises(ValueError):
+        checkpoint.load_pytree(path, device=True)

@@ -105,8 +105,22 @@ def _decode(node, fetch):
 _BATCH_WINDOW_BYTES = 64 * 1024 * 1024
 
 
+def _pipeline_disabled() -> bool:
+    import os
+
+    return bool(os.environ.get("TPU_BLOSC_NO_CKPT_PIPELINE"))
+
+
 def _write_leaf_records(w: StreamWriter, records, opts: Options | None):
-    """Emit ("host", ndarray) / ("device", jax-array) records in order."""
+    """Emit ("host", ndarray) / ("device", jax-array) records in order.
+
+    Runs of consecutive device leaves write through a 1-deep pipeline: a
+    worker thread runs leaf k+1's device filter + link fetch
+    (_compress_array_stage1) while this thread runs leaf k's host codec +
+    file write (_compress_array_stage2) — the two halves of
+    compress_array, so frame bytes are identical to the serial
+    write_array path (TPU_BLOSC_NO_CKPT_PIPELINE=1 forces serial).
+    """
     base = opts if opts is not None else Options()
 
     def leaf_opts_for(itemsize: int) -> Options:
@@ -137,16 +151,46 @@ def _write_leaf_records(w: StreamWriter, records, opts: Options | None):
             w.write_frame(frames[k])
         pending, pending_bytes = [], 0
 
-    for kind, data in records:
+    def write_device_run(run: list):
+        if len(run) == 1 or _pipeline_disabled():
+            for data in run:
+                w.write_array(
+                    data, leaf_opts_for(np.dtype(data.dtype).itemsize)
+                )
+            return
+        from .device import _compress_array_stage1, _compress_array_stage2
+        from .stream import _iter_prefetch
+
+        for staged in _iter_prefetch(
+            lambda t: _compress_array_stage1(
+                run[t],
+                leaf_opts_for(np.dtype(run[t].dtype).itemsize),
+                "transfer",
+            ),
+            len(run),
+            prefetch=1,
+        ):
+            w.write_frame(_compress_array_stage2(staged))
+
+    records = list(records)  # leaves are tree references, already live
+    i, n_rec = 0, len(records)
+    while i < n_rec:
+        kind, data = records[i]
         if kind == "host":
             arr = np.ascontiguousarray(data)
             pending.append(arr)
             pending_bytes += arr.nbytes
             if pending_bytes >= _BATCH_WINDOW_BYTES:
                 flush()
-        else:  # device array: flush to keep record order, filter on chip
-            flush()
-            w.write_array(data, leaf_opts_for(np.dtype(data.dtype).itemsize))
+            i += 1
+            continue
+        # device run: flush to keep record order, then pipeline the run
+        flush()
+        j = i
+        while j < n_rec and records[j][0] == "device":
+            j += 1
+        write_device_run([d for _, d in records[i:j]])
+        i = j
     flush()
 
 
@@ -224,6 +268,30 @@ def load_pytree(path, device: bool = False):
         # frombuffer().copy() second pass.  Leaves whose record size
         # disagrees with the manifest re-fetch through the allocating
         # path, which raises exactly like the per-leaf loop did.
+        # device loads pipeline: a worker thread reads + host-decodes leaf
+        # k+1 (the codec half of read_array) while this thread runs leaf
+        # k's device_put — host decode overlaps the host→device link.
+        # Requires a well-formed manifest (specs); dict-mode records and
+        # serial fallback go through read_array as before.
+        dev_gen = None
+        produced: dict[int, np.ndarray] = {}
+        if device and not _pipeline_disabled():
+            specs = _collect_leaf_specs(meta["tree"], meta["leaves"])
+            if specs is not None:
+                from .device import _checked_decode_size, _host_decode_frame
+                from .stream import DICT_MAGIC, _iter_prefetch
+
+                def stage_host(i: int):
+                    dtype, shape = specs[i]
+                    frame = r.read_frame(i + 1)
+                    if frame[:4] == DICT_MAGIC:
+                        buf = r._decode_dict_record(frame)
+                        return i, np.frombuffer(buf, dtype=dtype).reshape(shape)
+                    n = _checked_decode_size(frame, dtype)
+                    return i, _host_decode_frame(frame, n, dtype, shape)
+
+                dev_gen = _iter_prefetch(stage_host, meta["leaves"], prefetch=2)
+
         arrs: dict[int, np.ndarray] = {}
         if not device:
             specs = _collect_leaf_specs(meta["tree"], meta["leaves"])
@@ -251,6 +319,16 @@ def load_pytree(path, device: bool = False):
 
         def fetch(i: int, dtype: np.dtype, shape: tuple):
             if device:
+                if dev_gen is not None:
+                    import jax
+
+                    # _iter_prefetch yields leaves in index order; a
+                    # permuted (but complete — specs validated) manifest
+                    # walks out of order, so buffer until i arrives
+                    while i not in produced:
+                        k, host = next(dev_gen)
+                        produced[k] = host
+                    return jax.device_put(produced.pop(i))
                 return r.read_array(i + 1, dtype, shape=shape)
             got = arrs.get(i)
             if got is not None:

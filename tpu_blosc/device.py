@@ -491,6 +491,16 @@ def compress_array(x, opts: Options | None = None, strategy: str = "transfer") -
         valid-everywhere / not-bit-identical contract and transfer
         fallback as "rle".
     """
+    return _compress_array_stage2(_compress_array_stage1(x, opts, strategy))
+
+
+def _compress_array_stage1(x, opts: Options | None, strategy: str):
+    """Device + link half of compress_array, split out so checkpoint
+    writers can pipeline it: ("frame", bytes) when the leaf completed
+    inline (single-block routing, or a match/rle strategy that engaged),
+    else ("filtered", ...) for _compress_array_stage2.  compress_array IS
+    stage2(stage1(...)), so pipelined frames are byte-identical by
+    construction."""
     import jax
     import jax.numpy as jnp
 
@@ -525,21 +535,19 @@ def compress_array(x, opts: Options | None = None, strategy: str = "transfer") -
     use_chunked = opts.block_size > 0 or n > AUTO_BLOCK_THRESHOLD
 
     if not use_chunked or not do_filter or nb_full == 0:
-        # single-block / unfiltered routing: one transfer, host path
-        # (keeps frames bit-identical to the host API's routing rules)
-        return compress_with_options(np.asarray(x).tobytes(), opts)
-
+        return ("frame", compress_with_options(np.asarray(x).tobytes(), opts))
     if strategy in ("match", "auto") and opts.codec in (Codec.LZ4, Codec.LZ4HC):
         frame = _compress_array_match(x, opts, nb_full, block_size)
         if frame is not None:
-            return frame
-        # not match-compressible enough — fall through to transfer
+            return ("frame", frame)
     if strategy == "rle" and opts.codec in (Codec.LZ4, Codec.LZ4HC):
         frame = _compress_array_rle(x, opts, nb_full, block_size)
         if frame is not None:
-            return frame
-        # not run-compressible enough — fall through to transfer
+            return ("frame", frame)
+    return _device_filter_fetch(x, opts, nb_full, block_size)
 
+
+def _device_filter_fetch(x, opts: Options, nb_full: int, block_size: int):
     filtered_dev, tail_dev = _device_filter_prep(
         x, nb_full, block_size, opts.type_size, int(opts.shuffle), True
     )
@@ -558,6 +566,17 @@ def compress_array(x, opts: Options | None = None, strategy: str = "transfer") -
         filtered_all = np.concatenate([filtered, shuf_tail])
     else:
         filtered_all = filtered
+    return ("filtered", filtered_all, opts, block_size)
+
+
+def _compress_array_stage2(staged) -> bytes:
+    """Host half of compress_array: codec the filtered stream from
+    stage1 into a FLAG_SPLIT frame (pass-through for completed
+    ("frame", bytes) stages)."""
+    if staged[0] == "frame":
+        return staged[1]
+    _, filtered_all, opts, block_size = staged
+    n = filtered_all.size
 
     # host codec stage over the pre-filtered stream.  Use the SAME native
     # pipeline as chunk.compress_chunked (shuffle_mode=0 — data is already
@@ -1236,10 +1255,31 @@ def decompress_array(data, dtype, shape=None, sharding=None,
     """
     import jax
 
-    from .api import decompress_into, get_decompressed_size
+    dt = np.dtype(dtype)
+    n = _checked_decode_size(data, dt)
+    if strategy == "device":
+        out = _decompress_array_devfilter(data, n, dt, shape, sharding)
+        if out is not None:
+            return out
+    if strategy in ("rle", "records") and sharding is None:
+        out = _decompress_array_rle(data, n, dt, shape)
+        if out is not None:
+            return out
+    host = _host_decode_frame(data, n, dt, shape)
+    if sharding is not None:
+        return jax.device_put(host, sharding)
+    return jax.device_put(host)
+
+
+def _checked_decode_size(data, dt: np.dtype) -> int:
+    """decompress_array's front validation (size divisibility, 64-bit
+    narrowing guard); shared with the pipelined checkpoint loader so
+    errors match the serial path exactly."""
+    import jax
+
+    from .api import get_decompressed_size
 
     n = get_decompressed_size(data)
-    dt = np.dtype(dtype)
     if n % dt.itemsize:
         raise InvalidDataError(
             f"blosc: {n} bytes is not a whole number of {dt} elements"
@@ -1249,21 +1289,20 @@ def decompress_array(data, dtype, shape=None, sharding=None,
             f"decompress_array({dt}) requires jax_enable_x64 — jax would "
             "silently narrow the values otherwise"
         )
-    if strategy == "device":
-        out = _decompress_array_devfilter(data, n, dt, shape, sharding)
-        if out is not None:
-            return out
-    if strategy in ("rle", "records") and sharding is None:
-        out = _decompress_array_rle(data, n, dt, shape)
-        if out is not None:
-            return out
+    return n
+
+
+def _host_decode_frame(data, n: int, dt: np.dtype, shape) -> np.ndarray:
+    """Host half of decompress_array's transfer path (decode into a fresh
+    array, apply shape); split out so checkpoint loaders can run it on a
+    prefetch thread and keep only the device_put on the caller."""
+    from .api import decompress_into
+
     host = np.empty(n // dt.itemsize, dtype=dt)
     decompress_into(data, host.view(np.uint8))
     if shape is not None:
         host = host.reshape(shape)
-    if sharding is not None:
-        return jax.device_put(host, sharding)
-    return jax.device_put(host)
+    return host
 
 
 @partial(_jax.jit, static_argnums=(1, 2))
