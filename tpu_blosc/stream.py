@@ -598,8 +598,13 @@ class StreamReader:
 
         return decompress_range(frame, start, size)
 
-    def read_array(self, i: int, dtype, shape=None, sharding=None):
-        """Decompress the i-th record straight onto a device."""
+    def read_array(self, i: int, dtype, shape=None, sharding=None,
+                   strategy: str = "auto"):
+        """Decompress the i-th record straight onto a device.
+
+        ``strategy`` forwards to :func:`tpu_blosc.device.decompress_array`
+        ("records"/"rle" ship O(literal) records over the link, "device"
+        unfilters on device); dictionary records always host-decode."""
         frame = self.read_frame(i)
         if frame[:4] == DICT_MAGIC:
             import jax
