@@ -45,10 +45,11 @@ def test_swar_unshuffle_matches_u8_kernel(ts):
 
 
 @pytest.mark.parametrize("ts", [2, 4, 8, 16])
-@pytest.mark.parametrize("bs", [4096, 1024, 64])
-def test_swar_bit_shuffle_matches_u8_kernel(ts, bs):
-    if bs % (8 * ts):
-        pytest.skip("bs must be a multiple of 8*ts")
+@pytest.mark.parametrize("groups", [32, 8, 1])
+def test_swar_bit_shuffle_matches_u8_kernel(ts, groups):
+    # bs must be a multiple of 8*ts; parametrize by group count so every
+    # combination (including the single-group minimum) is legal.
+    bs = groups * 8 * ts
     arr = RNG.integers(0, 256, size=(5, bs), dtype=np.uint8)
     ref = np.asarray(fb._bit_shuffle_batch_dev(jnp.asarray(arr), ts))
     got = fb.bit_shuffle_batch(arr, ts)

@@ -102,6 +102,30 @@ def test_stream_arrays(tmp_path):
         assert np.array_equal(np.asarray(out), arr)
 
 
+def test_stream_read_array_forwards_strategy(tmp_path, monkeypatch):
+    """A non-default strategy must reach device.decompress_array (round-3
+    advisor finding: the kwarg was documented but dropped)."""
+    path = tmp_path / "s.tpbs"
+    arr = np.arange(10_000, dtype=np.float32)
+    with StreamWriter(path, blosc.Options()) as w:
+        w.write_array(arr)
+    seen = {}
+    from tpu_blosc import device as tbdevice
+
+    real = tbdevice.decompress_array
+
+    def spy(data, dtype, shape=None, sharding=None, strategy="auto"):
+        seen["strategy"] = strategy
+        return real(data, dtype, shape=shape, sharding=sharding,
+                    strategy=strategy)
+
+    monkeypatch.setattr(tbdevice, "decompress_array", spy)
+    with StreamReader(path) as r:
+        out = r.read_array(0, np.float32, strategy="transfer")
+    assert seen["strategy"] == "transfer"
+    assert np.array_equal(np.asarray(out), arr)
+
+
 def test_stream_save_load_convenience(tmp_path):
     path = tmp_path / "c.tpbs"
     data = os.urandom(5000)

@@ -619,7 +619,8 @@ class StreamReader:
             return jax.device_put(arr)
         from .device import decompress_array
 
-        return decompress_array(frame, dtype, shape=shape, sharding=sharding)
+        return decompress_array(frame, dtype, shape=shape, sharding=sharding,
+                                strategy=strategy)
 
     def iter_arrays(self, dtype, shape=None, sharding=None,
                     prefetch: int = 2):
