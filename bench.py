@@ -329,10 +329,105 @@ def stage_device_decode() -> dict:
     }
 
 
+def stage_device_checkpoint() -> dict:
+    """Device-leaf checkpoint pipeline (round-3 stage-split commit):
+    save_pytree runs leaf k+1's device filter + link fetch while leaf k
+    takes the host codec + file write; load_pytree(device=True) overlaps
+    host decode with device_put.  Reports end-to-end GB/s (link-bound on
+    this tunnel) and the pipeline-vs-serial speedup — the number that
+    proves the overlap is real."""
+    import tempfile
+
+    import jax
+
+    from tpu_blosc import checkpoint
+
+    if jax.default_backend() == "cpu":
+        return {}
+    n_leaves, leaf_elems = 8, (8 << 20) // 4
+    # dense-but-compressible leaves (tiled pattern + sparse noise, the
+    # match bench's data class) so the match/records arms engage; the
+    # transfer arms run on the same bytes for a fair comparison
+    rng = np.random.default_rng(11)
+    pattern = rng.random(256).astype(np.float32)
+    tree = {}
+    for i in range(n_leaves):
+        leaf = np.tile(pattern * (i + 1), leaf_elems // 256)
+        hit = rng.choice(leaf.size, leaf.size // 100, replace=False)
+        leaf[hit] += rng.random(hit.size).astype(np.float32) * 0.01
+        tree[f"layer{i}"] = jax.device_put(leaf)
+    jax.block_until_ready(list(tree.values()))
+    np.asarray(tree["layer0"][:8])  # honest timing needs one real fetch
+    nbytes = n_leaves * leaf_elems * 4
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "ckpt.tpbs")
+
+        def save():
+            if os.path.exists(path):
+                os.unlink(path)
+            checkpoint.save_pytree(path, tree)
+
+        def load():
+            state = checkpoint.load_pytree(path, device=True)
+            jax.block_until_ready(state)
+            np.asarray(state["layer0"][:8])
+            return state
+
+        def save_match():
+            if os.path.exists(path):
+                os.unlink(path)
+            checkpoint.save_pytree(path, tree, strategy="match")
+
+        def load_records():
+            state = checkpoint.load_pytree(
+                path, device=True, strategy="records"
+            )
+            jax.block_until_ready(state)
+            np.asarray(state["layer0"][:8])
+            return state
+
+        save()  # warm: compiles the device filter programs
+        state = load()
+        assert np.array_equal(
+            np.asarray(state["layer3"][:1024]), np.asarray(tree["layer3"][:1024])
+        ), "checkpoint roundtrip failed"
+        t_save, _ = _best(save, reps=3)
+        t_load, _ = _best(load, reps=3)
+        os.environ["TPU_BLOSC_NO_CKPT_PIPELINE"] = "1"
+        try:
+            t_save_ser, _ = _best(save, reps=2)
+            t_load_ser, _ = _best(load, reps=2)
+        finally:
+            del os.environ["TPU_BLOSC_NO_CKPT_PIPELINE"]
+        # record-strategy arms: the slow-link lever — O(records) over the
+        # link instead of raw bytes (save: device match discovery;
+        # load: device-side reconstruct from literal records)
+        save_match()  # warm (compiles the match pipeline at this shape)
+        state = load_records()
+        assert np.array_equal(
+            np.asarray(state["layer5"][:1024]), np.asarray(tree["layer5"][:1024])
+        ), "record-strategy roundtrip failed"
+        t_save_match, _ = _best(save_match, reps=2)
+        t_load_rec, _ = _best(load_records, reps=2)
+    return {
+        "checkpoint_device_save_gbps": round(nbytes / t_save / 1e9, 3),
+        "checkpoint_device_load_gbps": round(nbytes / t_load / 1e9, 3),
+        "checkpoint_device_save_speedup": round(t_save_ser / t_save, 2),
+        "checkpoint_device_load_speedup": round(t_load_ser / t_load, 2),
+        "checkpoint_device_save_match_gbps": round(
+            nbytes / t_save_match / 1e9, 3
+        ),
+        "checkpoint_device_load_records_gbps": round(
+            nbytes / t_load_rec / 1e9, 3
+        ),
+    }
+
+
 STAGES = {
     "device_filter": (stage_device_filter, 240),
     "device_match": (stage_device_match, 540),   # first compile ~8 min but
     "device_decode": (stage_device_decode, 540),  # cached after one run
+    "device_checkpoint": (stage_device_checkpoint, 540),
 }
 
 
@@ -406,7 +501,7 @@ def _probe_device_present(timeout: float = 120.0) -> bool:
 
 def main() -> None:
     signal.signal(signal.SIGALRM, _watchdog)
-    signal.alarm(1500)
+    signal.alarm(2400)  # 4 device stages (each subprocess-bounded below)
     # the parent process itself never needs a device: the host pipeline is
     # host-only and every device stage runs in its own subprocess.  The
     # library's import-time jax probe would HANG here when the tunnel is
@@ -449,7 +544,7 @@ def main() -> None:
             result = _run_stage_subprocess(name, timeout)
             _RECORD.update(
                 {
-                    k: (round(v, 1) if isinstance(v, float) else v)
+                    k: (round(v, 3) if isinstance(v, float) else v)
                     for k, v in result.items()
                 }
             )

@@ -56,6 +56,14 @@ DEVICE_FLOORS = {
     "device_bitshuffle_gbps": 12.0,   # typical 39 (slope-timed)
     "device_match_speedup": 1.5,      # typical 2.2-2.7
     "device_decode_fill_gbps": 0.4,   # typical 1.4-2 (scatter-bound)
+    # checkpoint pipeline: LINK-bound on this tunnel (raw link 30-90 MB/s
+    # with 3x swings) — floors guard orders-of-magnitude breakage only
+    "checkpoint_device_save_gbps": 0.008,    # typical 0.036
+    "checkpoint_device_load_gbps": 0.015,    # typical 0.11
+    "checkpoint_device_save_speedup": 0.7,   # typical ~1.0 (host stage ~2%)
+    "checkpoint_device_load_speedup": 0.7,
+    "checkpoint_device_save_match_gbps": 0.008,    # typical 0.04
+    "checkpoint_device_load_records_gbps": 0.02,   # typical 0.15
 }
 
 

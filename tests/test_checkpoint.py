@@ -332,6 +332,60 @@ def test_checkpoint_device_pipeline_bytes_identical(tmp_path, monkeypatch):
         assert np.array_equal(np.asarray(out2[k]), np.asarray(ref[k]))
 
 
+def test_checkpoint_strategy_roundtrip(tmp_path):
+    """save_pytree(strategy="match") / load_pytree(strategy="records")
+    roundtrip device leaves (the slow-link record paths); frames stay
+    standard so transfer loads read them too."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    # tiled pattern + sparse noise: the match strategy's data class;
+    # big enough for the chunked multi-block routing the record
+    # strategies require
+    leaf = np.tile(rng.random(256).astype(np.float32), 16384)
+    hit = rng.choice(leaf.size, leaf.size // 100, replace=False)
+    leaf[hit] += 0.01
+    state = {"w": jnp.asarray(leaf), "b": jnp.asarray(leaf[:100_000] * 2)}
+    path = tmp_path / "match.tpbs"
+    checkpoint.save_pytree(path, state, strategy="match")
+    out = checkpoint.load_pytree(path, device=True, strategy="records")
+    for k in state:
+        assert isinstance(out[k], jax.Array)
+        assert np.array_equal(np.asarray(out[k]), np.asarray(state[k]))
+    # standard frames: the default transfer load reads the same file
+    out2 = checkpoint.load_pytree(path, device=True)
+    for k in state:
+        assert np.array_equal(np.asarray(out2[k]), np.asarray(state[k]))
+
+
+def test_checkpoint_save_strategy_forwarded(tmp_path, monkeypatch):
+    """The strategy kwarg must reach _compress_array_stage1 for every
+    leaf in a pipelined device run (advisor-style plumbing pin)."""
+    import jax.numpy as jnp
+
+    from tpu_blosc import device as tbdevice
+
+    seen = []
+    real = tbdevice._compress_array_stage1
+
+    def spy(x, opts, strategy):
+        seen.append(strategy)
+        return real(x, opts, strategy)
+
+    monkeypatch.setattr(tbdevice, "_compress_array_stage1", spy)
+    state = {
+        "a": jnp.asarray(np.linspace(0, 1, 500_000, dtype=np.float32)),
+        "b": jnp.asarray(np.linspace(1, 2, 500_000, dtype=np.float32)),
+    }
+    path = tmp_path / "fwd.tpbs"
+    checkpoint.save_pytree(path, state, strategy="match")
+    assert seen == ["match", "match"]
+    out = checkpoint.load_pytree(path, device=True)
+    for k in state:
+        assert np.array_equal(np.asarray(out[k]), np.asarray(state[k]))
+
+
 def test_checkpoint_device_load_permuted_manifest(tmp_path):
     """A manifest whose tree walks leaves out of index order still loads
     on device: the pipeline buffers decoded leaves until requested."""

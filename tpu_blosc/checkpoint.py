@@ -111,7 +111,8 @@ def _pipeline_disabled() -> bool:
     return bool(os.environ.get("TPU_BLOSC_NO_CKPT_PIPELINE"))
 
 
-def _write_leaf_records(w: StreamWriter, records, opts: Options | None):
+def _write_leaf_records(w: StreamWriter, records, opts: Options | None,
+                        strategy: str = "transfer"):
     """Emit ("host", ndarray) / ("device", jax-array) records in order.
 
     Runs of consecutive device leaves write through a 1-deep pipeline: a
@@ -155,7 +156,8 @@ def _write_leaf_records(w: StreamWriter, records, opts: Options | None):
         if len(run) == 1 or _pipeline_disabled():
             for data in run:
                 w.write_array(
-                    data, leaf_opts_for(np.dtype(data.dtype).itemsize)
+                    data, leaf_opts_for(np.dtype(data.dtype).itemsize),
+                    strategy=strategy,
                 )
             return
         from .device import _compress_array_stage1, _compress_array_stage2
@@ -165,7 +167,7 @@ def _write_leaf_records(w: StreamWriter, records, opts: Options | None):
             lambda t: _compress_array_stage1(
                 run[t],
                 leaf_opts_for(np.dtype(run[t].dtype).itemsize),
-                "transfer",
+                strategy,
             ),
             len(run),
             prefetch=1,
@@ -225,12 +227,20 @@ def _collect_leaf_specs(tree, n_leaves: int):
 
 
 def save_pytree(path, tree, opts: Options | None = None,
-                checksum: bool = False) -> None:
+                checksum: bool = False, strategy: str = "transfer") -> None:
     """Write a nested array structure as a compressed checkpoint file.
 
     ``checksum=True`` adds a crc32 per record (stream flag bit 0) so
     load_pytree detects bit rot inside compressed leaves instead of
     returning plausible garbage — the integrity story for model state.
+
+    ``strategy`` applies to DEVICE leaves (forwards to
+    device.compress_array): "transfer" (default) ships the filtered
+    bytes over the link; "match" lets the device match-discovery codec
+    ship O(records) instead when a leaf is record-sparse — on a slow
+    host<->device link the checkpoint save is link-bound, so shipping
+    ~10x fewer bytes is the only real lever (frames stay standard and
+    load-compatible either way; dense leaves fall back to transfer).
     """
     leaves: list = []
     skeleton = _encode(tree, leaves)
@@ -244,11 +254,19 @@ def save_pytree(path, tree, opts: Options | None = None,
             (("host" if isinstance(lf, np.ndarray) else "device", lf)
              for lf in leaves),
             opts,
+            strategy=strategy,
         )
 
 
-def load_pytree(path, device: bool = False):
-    """Read a checkpoint back; numpy leaves by default, jax with device=True."""
+def load_pytree(path, device: bool = False, strategy: str = "transfer"):
+    """Read a checkpoint back; numpy leaves by default, jax with device=True.
+
+    With ``device=True``, ``strategy`` forwards to
+    device.decompress_array per leaf: "records"/"rle" ship O(literal)
+    records over the link and reconstruct on device (the slow-link lever
+    — raw device_put is what binds the default path), "transfer"
+    (default) host-decodes with a prefetch pipeline and uploads bytes.
+    """
     with StreamReader(path) as r:
         if len(r) == 0:
             raise InvalidDataError("blosc: invalid compressed data: empty checkpoint")
@@ -275,7 +293,11 @@ def load_pytree(path, device: bool = False):
         # serial fallback go through read_array as before.
         dev_gen = None
         produced: dict[int, np.ndarray] = {}
-        if device and not _pipeline_disabled():
+        if device and strategy not in ("transfer", "auto"):
+            # records/rle/device strategies decode ON DEVICE from frame
+            # records — the host-decode prefetch pipeline does not apply
+            pass
+        elif device and not _pipeline_disabled():
             specs = _collect_leaf_specs(meta["tree"], meta["leaves"])
             if specs is not None:
                 from .device import _checked_decode_size, _host_decode_frame
@@ -329,7 +351,8 @@ def load_pytree(path, device: bool = False):
                         k, host = next(dev_gen)
                         produced[k] = host
                     return jax.device_put(produced.pop(i))
-                return r.read_array(i + 1, dtype, shape=shape)
+                return r.read_array(i + 1, dtype, shape=shape,
+                                    strategy=strategy)
             got = arrs.get(i)
             if got is not None:
                 return got
