@@ -206,7 +206,8 @@ def stage_device_filter() -> dict:
         ("device_shuffle_gbps", lambda a: fb._shuffle_batch_dev(a, 4), arr),
         ("device_bitshuffle_gbps",
          lambda a: fb._bit_shuffle_batch_dev(a, 4), arr),
-        # production ts=4 paths for 4-byte dtypes (SWAR word transpose)
+        # SWAR word-transpose ts=4 paths (round-3 production; now the
+        # fallback when the Pallas byte-plane geometry doesn't fit)
         ("device_shuffle_u32_gbps", fb._shuffle_batch_dev_u32, arr_w),
         ("device_unshuffle_u32_gbps", fb._unshuffle_batch_dev_u32, arr_w),
         ("device_bitshuffle_u32_gbps", fb._bit_shuffle_batch_dev_u32, arr_w),
@@ -217,6 +218,36 @@ def stage_device_filter() -> dict:
         t_hi = timed_loop(fn, x, K_HI)
         per_iter = max((t_hi - t_lo) / (K_HI - K_LO), 1e-9)
         out[key] = N / per_iter / 1e9
+
+    # round-4 Pallas byte-plane kernels (production ts=4/ts=2 byte
+    # shuffle): slope of the shuffle∘unshuffle pair (shapes must chain
+    # for the feedback loop), reported per-op.  Intermediates stay
+    # VMEM-resident at this size, so this is the in-pipeline number; the
+    # 256 MiB HBM-wall number is ~338 (pallas_kernels.py record).
+    from tpu_blosc.filters import pallas_kernels as pk
+
+    def pair4(a):
+        return pk.byte_plane_merge(pk.byte_plane_split(a, 4), 4)
+
+    t_lo = timed_loop(pair4, arr_w, K_LO)
+    t_hi = timed_loop(pair4, arr_w, K_HI)
+    per_pair = max((t_hi - t_lo) / (K_HI - K_LO), 1e-9)
+    out["device_shuffle_pallas_gbps"] = 2 * N / per_pair / 1e9
+
+    arr_h = jax.device_put(
+        np.arange(N // 4, dtype=np.uint32)
+        .view(np.uint16)
+        .reshape(N // BLOCK, BLOCK // 2)
+    )
+    jax.block_until_ready(arr_h)
+
+    def pair2(a):
+        return pk.byte_plane_merge(pk.byte_plane_split(a, 2), 2)
+
+    t_lo = timed_loop(pair2, arr_h, K_LO)
+    t_hi = timed_loop(pair2, arr_h, K_HI)
+    per_pair = max((t_hi - t_lo) / (K_HI - K_LO), 1e-9)
+    out["device_shuffle_pallas_ts2_gbps"] = 2 * N / per_pair / 1e9
     return out
 
 

@@ -54,6 +54,8 @@ DEVICE_FLOORS = {
     "device_bitshuffle_u32_gbps": 30.0,    # typical 97
     "device_bitunshuffle_u32_gbps": 30.0,  # typical 95
     "device_bitshuffle_gbps": 12.0,   # typical 39 (slope-timed)
+    "device_shuffle_pallas_gbps": 120.0,      # typical 330 (pair slope)
+    "device_shuffle_pallas_ts2_gbps": 120.0,  # typical 330
     "device_match_speedup": 1.5,      # typical 2.2-2.7
     "device_decode_fill_gbps": 0.4,   # typical 1.4-2 (scatter-bound)
     # checkpoint pipeline: LINK-bound on this tunnel (raw link 30-90 MB/s

@@ -1,0 +1,160 @@
+"""Profile the records-decode device program at the bench shape:
+scatter vs forward-fill vs select/unfilter (VERDICT round-3 weak #2:
+fill is 1.4-2.3 GB/s; where does the time go?).
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import tpu_blosc as blosc
+from tpu_blosc import device as tbdev
+from tpu_blosc.options import Options
+
+N = 256 * 1024 * 1024
+BLOCK = 1 << 20
+
+
+def bench_data():
+    rng = np.random.default_rng(5)
+    n_el = N // 4
+    pattern = rng.random(256).astype(np.float32)
+    data = np.tile(pattern, n_el // 256)
+    hit = rng.choice(data.size, data.size // 100, replace=False)
+    data[hit] += rng.random(hit.size).astype(np.float32) * 0.01
+    return data
+
+
+def timeit(fn, reps=5):
+    r = fn()
+    jax.block_until_ready(r)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        r = fn()
+        jax.block_until_ready(r)
+        best = min(best, time.perf_counter() - t0)
+    return best, r
+
+
+def main():
+    data = bench_data()
+    frame = blosc.compress_with_options(data.tobytes(), Options(block_size=BLOCK))
+    captured = {}
+    real = tbdev._device_match_decode
+
+    def spy(*a):
+        captured["a"] = a
+        return real(*a)
+
+    tbdev._device_match_decode = spy
+    try:
+        out = tbdev.decompress_array(frame, np.float32, strategy="records")
+        np.asarray(out[:8])
+    finally:
+        tbdev._device_match_decode = real
+    vals, pos, sel, offsets, nseg, seg, bs, ts, mode = captured["a"]
+    print(f"nseg={nseg} seg={seg} offsets={offsets} nlit~{int(vals.shape[0])}"
+          f" K={len(offsets)}")
+
+    t_full, _ = timeit(lambda: real(*captured["a"]))
+    print(f"full decode program: {t_full * 1e3:.1f} ms "
+          f"({N / t_full / 1e9:.2f} GB/s)")
+
+    total = nseg * seg
+
+    @jax.jit
+    def scatter_only(vals, pos):
+        comb = vals.astype(jnp.uint16) | jnp.uint16(0x100)
+        return jnp.zeros(total, jnp.uint16).at[pos].set(
+            comb, mode="drop", unique_indices=True, indices_are_sorted=True
+        )
+
+    t_scat, grid = timeit(lambda: scatter_only(vals, pos))
+    print(f"scatter only: {t_scat * 1e3:.1f} ms")
+
+    # fill + select from a prebuilt grid (replicate _device_match_decode
+    # minus the scatter)
+    c = tbdev._decode_row_chunk(nseg, seg)
+    K = len(offsets)
+
+    @jax.jit
+    def fill_only(grid, sel):
+        g = nseg // c
+        g3 = grid.reshape(g, c, seg)
+        s3 = sel.reshape(g, c, -1)
+
+        def _fill_chunk(_, xs):
+            gc, sc = xs
+            out = None
+            for i, d in enumerate(offsets):
+                m = -(-seg // d)
+                L1 = tbdev._FILL_L1
+                if m >= 1024 and (m * d) < 2**30:
+                    m1 = -(-m // L1)
+                    pad = m1 * L1 * d - seg
+                    gp = jnp.pad(gc, ((0, 0), (0, pad))) if pad else gc
+                    gr = gp.reshape(c, m1, L1, d)
+                    idx2 = jnp.arange(L1, dtype=jnp.uint16)[None, None, :, None]
+                    l1 = jnp.where(gr != 0, ((idx2 + 1) << 8) | (gr & 0xFF), 0)
+                    l1 = jax.lax.cummax(l1, axis=2)
+                    last = l1[:, :, -1, :]
+                    idx1 = jnp.arange(m1, dtype=jnp.int32)[None, :, None]
+                    k2 = jnp.where(
+                        last != 0,
+                        ((idx1 + 1) << 8) | (last & 0xFF).astype(jnp.int32),
+                        0,
+                    )
+                    k2 = jax.lax.cummax(k2, axis=1)
+                    prev = jnp.concatenate(
+                        [jnp.zeros((c, 1, d), jnp.int32), k2[:, :-1, :]], axis=1
+                    )
+                    prev_val = (prev & 0xFF).astype(jnp.uint8)[:, :, None, :]
+                    fill = jnp.where(
+                        l1 != 0, (l1 & 0xFF).astype(jnp.uint8), prev_val
+                    )
+                    fill = fill.reshape(c, m1 * L1 * d)[:, :seg]
+                else:
+                    pad = m * d - seg
+                    gp = jnp.pad(gc, ((0, 0), (0, pad))) if pad else gc
+                    gr = gp.reshape(c, m, d)
+                    key = jnp.where(
+                        gr != 0,
+                        ((jnp.arange(m, dtype=jnp.int32)[None, :, None] + 1) << 8)
+                        | (gr & 0xFF).astype(jnp.int32),
+                        0,
+                    )
+                    key = jax.lax.cummax(key, axis=1)
+                    fill = (key & 0xFF).astype(jnp.uint8).reshape(c, m * d)[:, :seg]
+                if K == 1:
+                    out = fill
+                else:
+                    o = jnp.zeros((c, seg), jnp.uint8) if out is None else out
+                    out = jnp.where(sc[:, i : i + 1], fill, o)
+            return None, out
+
+        if g == 1:
+            _, o = _fill_chunk(None, (g3[0], s3[0]))
+            return o
+        _, chunks = jax.lax.scan(_fill_chunk, None, (g3, s3))
+        return chunks.reshape(nseg, seg)
+
+    t_fill, filled = timeit(lambda: fill_only(grid, sel))
+    print(f"fill+select only: {t_fill * 1e3:.1f} ms")
+
+    from tpu_blosc.filters import batched as fb
+
+    @jax.jit
+    def unfilter_only(filled):
+        blocks = filled.reshape(-1, bs)
+        return fb._unshuffle_batch_dev(blocks, ts).reshape(-1)
+
+    t_unf, _ = timeit(lambda: unfilter_only(filled))
+    print(f"unfilter only: {t_unf * 1e3:.1f} ms")
+    print(f"sum of stages: {(t_scat + t_fill + t_unf) * 1e3:.1f} ms")
+
+
+if __name__ == "__main__":
+    main()

@@ -473,10 +473,34 @@ def _run(fn, arr: np.ndarray, type_size: int) -> np.ndarray:
     return np.asarray(out)
 
 
+def _use_pallas_planes(bs: int, type_size: int) -> bool:
+    """Gate for the round-4 Pallas byte-plane kernels: real TPU backend,
+    fusable geometry, escape hatch honored.  338-660 GB/s per direction
+    measured vs 84-144 for the XLA SWAR word paths (pallas_kernels.py)."""
+    import os
+
+    if os.environ.get("TPU_BLOSC_NO_PALLAS_SHUFFLE"):
+        return False
+    from . import pallas_kernels as pk
+
+    return (
+        jax.default_backend() == "tpu"
+        and pk.byte_plane_fusable(bs, type_size)
+    )
+
+
 def shuffle_batch(arr: np.ndarray, type_size: int) -> np.ndarray:
     """Byte-shuffle each row of (nb, bs); bs must be a multiple of ts."""
     if arr.shape[1] % type_size:
         raise ValueError("block size must be a multiple of type_size")
+    if _use_pallas_planes(arr.shape[1], type_size):
+        wdt = np.uint16 if type_size == 2 else np.uint32
+        w = _view_as(arr, wdt, type_size)
+        if w is not None:
+            from . import pallas_kernels as pk
+
+            out = np.asarray(pk.byte_plane_split(jnp.asarray(w), type_size))
+            return out.reshape(arr.shape)
     if type_size in _SWAR_SHUFFLE:
         w = _word_view(arr, type_size)
         if w is not None:
@@ -488,6 +512,13 @@ def shuffle_batch(arr: np.ndarray, type_size: int) -> np.ndarray:
 def unshuffle_batch(arr: np.ndarray, type_size: int) -> np.ndarray:
     if arr.shape[1] % type_size:
         raise ValueError("block size must be a multiple of type_size")
+    if _use_pallas_planes(arr.shape[1], type_size):
+        from . import pallas_kernels as pk
+
+        nb, bs = arr.shape
+        planes = np.ascontiguousarray(arr).reshape(nb, type_size, -1)
+        out = np.asarray(pk.byte_plane_merge(jnp.asarray(planes), type_size))
+        return out.view(np.uint8).reshape(arr.shape)
     if type_size in _SWAR_UNSHUFFLE:
         w = _word_view(arr, type_size)
         if w is not None:

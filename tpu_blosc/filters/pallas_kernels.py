@@ -196,6 +196,111 @@ def stream_probe(data) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# byte-shuffle kernels (round 4): elementwise byte-plane split/merge
+# ---------------------------------------------------------------------------
+#
+# Round-4 finding (scratch/pallas_r4_probe*.py, measured on the attached
+# v5e): the ts=4 byte shuffle needs NO lane regrouping at all when the
+# kernel's output ref is uint8 — plane c is just ((w >> 8c) & 0xFF) of
+# every word IN ORDER, and the u8 STORE does the byte packing in the
+# store unit.  The whole XLA SWAR _t4x4 dance exists only because an
+# XLA-level u8 output materializes with relayouts.  Honest loop-slope
+# numbers, feedback-chained pair (shuffle∘unshuffle), per-op GB/s:
+#
+#   64 MiB:  pair per-op 663 (intermediates VMEM-resident), one-way ~450
+#   256 MiB: pair per-op 338 — at the HBM wall (1 GiB traffic / 1.59 ms
+#            = 676 GB/s of the 819 peak), no VMEM help possible
+#
+# vs the XLA SWAR path's 141-144 (ts4) / 84-90 (ts2).  Strided lane
+# loads (pl.Slice(t, k, 4)) still crash Mosaic server-side (HTTP 500),
+# so ts8/ts16 — which need phase compaction — stay on the SWAR path;
+# ts2 rides the same elementwise trick in u16 words.
+
+_BP_LN = 512  # lanes per kernel row (words)
+
+
+def _plane_split_kernel(ts: int):
+    def kern(x_ref, o_ref):
+        # u16 vector shifts don't legalize (arith.shrui on packed i16);
+        # widen to u32 in-register — the conversion is a value op, cheap
+        w = x_ref[0].astype(jnp.uint32)
+        for c in range(ts):
+            o_ref[0, c] = ((w >> (8 * c)) & 0xFF).astype(jnp.uint8)
+
+    return kern
+
+
+def _plane_merge_kernel(ts: int, wdt):
+    def kern(p_ref, o_ref):
+        w = p_ref[0, 0].astype(jnp.uint32)
+        for c in range(1, ts):
+            w = w | (p_ref[0, c].astype(jnp.uint32) << (8 * c))
+        o_ref[0] = w.astype(wdt)
+
+    return kern
+
+
+def byte_plane_fusable(bs: int, ts: int) -> bool:
+    """Geometry gate: the (rows, 512)-word view of one block needs whole
+    tiles of >= 8 sublane rows."""
+    if ts not in (2, 4):
+        return False
+    rows = bs // ts // _BP_LN
+    return bs % (ts * _BP_LN) == 0 and rows >= 8 and rows % 8 == 0
+
+
+def _bp_tile(rows: int) -> int:
+    sl = 512
+    while rows % sl:
+        sl //= 2
+    return sl
+
+
+@partial(jax.jit, static_argnums=(1,))
+def byte_plane_split(xw, ts: int):
+    """(nb, W) words of ts-byte elements -> (nb, ts, W) uint8 byte planes
+    (flattening the last two dims of the output gives the byte-shuffled
+    stream of each block).  ≙ shuffleBytes (shuffle.go:60-64) per block."""
+    nb, W = xw.shape
+    rows = W // _BP_LN
+    sl = _bp_tile(rows)
+    x3 = xw.reshape(nb, rows, _BP_LN)
+    out = pl.pallas_call(
+        _plane_split_kernel(ts),
+        out_shape=jax.ShapeDtypeStruct((nb, ts, rows, _BP_LN), jnp.uint8),
+        grid=(nb, rows // sl),
+        in_specs=[pl.BlockSpec((1, sl, _BP_LN), lambda b, i: (b, i, 0))],
+        out_specs=pl.BlockSpec(
+            (1, ts, sl, _BP_LN), lambda b, i: (b, 0, i, 0)
+        ),
+        interpret=_INTERPRET,
+    )(x3)
+    return out.reshape(nb, ts, W)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def byte_plane_merge(planes, ts: int):
+    """(nb, ts, W) uint8 byte planes -> (nb, W) words; the inverse of
+    byte_plane_split.  ≙ unshuffleBytes (shuffle.go:85-117) per block."""
+    nb, _, W = planes.shape
+    rows = W // _BP_LN
+    sl = _bp_tile(rows)
+    wdt = jnp.uint16 if ts == 2 else jnp.uint32
+    p4 = planes.reshape(nb, ts, rows, _BP_LN)
+    out = pl.pallas_call(
+        _plane_merge_kernel(ts, wdt),
+        out_shape=jax.ShapeDtypeStruct((nb, rows, _BP_LN), wdt),
+        grid=(nb, rows // sl),
+        in_specs=[
+            pl.BlockSpec((1, ts, sl, _BP_LN), lambda b, i: (b, 0, i, 0))
+        ],
+        out_specs=pl.BlockSpec((1, sl, _BP_LN), lambda b, i: (b, i, 0)),
+        interpret=_INTERPRET,
+    )(p4)
+    return out.reshape(nb, W)
+
+
+# ---------------------------------------------------------------------------
 # fused match kernel: per-row best-offset equality + opening(T) + nibble mask
 # ---------------------------------------------------------------------------
 
