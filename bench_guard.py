@@ -57,7 +57,9 @@ DEVICE_FLOORS = {
     "device_shuffle_pallas_gbps": 120.0,      # typical 330 (pair slope)
     "device_shuffle_pallas_ts2_gbps": 120.0,  # typical 330
     "device_match_speedup": 1.5,      # typical 2.2-2.7
-    "device_decode_fill_gbps": 0.4,   # typical 1.4-2 (scatter-bound)
+    "device_decode_fill_gbps": 2.0,   # typical 5.1 (round 4: Pallas plane
+    # merge unfilter + bucketed literal caps; scatter is the remaining
+    # floor at ~5 cycles/padded update on the scalar core)
     # checkpoint pipeline: LINK-bound on this tunnel (raw link 30-90 MB/s
     # with 3x swings) — floors guard orders-of-magnitude breakage only
     "checkpoint_device_save_gbps": 0.008,    # typical 0.036

@@ -55,7 +55,7 @@ def main():
         np.asarray(out[:8])
     finally:
         tbdev._device_match_decode = real
-    vals, pos, sel, offsets, nseg, seg, bs, ts, mode = captured["a"]
+    vals, pos, sel, offsets, nseg, seg, bs, ts, mode, *_pm = captured["a"]
     print(f"nseg={nseg} seg={seg} offsets={offsets} nlit~{int(vals.shape[0])}"
           f" K={len(offsets)}")
 

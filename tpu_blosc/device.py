@@ -154,6 +154,19 @@ def _pow2(n: int) -> int:
     return 1 << max(n - 1, 0).bit_length()
 
 
+def _cap_bucket(n: int) -> int:
+    """Shape-stable pad cap with <=33% overhead: next of {3*2^(k-2), 2^k}.
+
+    The literal scatter/gather programs cost ~5 cycles per PADDED entry
+    (measured round 4, scratch/scatter_probe2.py), so plain pow2 padding
+    wastes up to 2x device time; the extra 3*2^(k-2) bucket halves the
+    worst case for one more compile variant per octave (same trick as the
+    pow2+3*pow2 offset grid)."""
+    p = _pow2(n)
+    q = 3 * p // 4
+    return q if n <= q else p
+
+
 @partial(_jax.jit, static_argnums=(1, 2, 3, 4, 5))
 def _device_filter_seg_counts(
     x, nb: int, bs: int, type_size: int, mode: int, seg: int
@@ -773,8 +786,9 @@ def _compress_array_match(x, opts: Options, nb_full: int, block_size: int):
     pos = _nb.mask_positions(packed.reshape(-1), n_real)
     if pos is None or pos.size != n_real:  # mask disagreement: bail safely
         return None
-    # pad positions to a pow2 cap so the gather program's shape is stable
-    cap = _pow2(max(n_real, 4096))
+    # pad positions to a bucketed cap so the gather program's shape is
+    # stable without paying pow2's up-to-2x padded-entry cost
+    cap = _cap_bucket(max(n_real, 4096))
     pos_p = np.full(cap, nseg * seg, dtype=np.int32)
     pos_p[:n_real] = pos
     vals_d = _device_gather_vals(segs_d, _jax.device_put(pos_p))
@@ -1049,10 +1063,10 @@ def _decode_row_chunk(nseg: int, seg: int, target_bytes: int = 512 << 20) -> int
 _FILL_L1 = 128
 
 
-@partial(_jax.jit, static_argnums=(3, 4, 5, 6, 7, 8))
+@partial(_jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9))
 def _device_match_decode(
     vals, pos, sel, offsets: tuple, nseg: int, seg: int,
-    bs: int, type_size: int, mode: int,
+    bs: int, type_size: int, mode: int, plane_merge: bool = False,
 ):
     """Reconstruct + unfilter from literal records in ONE compiled program.
 
@@ -1163,6 +1177,15 @@ def _device_match_decode(
     from .filters import batched as fb
 
     blocks = out.reshape(-1, bs)
+    if plane_merge and mode == int(Shuffle.SHUFFLE):
+        # round-4: the Pallas byte-plane merge unfilters at 330 GB/s vs
+        # ~5 GB/s for the u8 SWAR fallback (52 of the old ~114 ms program
+        # at the 256 MiB bench shape).  Returns ts-wide WORDS; the caller
+        # views them as the element dtype (gated on dt.itemsize == ts).
+        from .filters import pallas_kernels as pk
+
+        planes = blocks.reshape(-1, type_size, bs // type_size)
+        return pk.byte_plane_merge(planes, type_size).reshape(-1)
     if mode == int(Shuffle.SHUFFLE):
         res = fb._unshuffle_batch_dev(blocks, type_size)
     else:
@@ -1588,7 +1611,7 @@ def _decompress_array_rle(data, n: int, dt, shape):
     # distinct offsets stays HBM-resident (round 2 capped at 4).
     present = tuple(sorted(int(d) for d in np.unique(d_all)))
     vals = rows2d.reshape(-1)[relpos]
-    cap = _pow2(max(relpos.size, 4096))
+    cap = _cap_bucket(max(relpos.size, 4096))
     pos_p = np.full(cap, nseg * seg, np.int32)  # OOB pads are dropped
     pos_p[: relpos.size] = relpos
     vals_p = np.zeros(cap, np.uint8)
@@ -1596,10 +1619,19 @@ def _decompress_array_rle(data, n: int, dt, shape):
     best = np.searchsorted(np.asarray(present), d_all)
     sel = np.zeros((nseg, len(present)), bool)
     sel[np.arange(nseg), best] = True
+    from .filters import batched as fbat
+
+    ts = header.type_size
+    plane_merge = (
+        int(header.shuffle_mode) == int(Shuffle.SHUFFLE)
+        and dt.itemsize == ts
+        and fbat._use_pallas_planes(header.block_size, ts)
+    )
     flat = _device_match_decode(
         jax.device_put(vals_p), jax.device_put(pos_p), jax.device_put(sel),
         present, nseg, seg,
-        header.block_size, header.type_size, int(header.shuffle_mode),
+        header.block_size, ts, int(header.shuffle_mode), plane_merge,
     )
-    out = flat.view(dt.name) if dt != np.uint8 else flat
+    # plane_merge returns ts-wide words (same bytes): view covers both
+    out = flat.view(dt.name) if flat.dtype != dt else flat
     return out.reshape(shape) if shape is not None else out
