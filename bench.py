@@ -116,6 +116,13 @@ def bench_host_pipeline() -> dict:
     tbd, ob = _best(lambda: blosc.decompress(cb), reps=12)
     assert ob == d1, "blosclz roundtrip failed"
 
+    # ZLIB on the same shape — guards the round-4 libdeflate encode path
+    # (segmented + BFINAL-patched; reference baseline 507 MB/s)
+    cz = blosc.compress(d1, blosc.ZLIB)
+    tzc, cz = _best(lambda: blosc.compress(d1, blosc.ZLIB), reps=12)
+    tzd, oz = _best(lambda: blosc.decompress(cz), reps=12)
+    assert oz == d1, "zlib roundtrip failed"
+
     # batch API on the reference's own 100 KB config: 64 frames per call,
     # whole small frames scheduled across the SpinPool (per-frame
     # parallelism stays impossible below 256 KiB on this host — see
@@ -137,6 +144,8 @@ def bench_host_pipeline() -> dict:
         "single_block_1mib_decompress_gbps": n1 / t1d / 1e9,
         "blosclz_1mib_compress_gbps": n1 / tbc / 1e9,
         "blosclz_1mib_decompress_gbps": n1 / tbd / 1e9,
+        "zlib_1mib_compress_gbps": n1 / tzc / 1e9,
+        "zlib_1mib_decompress_gbps": n1 / tzd / 1e9,
         "batch_100kb_compress_gbps": nb_total / tbat_c / 1e9,
         "batch_100kb_decompress_gbps": nb_total / tbat_d / 1e9,
         "backend": blosc.backend_name(),
@@ -557,6 +566,12 @@ def main() -> None:
         ),
         "blosclz_1mib_decompress_gbps": round(
             host["blosclz_1mib_decompress_gbps"], 3
+        ),
+        "zlib_1mib_compress_gbps": round(
+            host["zlib_1mib_compress_gbps"], 3
+        ),
+        "zlib_1mib_decompress_gbps": round(
+            host["zlib_1mib_decompress_gbps"], 3
         ),
         "batch_100kb_compress_gbps": round(
             host["batch_100kb_compress_gbps"], 3

@@ -33,6 +33,8 @@ FLOORS = {
     # native path silently dropping out for the sixth codec
     "blosclz_1mib_compress_gbps": 3.0,
     "blosclz_1mib_decompress_gbps": 3.0,
+    "zlib_1mib_compress_gbps": 0.7,    # typical 1.1-1.25 (round-4 ld path)
+    "zlib_1mib_decompress_gbps": 1.5,  # typical 3+ (libdeflate inflate)
     # batch API over 64x100 KB frames (round 3): whole-frame SpinPool
     # slices read ~25-31 / 18-24; a collapse to the scalar loop reads
     # ~7-10 both ways

@@ -552,3 +552,115 @@ def test_blosclz_parallel_decode_corruption_parity():
                 assert accepted == data
         else:
             assert native_out == py_out
+
+
+# ---------------------------------------------------------------------------
+# round 4: libdeflate encode path for SHUFFLED zlib payloads
+# (tpublosc.cpp zlib_ld_segment/zlib_ld_whole + deflate_walk BFINAL patch)
+# ---------------------------------------------------------------------------
+
+
+def _zlib_fixture(kind, n):
+    rng = np.random.default_rng(11)
+    if kind == "ramp":
+        return np.arange(n // 4, dtype=np.float32).tobytes()[:n]
+    if kind == "noisy":
+        base = np.arange(n // 4, dtype=np.float32)
+        return (base + rng.random(n // 4).astype(np.float32)).tobytes()[:n]
+    if kind == "random":  # incompressible: libdeflate emits stored blocks
+        return rng.integers(0, 256, n, np.uint8).tobytes()
+    return (b"the quick brown fox compresses " * (n // 31 + 1))[:n]
+
+
+@pytest.mark.parametrize("kind", ["ramp", "noisy", "random", "text"])
+@pytest.mark.parametrize(
+    "n", [SEG_MIN, SEG_MIN + 13, 1024 * 1024 + 7, 2 * 1024 * 1024]
+)
+@pytest.mark.parametrize("level", [4, 5, 9])
+def test_zlib_ld_patched_stream_is_standard(kind, n, level):
+    """Shuffled zlib payloads ride libdeflate; non-final segments are
+    BFINAL-patched by the deflate walker into the Z_SYNC_FLUSH layout.
+    The result must stay ONE standard zlib stream for plain
+    zlib.decompress (≙ the reference's kzlib.NewReader) across data
+    classes including stored-block (incompressible) streams."""
+    import zlib
+
+    data = _zlib_fixture(kind, n)
+    frame = blosc.compress(data, blosc.ZLIB, level, blosc.SHUFFLE, 4)
+    assert blosc.decompress(frame) == data
+    h = blosc.get_info(frame)
+    if h.flags & 0x2:  # random data goes memcpy: nothing zlib to check
+        assert kind == "random"
+        return
+    assert zlib.decompress(frame[16 : h.nbytes_comp]) == _filtered(
+        data, blosc.SHUFFLE, 4
+    )
+
+
+def test_zlib_ld_whole_stream_small_frames_stay_libz():
+    """Below the 64 KiB libdeflate floor the serial path keeps emitting
+    CPython-zlib-identical bytes (the differential-test contract)."""
+    import zlib
+
+    data = np.arange(8192, dtype=np.float32).tobytes()  # 32 KiB < floor
+    frame = blosc.compress(data, blosc.ZLIB, 5, blosc.SHUFFLE, 4)
+    h = blosc.get_info(frame)
+    assert frame[16 : h.nbytes_comp] == zlib.compress(
+        bytes(_filtered(data, blosc.SHUFFLE, 4)), 5
+    )
+
+
+def test_zlib_ld_enc_escape_hatch(tmp_path):
+    """TPU_BLOSC_NO_LIBDEFLATE_ENC=1 restores the pigz-libz encoder
+    (read at library init → subprocess); both frames roundtrip and both
+    inflate under CPython zlib."""
+    import os
+    import subprocess
+    import sys
+    import zlib
+
+    n = 1024 * 1024
+    data = np.arange(n // 4, dtype=np.float32).tobytes()
+    src = tmp_path / "in.bin"
+    src.write_bytes(data)
+    out = tmp_path / "libz.frame"
+    code = (
+        "import sys; sys.path.insert(0, %r);"
+        "import tpu_blosc as blosc;"
+        "d = open(%r,'rb').read();"
+        "f = blosc.compress(d, blosc.ZLIB, 5, blosc.SHUFFLE, 4);"
+        "assert blosc.decompress(f) == d;"
+        "open(%r,'wb').write(f)"
+    ) % (
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        str(src), str(out),
+    )
+    env = dict(
+        os.environ, TPU_BLOSC_NO_LIBDEFLATE_ENC="1", TPU_BLOSC_NO_DEVICE="1"
+    )
+    subprocess.run(
+        [sys.executable, "-c", code], env=env, check=True, timeout=300,
+        capture_output=True,
+    )
+    libz_frame = out.read_bytes()
+    ld_frame = blosc.compress(data, blosc.ZLIB, 5, blosc.SHUFFLE, 4)
+    h = blosc.get_info(ld_frame)
+    if libz_frame != ld_frame:  # ld engaged (libdeflate present)
+        assert len(ld_frame) <= len(libz_frame)  # never larger than libz
+    assert blosc.decompress(libz_frame) == data
+    assert zlib.decompress(ld_frame[16 : h.nbytes_comp]) == _filtered(
+        data, blosc.SHUFFLE, 4
+    )
+
+
+def test_zlib_ld_multiblock_matches_host_and_inflates():
+    """Per-block libdeflate (blocks >= the 64 KiB floor) in chunked
+    frames: every block payload is a standard zlib stream."""
+    import zlib
+
+    from tpu_blosc.options import Options
+
+    data = np.arange(200_000, dtype=np.float32).tobytes()
+    opts = Options(codec=blosc.ZLIB, level=5, block_size=128 * 1024)
+    frame = blosc.compress_with_options(data, opts)
+    assert blosc.decompress(frame) == data

@@ -630,8 +630,13 @@ def _compress_array_stage2(staged) -> bytes:
         from .native import backend as _nb
 
         native_codec, depth = native
+        # mode 0|8: data is already filtered on device; bit 3 tells the
+        # native layer to CLASSIFY it as filtered (zlib's libdeflate path)
+        # so the frame stays byte-identical to the host compressor's
+        mode_flag = 8 if int(opts.shuffle) != 0 and opts.type_size > 1 else 0
         payloads, memf = _nb.compress_blocks(
-            filtered_all, block_size, opts.type_size, 0, native_codec, depth
+            filtered_all, block_size, opts.type_size, mode_flag,
+            native_codec, depth
         )
     else:
         compressor = get_codec(opts.codec)

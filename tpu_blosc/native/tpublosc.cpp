@@ -30,6 +30,7 @@
 #include <algorithm>
 #include <mutex>
 #include <thread>
+#include <vector>
 
 #include <cstdio>
 #include <dlfcn.h>
@@ -2927,14 +2928,17 @@ enum ShuffleMode { kNoShuffle = 0, kByteShuffle = 1, kBitShuffle = 2 };
 // optional libdeflate acceleration for the ZLIB codec
 //
 // dlopen'd so the build never requires it (the toolchain line stays
-// `-lz -lzstd`); TPU_BLOSC_NO_LIBDEFLATE=1 forces libz.  DECODE-ONLY by
-// design: inflate is the win (measured 5-7x, 1.2 -> 6.4-9 GB/s
-// single-thread on the shuffled-ramp fixture) and reading is
-// byte-agnostic, while libdeflate's ENCODER measured ~6% LARGER output
-// than libz on 8 KiB blocks of f32 data — a violation of the
-// "compressed size <= reference" contract (the reference's klauspost
-// zlib sizes track libz) — so frames we PRODUCE keep libz and stay
-// bit-identical to CPython's zlib output.
+// `-lz -lzstd`); TPU_BLOSC_NO_LIBDEFLATE=1 forces libz everywhere.
+// Decode always rides it when present (measured 5-7x, 1.2 -> 6.4-9 GB/s
+// single-thread on the shuffled-ramp fixture; reading is byte-agnostic).
+// Encode (round 4) rides it ONLY for SHUFFLED payloads at zlib level
+// >= 4: there libdeflate measured faster AND smaller than libz at a 1:1
+// level map on every fixture/level (scratch/zlib_sweep.py: 1 MiB
+// shuffled-ramp level 5 is -16.7% size at 1.8x speed).  On UNSHUFFLED
+// data (text) libdeflate loses size at speed parity, so that class — and
+// any level <= 3, where libz is faster on compressible data — keeps libz
+// output, bit-identical to CPython's zlib.  TPU_BLOSC_NO_LIBDEFLATE_ENC=1
+// forces libz on the encode side only.
 // ---------------------------------------------------------------------------
 
 struct LibDeflate {
@@ -2943,7 +2947,15 @@ struct LibDeflate {
   // stream are tolerated exactly like libz's uncompress()
   int (*decompress_ex)(void *, const void *, size_t, void *, size_t,
                        size_t *, size_t *) = nullptr;
+  // encode side (round 4): raw-deflate compressor for SHUFFLED payloads,
+  // where libdeflate measured both faster AND smaller than libz at every
+  // level >= 4 (scratch/zlib_sweep.py; on unshuffled text it loses size,
+  // so that class keeps libz)
+  void *(*alloc_c)(int) = nullptr;
+  size_t (*compress_raw)(void *, const void *, size_t, void *,
+                         size_t) = nullptr;
   bool ok = false;
+  bool enc_ok = false;
   LibDeflate() {
     if (std::getenv("TPU_BLOSC_NO_LIBDEFLATE")) return;
     void *h = dlopen("libdeflate.so.0", RTLD_NOW);
@@ -2954,12 +2966,314 @@ struct LibDeflate {
         (int (*)(void *, const void *, size_t, void *, size_t, size_t *,
                  size_t *))dlsym(h, "libdeflate_zlib_decompress_ex");
     ok = alloc_d && decompress_ex;
+    alloc_c = (void *(*)(int))dlsym(h, "libdeflate_alloc_compressor");
+    compress_raw = (size_t (*)(void *, const void *, size_t, void *,
+                               size_t))dlsym(h, "libdeflate_deflate_compress");
+    enc_ok = alloc_c && compress_raw &&
+             !std::getenv("TPU_BLOSC_NO_LIBDEFLATE_ENC");
   }
 };
 
 static LibDeflate &libdeflate() {
   static LibDeflate ld;
   return ld;
+}
+
+// ---------------------------------------------------------------------------
+// Deflate block walker (round 4): find the BFINAL header bit and the end
+// bit of a complete raw-deflate stream WITHOUT reconstructing any output.
+// libdeflate has no streaming/flush API, so its segments always end with
+// BFINAL=1 — unusable mid-stream in the pigz layout.  The walker makes
+// them usable: clear BFINAL, zero-pad to a byte boundary, and append the
+// empty stored block 00 00 FF FF — bit-for-bit the layout Z_SYNC_FLUSH
+// emits — so patched libdeflate segments concatenate with libz segments
+// into ONE standard deflate stream.  The walk decodes block headers and
+// Huffman symbols (lengths and extra-bit counts only; no window, no
+// stores) via 15-bit reversed-code LUTs; cost scales with COMPRESSED
+// bytes (ratio x cheaper than the encode it follows).
+// ---------------------------------------------------------------------------
+
+struct DeflateWalkBits {
+  const uint8_t *p;
+  int64_t nbytes;
+  int64_t pos = 0;  // bit cursor
+  bool fail = false;
+  inline uint32_t peek(int k) {
+    const int64_t byte = pos >> 3;
+    uint64_t w = 0;
+    if (byte + 8 <= nbytes) {
+      std::memcpy(&w, p + byte, 8);
+    } else if (byte < nbytes) {
+      std::memcpy(&w, p + byte, (size_t)(nbytes - byte));
+    }
+    w >>= (pos & 7);
+    return (uint32_t)(w & ((1ull << k) - 1));
+  }
+  inline uint32_t get(int k) {
+    uint32_t v = peek(k);
+    pos += k;
+    if (pos > nbytes * 8) fail = true;
+    return v;
+  }
+};
+
+// Canonical Huffman decoder for the walker: a 10-bit root LUT indexed by
+// REVERSED code bits (deflate packs code bits MSB-first into an LSB-first
+// bit stream) with a canonical first-code fallback for codes longer than
+// 10 bits.  The small root keeps the PER-BLOCK build cost at ~2 KiB of
+// memset (libdeflate splits segments into many blocks; a 15-bit LUT's
+// 64 KiB clear per block measured as large as the encode it follows).
+constexpr int kWalkRootBits = 10;
+
+struct WalkTable {
+  uint16_t root[1 << kWalkRootBits];  // (sym << 4) | len; 0 = long/invalid
+  uint16_t first_code[16];            // canonical first code per length
+  uint16_t base_idx[16];              // index of that code's first symbol
+  uint16_t count[16];
+  uint16_t sym_ordered[288];          // symbols sorted by (len, code)
+};
+
+static bool walk_build_table(const uint8_t *lens, int nsym, WalkTable &t) {
+  int count[16] = {0};
+  for (int s = 0; s < nsym; s++) {
+    if (lens[s] > 15) return false;
+    count[lens[s]]++;
+  }
+  count[0] = 0;
+  int64_t left = 1;
+  for (int b = 1; b <= 15; b++) {
+    left <<= 1;
+    left -= count[b];
+    if (left < 0) return false;  // over-subscribed
+  }
+  uint32_t next[16] = {0};
+  uint32_t code = 0;
+  uint32_t idx = 0;
+  for (int b = 1; b <= 15; b++) {
+    code = (code + count[b - 1]) << 1;
+    next[b] = code;
+    t.first_code[b] = (uint16_t)code;
+    t.base_idx[b] = (uint16_t)idx;
+    t.count[b] = (uint16_t)count[b];
+    idx += count[b];
+  }
+  std::memset(t.root, 0, sizeof(t.root));
+  uint32_t next_idx[16];
+  for (int b = 0; b < 16; b++) next_idx[b] = t.base_idx[b];
+  for (int s = 0; s < nsym; s++) {
+    const int l = lens[s];
+    if (!l) continue;
+    const uint32_t c = next[l]++;
+    t.sym_ordered[next_idx[l]++] = (uint16_t)s;
+    if (l > kWalkRootBits) continue;  // long codes take the fallback
+    uint32_t r = 0;
+    for (int i = 0; i < l; i++) r |= ((c >> i) & 1u) << (l - 1 - i);
+    for (uint32_t pad = r; pad < (1u << kWalkRootBits); pad += (1u << l))
+      t.root[pad] = (uint16_t)((s << 4) | l);
+  }
+  return true;
+}
+
+static inline int walk_decode(DeflateWalkBits &bw, const WalkTable &t) {
+  const uint16_t e = t.root[bw.peek(kWalkRootBits)];
+  const int l = e & 15;
+  if (l) {
+    bw.pos += l;
+    if (bw.pos > bw.nbytes * 8) {
+      bw.fail = true;
+      return -1;
+    }
+    return e >> 4;
+  }
+  // canonical bit-by-bit fallback for codes longer than the root
+  uint32_t bits = bw.peek(15);
+  uint32_t code = 0;
+  for (int b = 1; b <= 15; b++) {
+    code = (code << 1) | (bits & 1u);
+    bits >>= 1;
+    if (b > kWalkRootBits) {
+      const uint32_t off = code - t.first_code[b];
+      if (code >= t.first_code[b] && off < t.count[b]) {
+        bw.pos += b;
+        if (bw.pos > bw.nbytes * 8) {
+          bw.fail = true;
+          return -1;
+        }
+        return t.sym_ordered[t.base_idx[b] + off];
+      }
+    }
+  }
+  bw.fail = true;
+  return -1;
+}
+
+static const uint8_t kWalkLenExtra[29] = {0, 0, 0, 0, 0, 0, 0, 0, 1, 1,
+                                          1, 1, 2, 2, 2, 2, 3, 3, 3, 3,
+                                          4, 4, 4, 4, 5, 5, 5, 5, 0};
+static const uint8_t kWalkDistExtra[30] = {0, 0, 0,  0,  1,  1,  2,  2,
+                                           3, 3, 4,  4,  5,  5,  6,  6,
+                                           7, 7, 8,  8,  9,  9,  10, 10,
+                                           11, 11, 12, 12, 13, 13};
+
+static bool deflate_walk(const uint8_t *p, int64_t nbytes,
+                         int64_t *bfinal_bit, int64_t *end_bit) {
+  thread_local WalkTable lit_tab, dist_tab, cl_tab;
+  DeflateWalkBits bw{p, nbytes};
+  for (;;) {
+    const int64_t hdr = bw.pos;
+    const uint32_t bfinal = bw.get(1);
+    const uint32_t btype = bw.get(2);
+    if (bw.fail) return false;
+    if (btype == 0) {  // stored
+      bw.pos = (bw.pos + 7) & ~7ll;
+      if (bw.pos + 32 > nbytes * 8) return false;
+      const uint32_t len = bw.get(16);
+      const uint32_t nlen = bw.get(16);
+      if ((len ^ nlen) != 0xFFFFu) return false;
+      bw.pos += (int64_t)len * 8;
+      if (bw.pos > nbytes * 8) return false;
+    } else if (btype == 3) {
+      return false;
+    } else {
+      if (btype == 1) {  // fixed tables (rare from libdeflate; rebuild)
+        uint8_t lens[288];
+        for (int i = 0; i < 144; i++) lens[i] = 8;
+        for (int i = 144; i < 256; i++) lens[i] = 9;
+        for (int i = 256; i < 280; i++) lens[i] = 7;
+        for (int i = 280; i < 288; i++) lens[i] = 8;
+        if (!walk_build_table(lens, 288, lit_tab)) return false;
+        uint8_t dlens[32];
+        std::memset(dlens, 5, 32);
+        if (!walk_build_table(dlens, 32, dist_tab)) return false;
+      } else {  // dynamic
+        const uint32_t hlit = bw.get(5) + 257;
+        const uint32_t hdist = bw.get(5) + 1;
+        const uint32_t hclen = bw.get(4) + 4;
+        if (bw.fail || hlit > 288 || hdist > 32) return false;
+        static const uint8_t ord[19] = {16, 17, 18, 0, 8,  7, 9,  6, 10, 5,
+                                        11, 4,  12, 3, 13, 2, 14, 1, 15};
+        uint8_t cl_lens[19] = {0};
+        for (uint32_t i = 0; i < hclen; i++) cl_lens[ord[i]] = (uint8_t)bw.get(3);
+        if (bw.fail || !walk_build_table(cl_lens, 19, cl_tab))
+          return false;
+        uint8_t lens[288 + 32] = {0};
+        const uint32_t need = hlit + hdist;
+        uint32_t i = 0;
+        while (i < need) {
+          const int sym = walk_decode(bw, cl_tab);
+          if (sym < 0) return false;
+          if (sym < 16) {
+            lens[i++] = (uint8_t)sym;
+          } else if (sym == 16) {
+            if (i == 0) return false;
+            uint32_t r = 3 + bw.get(2);
+            if (i + r > need) return false;
+            const uint8_t v = lens[i - 1];
+            while (r--) lens[i++] = v;
+          } else if (sym == 17) {
+            uint32_t r = 3 + bw.get(3);
+            if (i + r > need) return false;
+            i += r;  // lens[] pre-zeroed
+          } else {
+            uint32_t r = 11 + bw.get(7);
+            if (i + r > need) return false;
+            i += r;
+          }
+          if (bw.fail) return false;
+        }
+        if (!walk_build_table(lens, (int)hlit, lit_tab)) return false;
+        if (!walk_build_table(lens + hlit, (int)hdist, dist_tab))
+          return false;
+      }
+      for (;;) {  // symbol walk to end-of-block
+        const int sym = walk_decode(bw, lit_tab);
+        if (sym < 0) return false;
+        if (sym < 256) continue;
+        if (sym == 256) break;
+        const int ls = sym - 257;
+        if (ls >= 29) return false;
+        bw.pos += kWalkLenExtra[ls];
+        const int ds = walk_decode(bw, dist_tab);
+        if (ds < 0 || ds >= 30) return false;
+        bw.pos += kWalkDistExtra[ds];
+        if (bw.pos > nbytes * 8) return false;
+      }
+    }
+    if (bfinal) {
+      *bfinal_bit = hdr;
+      *end_bit = bw.pos;
+      return !bw.fail;
+    }
+  }
+}
+
+// Encode one pigz segment via libdeflate and (for non-final segments)
+// patch it non-final: clear BFINAL, byte-align, append the Z_SYNC_FLUSH
+// stored-block marker.  Returns bytes written or -2 ("use libz instead").
+static int64_t zlib_ld_segment(const uint8_t *src, int64_t len, uint8_t *dst,
+                               int64_t cap, int level, bool final_seg) {
+  LibDeflate &ld = libdeflate();
+  if (!ld.enc_ok || level < 4 || cap <= 8) return -2;
+  if (level > 9) level = 9;
+  thread_local void *comps[10] = {};
+  void *&comp = comps[level];
+  if (!comp) comp = ld.alloc_c(level);
+  if (!comp) return -2;
+  const size_t sz =
+      ld.compress_raw(comp, src, (size_t)len, dst, (size_t)(cap - 8));
+  if (!sz) return -2;  // didn't fit: libz path decides (then memcpy)
+  if (final_seg) return (int64_t)sz;
+  int64_t bfinal_bit = -1, end_bit = -1;
+  if (!deflate_walk(dst, (int64_t)sz, &bfinal_bit, &end_bit)) return -2;
+  dst[bfinal_bit >> 3] &= (uint8_t)~(1u << (bfinal_bit & 7));
+  // the stored-block header (BFINAL=0, BTYPE=00) is three 0 bits at
+  // end_bit: mask the tail of the last data byte, zero any spill byte
+  const int64_t out_hdr = (end_bit + 3 + 7) >> 3;
+  if (end_bit & 7)
+    dst[end_bit >> 3] &= (uint8_t)((1u << (end_bit & 7)) - 1);
+  for (int64_t b = (end_bit + 7) >> 3; b < out_hdr; b++) dst[b] = 0;
+  if (out_hdr + 4 > cap) return -2;
+  int64_t o = out_hdr;
+  dst[o++] = 0x00;
+  dst[o++] = 0x00;
+  dst[o++] = 0xFF;
+  dst[o++] = 0xFF;
+  return o;
+}
+
+// Whole-stream libdeflate zlib encode (single final segment: no walker
+// needed) for shuffled payloads; returns -2 to fall back to libz.
+static int64_t zlib_ld_whole(const uint8_t *src, int64_t n, uint8_t *dst,
+                             int64_t cap, int level) {
+  LibDeflate &ld = libdeflate();
+  // the 64 KiB floor keeps small frames/blocks bit-identical to CPython's
+  // zlib (the differential-test contract); libdeflate is still smaller
+  // down to 8 KiB blocks on shuffled data, but the speed win below the
+  // floor is negligible and the byte-identity is worth more
+  if (!ld.enc_ok || level < 4 || cap < 8 || n < (64 << 10)) return -2;
+  const int lv = level > 9 ? 9 : level;
+  thread_local void *comps[10] = {};
+  void *&comp = comps[lv];
+  if (!comp) comp = ld.alloc_c(lv);
+  if (!comp) return -2;
+  const size_t sz =
+      ld.compress_raw(comp, src, (size_t)n, dst + 2, (size_t)(cap - 6));
+  if (!sz) return -2;
+  // zlib wrapper: same CMF/FLG formula as the pigz frame path
+  const int flevel = level <= 1 ? 0 : level <= 5 ? 1 : level == 6 ? 2 : 3;
+  unsigned flg = (unsigned)flevel << 6;
+  const unsigned rem = ((0x78u << 8) | flg) % 31;
+  if (rem) flg += 31 - rem;
+  dst[0] = 0x78;
+  dst[1] = (uint8_t)flg;
+  const unsigned long adler =
+      adler32(adler32(0L, Z_NULL, 0), (const Bytef *)src, (uInt)n);
+  int64_t o = 2 + (int64_t)sz;
+  dst[o++] = (uint8_t)(adler >> 24);
+  dst[o++] = (uint8_t)(adler >> 16);
+  dst[o++] = (uint8_t)(adler >> 8);
+  dst[o++] = (uint8_t)adler;
+  return o;
 }
 
 static int64_t zlib_decompress_fast(const uint8_t *src, int64_t n,
@@ -2990,13 +3304,18 @@ static int64_t codec_compress(int codec, int level_or_depth,
                               uint32_t *lz4_chain = nullptr,
                               uint32_t lz4_epoch = 0,
                               uint64_t *scan_mask = nullptr,
-                              Lz4Tail *tail = nullptr) {
+                              Lz4Tail *tail = nullptr,
+                              int zlib_shuffled = 0) {
   switch (codec) {
     case kCodecBlosclz:
       return blosclz_compress_t(src, n, dst, cap, lz4_head, lz4_epoch);
     case kCodecSnappy:
       return snappy_compress(src, n, dst, cap);
     case kCodecZlib: {
+      if (zlib_shuffled) {
+        const int64_t w = zlib_ld_whole(src, n, dst, cap, level_or_depth);
+        if (w >= 0) return w;
+      }
       uLongf out_len = (uLongf)cap;
       int rc = compress2((Bytef *)dst, &out_len, (const Bytef *)src,
                          (uLong)n, level_or_depth);
@@ -3189,6 +3508,13 @@ static inline int frame_segments(int64_t n, int codec) {
       codec != kCodecBlosclz)
     return 1;
   if (n < kFrameSegMin) return 1;
+  // zlib's per-segment work (~0.6 ms at 256 KiB) sits far above the
+  // ~5-9 us vCPU stall floor, so finer slices only help: 8 segments from
+  // 1 MiB up lets the 4-lane pool rebalance around stalls (measured
+  // round 4: 1 MiB shuffled-ramp 0.92 -> ~1.1 GB/s); the byte-oriented
+  // codecs keep 4 below 2 MiB (their ~60 us slices would hit the floor)
+  if (codec == kCodecZlib)
+    return n < (1 << 20) ? 4 : kMaxFrameSegments;
   return n < (2 << 20) ? 4 : kMaxFrameSegments;
 }
 
@@ -3274,10 +3600,20 @@ static void frame_encode_slice(void *p, int t) {
     return;
   }
   if (c.codec == kCodecZlib) {
-    c.sizes[t] = zlib_deflate_segment(
-        c.stream + lo, hi - lo, c.slots + t * c.slot, c.slot, c.depth,
-        lo > 0 ? c.stream + lo - 32768 : nullptr, lo > 0 ? 32768 : 0,
-        t == c.nseg - 1);
+    // shuffled payloads ride libdeflate (faster AND smaller at level >= 4,
+    // see the LibDeflate header note); the walker patches non-final
+    // segments to the Z_SYNC_FLUSH layout so mixed libdeflate/libz
+    // segments still concatenate into one standard stream
+    int64_t w = -2;
+    if (c.shuffle_mode != kNoShuffle)
+      w = zlib_ld_segment(c.stream + lo, hi - lo, c.slots + t * c.slot,
+                          c.slot, c.depth, t == c.nseg - 1);
+    if (w < 0)
+      w = zlib_deflate_segment(
+          c.stream + lo, hi - lo, c.slots + t * c.slot, c.slot, c.depth,
+          lo > 0 ? c.stream + lo - 32768 : nullptr, lo > 0 ? 32768 : 0,
+          t == c.nseg - 1);
+    c.sizes[t] = w;
     c.adlers[t] =
         adler32(adler32(0L, Z_NULL, 0), c.stream + lo, (uInt)(hi - lo));
     return;
@@ -3712,6 +4048,12 @@ int64_t tpb_compress_blocks(const uint8_t *src, int64_t n, int64_t block_size,
                             int64_t *out_sizes, uint8_t *out_memcpy,
                             int num_threads) {
   if (n <= 0 || block_size <= 0) return -1;
+  // bit 3 of shuffle_mode: "data arrives ALREADY filtered" (the device
+  // pipeline filters on-chip then compresses host-side with mode 0) —
+  // no filtering here, but codec classification (zlib's libdeflate path)
+  // must match the equivalent host frame byte-for-byte
+  const bool prefiltered = (shuffle_mode & 8) != 0;
+  shuffle_mode &= 7;
   int64_t nb = (n + block_size - 1) / block_size;
 #ifdef _OPENMP
   int nt = num_threads > 0 ? num_threads : omp_get_max_threads();
@@ -3858,7 +4200,8 @@ int64_t tpb_compress_blocks(const uint8_t *src, int64_t n, int64_t block_size,
       int64_t written = codec_compress(
           codec, depth, to_compress, bs, slot, slot_stride,
           scratch.lz4_head(), depth > 1 ? scratch.lz4_chain() : nullptr, ep,
-          codec == kCodecLz4 ? scratch.scan(bs) : nullptr);
+          codec == kCodecLz4 ? scratch.scan(bs) : nullptr, nullptr,
+          (filtering && bs >= ts) || prefiltered ? 1 : 0);
       finish(i, written, bs);
     }
   }
@@ -3968,7 +4311,8 @@ int64_t tpb_compress_frame(const uint8_t *src, int64_t n, int ts,
     written = codec_compress(
         codec, depth, to_compress, n, payload, cap,
         scratch.lz4_head(), depth > 1 ? scratch.lz4_chain() : nullptr, ep,
-        codec == kCodecLz4 ? scratch.scan(n) : nullptr);
+        codec == kCodecLz4 ? scratch.scan(n) : nullptr, nullptr,
+        to_compress != src ? 1 : 0);
   }
   int flags = 0;
   if (written < 0 || written >= n) {
