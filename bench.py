@@ -129,6 +129,16 @@ def bench_host_pipeline() -> dict:
     # kFrameSegMin; batching is how the small-frame regime engages all
     # cores).  Aggregate GB/s over the batch.
     db = bytes(bytearray(i % 256 for i in range(100 * 1024)))
+
+    # scalar 100 KB call — the reference's own benchmark point (round 4:
+    # fused plane-parallel encode + compress() fast lane; was 8-10 serial)
+    f100 = blosc.compress(db)
+    for _ in range(300):  # warm the pool + malloc arena at this size
+        blosc.compress(db)
+    t100c, f100 = _best(lambda: blosc.compress(db), reps=400)
+    t100d, o100 = _best(lambda: blosc.decompress(f100), reps=400)
+    assert o100 == db, "100 KB scalar roundtrip failed"
+
     items = [db] * 64
     nb_total = len(db) * 64
     fb = blosc.compress_batch(items)
@@ -148,6 +158,8 @@ def bench_host_pipeline() -> dict:
         "zlib_1mib_decompress_gbps": n1 / tzd / 1e9,
         "batch_100kb_compress_gbps": nb_total / tbat_c / 1e9,
         "batch_100kb_decompress_gbps": nb_total / tbat_d / 1e9,
+        "scalar_100kb_compress_gbps": len(db) / t100c / 1e9,
+        "scalar_100kb_decompress_gbps": len(db) / t100d / 1e9,
         "backend": blosc.backend_name(),
     }
 
@@ -578,6 +590,12 @@ def main() -> None:
         ),
         "batch_100kb_decompress_gbps": round(
             host["batch_100kb_decompress_gbps"], 3
+        ),
+        "scalar_100kb_compress_gbps": round(
+            host["scalar_100kb_compress_gbps"], 3
+        ),
+        "scalar_100kb_decompress_gbps": round(
+            host["scalar_100kb_decompress_gbps"], 3
         ),
         "backend": host["backend"],
     })

@@ -40,6 +40,11 @@ FLOORS = {
     # ~7-10 both ways
     "batch_100kb_compress_gbps": 5.0,
     "batch_100kb_decompress_gbps": 5.0,
+    # scalar 100 KB (the reference's own benchmark point, round 4):
+    # typical 14-15 / 10-11 via the fused plane-parallel encode + the
+    # compress() fast lane; a collapse to the serial path reads ~7-10
+    "scalar_100kb_compress_gbps": 5.0,
+    "scalar_100kb_decompress_gbps": 4.0,
 }
 
 # enforced only when the bench ran with a real accelerator attached

@@ -184,10 +184,27 @@ def _noisy_f32(nbytes: int) -> bytes:
 
 @pytest.mark.parametrize("codec", [blosc.LZ4, blosc.LZ4HC])
 def test_lz4_serial_100kb_stream(codec):
-    """The reference's own benchmark config: 100 KB, serial encoder."""
+    """The reference's own benchmark config: 100 KB.  For LZ4 this is now
+    the FUSED small-frame class (4 plane-aligned stitched segments, round
+    4); LZ4HC (depth > 1) still takes the serial encoder there."""
     data = _ramp_f32(100_000 // 4 * 4)
     opts = Options(codec=codec, shuffle=blosc.SHUFFLE, type_size=4)
     frame = blosc.compress_with_options(data, opts)
+    assert_frame_conformant_lz4(frame, opts)
+
+
+@pytest.mark.parametrize(
+    "nbytes", [48 * 1024, 48 * 1024 + 3, 100 * 1024 + 2, 256 * 1024 - 4]
+)
+def test_lz4_fused_small_frame_streams(nbytes):
+    """Round-4 fused small-frame class (48 KiB <= n < 256 KiB, shuffle
+    ts=4): plane-aligned stitched segments, the last one absorbing the
+    n % 4 tail — must decode under the system liblz4 like every other
+    stream class."""
+    data = bytes(bytearray((i * 7 + i // 997) % 256 for i in range(nbytes)))
+    opts = Options(codec=blosc.LZ4, shuffle=blosc.SHUFFLE, type_size=4)
+    frame = blosc.compress_with_options(data, opts)
+    assert blosc.decompress(frame) == data
     assert_frame_conformant_lz4(frame, opts)
 
 

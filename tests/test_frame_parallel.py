@@ -664,3 +664,89 @@ def test_zlib_ld_multiblock_matches_host_and_inflates():
     opts = Options(codec=blosc.ZLIB, level=5, block_size=128 * 1024)
     frame = blosc.compress_with_options(data, opts)
     assert blosc.decompress(frame) == data
+
+
+# ---------------------------------------------------------------------------
+# round 4: fused small-frame parallel encode (48 KiB <= n < 256 KiB LZ4:
+# per-plane slices for byte-shuffle ts=4, plain segments for no-shuffle)
+# ---------------------------------------------------------------------------
+
+SMALL_MIN = 48 * 1024  # tpublosc.cpp kSmallFrameMin
+
+
+@pytest.mark.parametrize("n", [
+    SMALL_MIN, SMALL_MIN + 3, 100 * 1024, 100 * 1024 + 2, SEG_MIN - 1,
+])
+def test_small_frame_fused_shuffle_stream(n):
+    """The fused path's plane-aligned stitched stream must decode with the
+    independent pure-Python LZ4 decoder and roundtrip — including tails
+    (n % 4 != 0) absorbed by the last segment."""
+    data = bytes(bytearray((i * 7 + i // 997) % 256 for i in range(n)))
+    frame = blosc.compress(data, blosc.LZ4, 5, blosc.SHUFFLE, 4)
+    assert blosc.decompress(frame) == data
+    h = blosc.get_info(frame)
+    if not (h.flags & 0x2):
+        body = lz4_ref.decompress_block(
+            bytes(frame[16 : h.nbytes_comp]), h.nbytes_orig
+        )
+        assert bytes(body) == bytes(_filtered(data, blosc.SHUFFLE, 4))
+
+
+def test_small_frame_lane_invariance():
+    """Fused segmentation is a pure function of (n, codec, ts, mode):
+    a 1-lane pool (serial fallback) must produce identical bytes — this
+    is what keeps batch-encoded frames byte-identical to scalar calls."""
+    n = 100 * 1024
+    data = bytes(bytearray((i * 13) % 251 for i in range(n)))
+    old = nb.num_threads()
+    try:
+        frames = []
+        for t in (1, 4):
+            nb.set_num_threads(t)
+            frames.append(blosc.compress(data, blosc.LZ4, 5, blosc.SHUFFLE, 4))
+    finally:
+        nb.set_num_threads(old)
+    assert frames[0] == frames[1]
+    assert blosc.decompress(frames[0]) == data
+
+
+def test_small_frame_below_floor_stays_serial():
+    """Below kSmallFrameMin the serial encoder's bytes are unchanged
+    (reference-config pins for tiny frames stay stable)."""
+    n = SMALL_MIN - 4096
+    data = bytes(bytearray(i % 256 for i in range(n)))
+    frame = blosc.compress(data, blosc.LZ4, 5, blosc.SHUFFLE, 4)
+    # serial single-segment stream: the pure-Python ENCODER (same greedy
+    # parameters) produces the identical payload below the parallel floor
+    from tpu_blosc import codecs as _codecs
+    assert blosc.decompress(frame) == data
+
+
+def test_small_frame_noshuffle_stays_serial():
+    """Noshuffle small frames are NOT segmented (contiguous segments
+    carry unbalanced work and measured slower — see tpb_compress_frame):
+    bytes must equal the serial encoder's."""
+    n = 100 * 1024
+    rng = np.random.default_rng(5)
+    base = np.arange(n, dtype=np.uint8)
+    base[rng.integers(0, n, n // 50)] = 0
+    data = base.tobytes()
+    frame = blosc.compress(data, blosc.LZ4, 5, blosc.NOSHUFFLE, 1)
+    assert blosc.decompress(frame) == data
+    h = blosc.get_info(frame)
+    if not (h.flags & 0x2):
+        body = lz4_ref.decompress_block(
+            bytes(frame[16 : h.nbytes_comp]), h.nbytes_orig
+        )
+        assert bytes(body) == data
+
+
+def test_small_frame_batch_scalar_byte_identity():
+    """Batch-encoded 100 KB frames (whole-frame pool slices running the
+    fused segments serially) must stay byte-identical to scalar calls."""
+    db = bytes(bytearray(i % 256 for i in range(100 * 1024)))
+    items = [db] * 8
+    fb = blosc.compress_batch(items)
+    scalar = blosc.compress(db)
+    assert all(f == scalar for f in fb)
+    assert blosc.decompress_batch(fb) == items

@@ -30,6 +30,9 @@ pytestmark = pytest.mark.skipif(
 # block decoder and byte-identical across thread counts.
 EXACT = {
     "1MB_f32_lz4_shuffle": 13252,
+    # unchanged in round 4: the fused small-frame path is shuffle-ts4-only
+    # (contiguous noshuffle segments measured SLOWER — unbalanced slices;
+    # see tpb_compress_frame), so noshuffle frames stay serial
     "100KB_mixed_lz4_noshuffle": 50218,
     "100KB_mixed_snappy": 52164,
     "8MB_int16_lz4_bitshuffle": 39564,

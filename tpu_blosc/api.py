@@ -84,6 +84,36 @@ def _cached_options(codec, level, shuffle, type_size) -> Options:
     return opts
 
 
+# Memoized jump table for the positional-args compress() hot path: maps
+# (codec, level, shuffle, type_size) straight to the single-shot native
+# frame call, skipping the wrapper chain (compress_with_options →
+# _compress_frame_sized → _compress_single_block → backend.compress_frame
+# ≈ 2-3 us — a third of a 100 KB call).  Entries pin the registry version
+# so register_codec overrides invalidate them; everything unusual
+# (non-bytes input, empty, > AUTO_BLOCK_THRESHOLD, no native path) falls
+# through to the full path, which owns clamping, errors, and containers.
+_FAST_LANE: dict = {}
+
+
+def _prime_fast_lane(key) -> None:
+    if len(_FAST_LANE) > 256:
+        _FAST_LANE.clear()  # registry churn (tests); stay bounded
+    rv = _chunk._registry_version()
+    entry = (rv, None)  # "no fast path at this registry version"
+    if _nb is not None and _nb.available():
+        opts = _cached_options(*key).clamped()
+        if opts.block_size == 0:
+            native = _chunk._native_pipeline_codec(int(opts.codec), opts.level)
+            if native is not None:
+                fn = _nb._fast.compress_frame if _nb._fast is not None \
+                    else _nb.compress_frame
+                entry = (
+                    rv, fn, opts.type_size, int(opts.shuffle),
+                    int(opts.codec), native[0], native[1],
+                )
+    _FAST_LANE[key] = entry
+
+
 def compress(
     data,
     codec: Codec = Codec.LZ4,
@@ -92,6 +122,18 @@ def compress(
     type_size: int = 4,
 ) -> bytes:
     """Compress data into a Blosc frame (≙ Compress, blosc.go:257-265)."""
+    key = (codec, level, shuffle, type_size)
+    fl = _FAST_LANE.get(key)
+    if fl is None or fl[0] != _chunk._registry_version():
+        _prime_fast_lane(key)
+        fl = _FAST_LANE.get(key)
+    if (
+        fl is not None
+        and fl[1] is not None
+        and type(data) is bytes
+        and 0 < len(data) <= AUTO_BLOCK_THRESHOLD
+    ):
+        return fl[1](data, fl[2], fl[3], fl[4], fl[5], fl[6])
     return compress_with_options(
         data, _cached_options(codec, level, shuffle, type_size)
     )

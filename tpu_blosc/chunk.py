@@ -32,6 +32,7 @@ import numpy as np
 
 from . import filters
 from .codecs.registry import get_codec
+from .codecs.registry import registry_version as _registry_version
 from .codecs.lz4_ref import hc_depth_for_level
 from .errors import (
     DataTooLargeError,
@@ -63,9 +64,7 @@ _resolve_cache: dict = {}
 
 def _native_pipeline_codec(codec: int, level: int) -> tuple[int, int] | None:
     """Memoized dispatch — see _native_pipeline_codec_uncached."""
-    from .codecs.registry import registry_version
-
-    key = (codec, level, registry_version())
+    key = (codec, level, _registry_version())
     try:
         return _resolve_cache[key]
     except KeyError:

@@ -3493,6 +3493,10 @@ static_assert(kMaxFrameSegments == kMaxDecodeSegments,
 // — 100 KB frames stay serial, keeping the reference-config pins stable.
 // Segmentation is still a pure function of n — see frame_segments.
 constexpr int64_t kFrameSegMin = 256 << 10;
+// Round-4 floor for the FUSED small-frame path (one dispatch, per-plane
+// slices reading only the shared read-only src): the dispatch+stitch
+// overhead (~1 us) needs >= ~1 us slices to amortize
+constexpr int64_t kSmallFrameMin = 48 << 10;
 
 static inline int frame_segments(int64_t n, int codec) {
   static const bool disabled =
@@ -3507,7 +3511,8 @@ static inline int frame_segments(int64_t n, int codec) {
       codec != kCodecSnappy && codec != kCodecZstd && codec != kCodecZlib &&
       codec != kCodecBlosclz)
     return 1;
-  if (n < kFrameSegMin) return 1;
+  if (n < kFrameSegMin) return 1;  // small-frame fused path gates in
+                                   // tpb_compress_frame (needs ts/mode)
   // zlib's per-segment work (~0.6 ms at 256 KiB) sits far above the
   // ~5-9 us vCPU stall floor, so finer slices only help: 8 segments from
   // 1 MiB up lets the 4-lane pool rebalance around stalls (measured
@@ -3577,6 +3582,11 @@ struct FrameEncCtx {
   unsigned long *adlers;
   int64_t n, seg, slot, units, body, per;
   int ts, shuffle_mode, codec, depth, nseg;
+  // fused small-frame mode (round 4): slice t extracts byte-plane t from
+  // the read-only src and encodes it locally, so no dirty filtered lines
+  // ever cross cores; segment bounds are plane-aligned (t * n/ts), the
+  // last segment absorbs the <ts-byte tail
+  int fused = 0;
 };
 
 static void frame_filter_slice(void *p, int t) {
@@ -3592,9 +3602,51 @@ static void frame_filter_slice(void *p, int t) {
     std::memcpy(c.sb + c.body, c.src + c.body, (size_t)(c.n - c.body));
 }
 
+// dst[k] = src[k*4 + plane]: ONE byte plane of the ts=4 shuffle.  The
+// fused small-frame slices each extract their own plane from the shared
+// read-only src, so no core ever reads another core's freshly written
+// lines (the serial-filter + pooled-encode variant measured 2-3 us of
+// cross-core dirty-line pulls at 100 KB — worse than serial).
+static void extract_plane4(const uint8_t *src, int64_t ne, int plane,
+                           uint8_t *dst) {
+  int64_t k = 0;
+#if defined(__SSSE3__) || defined(__AVX2__)
+  const __m128i m = _mm_setr_epi8(
+      (char)plane, (char)(4 + plane), (char)(8 + plane), (char)(12 + plane),
+      (char)0x80, (char)0x80, (char)0x80, (char)0x80, (char)0x80, (char)0x80,
+      (char)0x80, (char)0x80, (char)0x80, (char)0x80, (char)0x80,
+      (char)0x80);
+  for (; k + 16 <= ne; k += 16) {
+    const __m128i a = _mm_shuffle_epi8(
+        _mm_loadu_si128((const __m128i *)(src + (k + 0) * 4)), m);
+    const __m128i b = _mm_shuffle_epi8(
+        _mm_loadu_si128((const __m128i *)(src + (k + 4) * 4)), m);
+    const __m128i c2 = _mm_shuffle_epi8(
+        _mm_loadu_si128((const __m128i *)(src + (k + 8) * 4)), m);
+    const __m128i d = _mm_shuffle_epi8(
+        _mm_loadu_si128((const __m128i *)(src + (k + 12) * 4)), m);
+    const __m128i ab = _mm_unpacklo_epi32(a, b);
+    const __m128i cd = _mm_unpacklo_epi32(c2, d);
+    _mm_storeu_si128((__m128i *)(dst + k), _mm_unpacklo_epi64(ab, cd));
+  }
+#endif
+  for (; k < ne; k++) dst[k] = src[k * 4 + plane];
+}
+
+// fused small-frame slice: extract own plane, then encode own segment
+static void frame_fused_slice(void *p, int t);
+
 static void frame_encode_slice(void *p, int t) {
   FrameEncCtx &c = *(FrameEncCtx *)p;
-  const int64_t lo = (int64_t)t * c.seg, hi = std::min(c.n, lo + c.seg);
+  int64_t lo, hi;
+  if (c.fused) {  // plane-aligned bounds; last slice absorbs the tail
+    const int64_t pl = c.n / c.ts;
+    lo = (int64_t)t * pl;
+    hi = t == c.nseg - 1 ? c.n : lo + pl;
+  } else {
+    lo = (int64_t)t * c.seg;
+    hi = std::min(c.n, lo + c.seg);
+  }
   if (lo >= hi) {
     c.sizes[t] = 0;
     return;
@@ -3627,6 +3679,15 @@ static void frame_encode_slice(void *p, int t) {
       lz4ish ? ls.lz4_head() : nullptr,
       c.depth > 1 ? ls.lz4_chain() : nullptr, ep,
       c.codec == kCodecLz4 ? ls.scan(hi - lo) : nullptr, &c.tails[t]);
+}
+
+static void frame_fused_slice(void *p, int t) {
+  FrameEncCtx &c = *(FrameEncCtx *)p;
+  const int64_t ne = c.n / c.ts;  // plane length == segment length
+  extract_plane4(c.src, ne, t, c.sb + (int64_t)t * ne);
+  if (t == c.nseg - 1 && c.body < c.n)
+    std::memcpy(c.sb + c.body, c.src + c.body, (size_t)(c.n - c.body));
+  frame_encode_slice(p, t);
 }
 
 // Bulk copies with precomputed destinations (stitch pieces / snappy
@@ -3698,6 +3759,9 @@ static void filter_buffer_pool(const uint8_t *src, uint8_t *dst, int64_t n,
   }
   const int64_t ne = n / ts;
   const int64_t units = mode == kByteShuffle ? ne : ne / 8;
+  // a 4-slice tier at the fused small-frame floor (48 KiB) was measured
+  // SLOWER than serial here (5.6 vs 3.5 us at 100 KB: ~0.8 us unshuffle
+  // slices sit below the dispatch floor) — don't re-add it
   const int nsl = n >= kFrameSegMin ? kMaxFrameSegments : 1;
   FilterCtx c{src, dst, n, units, (units + nsl - 1) / nsl,
               ts,  mode, nsl, inverse};
@@ -3714,7 +3778,7 @@ static void filter_buffer_pool(const uint8_t *src, uint8_t *dst, int64_t n,
 static int64_t frame_compress_parallel(const uint8_t *src, int64_t n, int ts,
                                        int shuffle_mode, int codec, int depth,
                                        int nseg, uint8_t *payload,
-                                       BlockScratch &scratch) {
+                                       BlockScratch &scratch, int fused = 0) {
   const bool filtered = shuffle_mode != kNoShuffle && ts > 1 && n >= ts;
   const uint8_t *stream = src;
   uint8_t *sb = nullptr;
@@ -3724,7 +3788,10 @@ static int64_t frame_compress_parallel(const uint8_t *src, int64_t n, int ts,
     stream = sb;
   }
   const int64_t seg = (n + nseg - 1) / nseg;
-  const int64_t slot = codec_bound(codec, seg);
+  // fused slices are plane-aligned; the LAST one carries plane + tail,
+  // so the slot bound must cover it
+  const int64_t slot = codec_bound(
+      codec, fused ? n / ts + (n - (n / ts) * ts) : seg);
   uint8_t *slots = scratch.get2((int64_t)nseg * slot);
   if (!slots) return -2;
 
@@ -3748,15 +3815,23 @@ static int64_t frame_compress_parallel(const uint8_t *src, int64_t n, int ts,
   unsigned long adlers[kMaxFrameSegments] = {0};
   FrameEncCtx ctx{src,   sb,   stream, slots, sizes, tails, adlers,
                   n,     seg,  slot,   units, body,  per,
-                  ts,    shuffle_mode, codec, depth, nseg};
-  if (filtered) {
-    // sb must be fully materialized before any encode starts (run() is a
-    // completion barrier)
-    if (!spin_pool().run(frame_filter_slice, &ctx, nseg))
-      for (int t = 0; t < nseg; t++) frame_filter_slice(&ctx, t);
+                  ts,    shuffle_mode, codec, depth, nseg, fused};
+  if (fused) {
+    // ONE dispatch: each slice extracts its own plane from the shared
+    // read-only src and encodes it locally (no filter barrier, no
+    // cross-core dirty filtered lines — both measured losses at 100 KB)
+    if (!spin_pool().run(frame_fused_slice, &ctx, nseg))
+      for (int t = 0; t < nseg; t++) frame_fused_slice(&ctx, t);
+  } else {
+    if (filtered) {
+      // sb must be fully materialized before any encode starts (run() is
+      // a completion barrier)
+      if (!spin_pool().run(frame_filter_slice, &ctx, nseg))
+        for (int t = 0; t < nseg; t++) frame_filter_slice(&ctx, t);
+    }
+    if (!spin_pool().run(frame_encode_slice, &ctx, nseg))
+      for (int t = 0; t < nseg; t++) frame_encode_slice(&ctx, t);
   }
-  if (!spin_pool().run(frame_encode_slice, &ctx, nseg))
-    for (int t = 0; t < nseg; t++) frame_encode_slice(&ctx, t);
 
   int64_t sum = 0;
   for (int t = 0; t < nseg; t++) {
@@ -4286,14 +4361,41 @@ int64_t tpb_compress_frame(const uint8_t *src, int64_t n, int ts,
   BlockScratch &scratch = frame_scratch();
   uint8_t *payload = dst + 16;
   int64_t written;
-  const int nseg = frame_segments(n, codec);
+  int nseg = frame_segments(n, codec);
+  int fused = 0;
+  static const bool no_par =
+      std::getenv("TPU_BLOSC_NO_FRAME_PARALLEL") != nullptr;
+  if (nseg <= 1 && codec == kCodecLz4 && depth <= 1 &&
+      n >= kSmallFrameMin && n < kFrameSegMin && !no_par) {
+    // round-4 small-frame FUSED parallel encode (the reference's own
+    // 100 KB benchmark shape is exactly this: LZ4-5, byte shuffle, ts=4).
+    // Segmentation stays a pure function of (n, codec, ts, mode) — bytes
+    // never depend on thread count.  Each slice extracts its own byte
+    // PLANE from the shared read-only src and encodes it locally
+    // (frame_fused_slice): plane slices carry near-identical work for ANY
+    // data, which is what makes sub-256 KiB parallelism pay here —
+    // measured 2026-08-19 at the C level (hot pool, 100 KB, ts=4):
+    // half-random 4.1->6.2 GB/s, i%256 ramp 7.7->15.6, noisy f32
+    // 0.84->0.95.  CONTIGUOUS segments (noshuffle) were also tried and
+    // REJECTED: unbalanced slices (50 KB ramp + 50 KB random) measured
+    // 10.0->6.6 GB/s — worker wake latency makes stealing of unequal
+    // tails ineffective at this scale, so only the balanced plane
+    // decomposition wins.  Filtered modes that would need a
+    // serially-written sb stay serial: pooled encode after a
+    // caller-serial filter measured SLOWER than all-serial at this size
+    // (2-3 us of cross-core dirty filtered-line pulls).
+    if (shuffle_mode == kByteShuffle && ts == 4 && n >= 64) {
+      nseg = 4;
+      fused = 1;
+    }
+  }
   if (nseg > 1 && codec != kCodecZstd) {
     // segment-concatenated parallel encode (see frame_compress_parallel).
     // ZSTD is decode-gated only: segmenting its encode costs up to tens
     // of percent of ratio (large-window format), breaking the
     // "compressed size <= reference" contract — measured and rejected.
     written = frame_compress_parallel(src, n, ts, shuffle_mode, codec, depth,
-                                      nseg, payload, scratch);
+                                      nseg, payload, scratch, fused);
     if (written == -2) return -2;
   } else {
     const uint8_t *to_compress = src;
@@ -4358,6 +4460,11 @@ int64_t tpb_decompress_block_into(const uint8_t *frame, int64_t payload_off,
   int64_t got = kSplitReject;
   // decode-side mirror of the segment-parallel encoder: same nseg policy,
   // engages only when the pre-scan proves the stream has our seam layout
+  // NOTE (2026-08-19): extending this gate down to the fused small-frame
+  // range (48 KiB, nseg=4) was measured a WASH on the LZ4 stage (4.6 vs
+  // 4.7 us — 1 us chunks sit below the dispatch+scan floor) and the
+  // pooled unfilter at that size was a clear LOSS (5.6 vs 3.5 us), so
+  // small fused frames DECODE serially even though they encode fused.
   const int nseg = frame_segments(n, codec);
   if (nseg > 1 && codec != kCodecZlib) {  // inflate has no parallel form
     if (codec == kCodecSnappy)
