@@ -184,9 +184,9 @@ def _noisy_f32(nbytes: int) -> bytes:
 
 @pytest.mark.parametrize("codec", [blosc.LZ4, blosc.LZ4HC])
 def test_lz4_serial_100kb_stream(codec):
-    """The reference's own benchmark config: 100 KB.  For LZ4 this is now
-    the FUSED small-frame class (4 plane-aligned stitched segments, round
-    4); LZ4HC (depth > 1) still takes the serial encoder there."""
+    """The reference's own benchmark config: 100 KB.  For LZ4 and LZ4HC
+    this is now the FUSED small-frame class (4 plane-aligned stitched
+    segments, round 4)."""
     data = _ramp_f32(100_000 // 4 * 4)
     opts = Options(codec=codec, shuffle=blosc.SHUFFLE, type_size=4)
     frame = blosc.compress_with_options(data, opts)
@@ -312,8 +312,9 @@ def test_lz4_emit_runs_stream():
 
 @pytest.mark.parametrize("nbytes", [100_000, 1 << 20, 4 << 20])
 def test_snappy_streams(nbytes):
-    """Serial (<256 KiB) and segment-parallel (≥256 KiB) snappy bodies
-    under one global uvarint preamble must satisfy libsnappy."""
+    """Fused small-frame (48-256 KiB, round 4) and segment-parallel
+    (≥256 KiB) snappy bodies under one global uvarint preamble must
+    satisfy libsnappy."""
     data = _noisy_f32(nbytes)
     opts = Options(codec=blosc.SNAPPY, shuffle=blosc.SHUFFLE, type_size=4)
     frame = blosc.compress_with_options(data, opts)

@@ -674,6 +674,39 @@ def test_zlib_ld_multiblock_matches_host_and_inflates():
 SMALL_MIN = 48 * 1024  # tpublosc.cpp kSmallFrameMin
 
 
+@pytest.mark.parametrize("codec", [1, 2, 3, 0])  # LZ4, LZ4HC, Snappy, BloscLZ
+@pytest.mark.parametrize("n", [SMALL_MIN + 3, 100 * 1024])
+def test_small_frame_fused_all_codecs(n, codec):
+    """Every fused-eligible codec (round 4: LZ4/LZ4HC/Snappy/BloscLZ)
+    roundtrips through the plane-aligned parallel encode, tails included."""
+    data = bytes(bytearray((i * 11 + i // 503) % 256 for i in range(n)))
+    frame = blosc.compress(data, codec, 5, blosc.SHUFFLE, 4)
+    assert blosc.decompress(frame) == data
+    # compressible input MUST yield a real compressed frame — a memcpy
+    # here means the fused stitch silently rejected its own segments
+    # (the ragged-tail snappy bug this test was added for)
+    assert not (blosc.get_info(frame).flags & 0x2), (n, codec)
+    assert len(frame) < len(data) // 4
+
+
+@pytest.mark.parametrize("mode", ["shuffle", "noshuffle"])
+def test_small_frame_zlib_segments_roundtrip(mode):
+    """ZLIB segments small frames in BOTH modes (its ~100+ us slices
+    dwarf the slice imbalance); the pigz-layout stream stays one valid
+    zlib stream and the seam cost is bounded (~40-60 B/seam)."""
+    n = 100 * 1024
+    data = bytes(bytearray((i * 11 + i // 503) % 256 for i in range(n)))
+    sh = blosc.SHUFFLE if mode == "shuffle" else blosc.NOSHUFFLE
+    frame = blosc.compress(data, blosc.ZLIB, 5, sh, 4)
+    assert blosc.decompress(frame) == data
+    # independent inflate: the payload must satisfy the SYSTEM zlib
+    import zlib as _z
+    h = blosc.get_info(frame)
+    if not (h.flags & 0x2):
+        body = _z.decompress(bytes(frame[16 : h.nbytes_comp]))
+        assert body == bytes(_filtered(data, sh, 4))
+
+
 @pytest.mark.parametrize("n", [
     SMALL_MIN, SMALL_MIN + 3, 100 * 1024, 100 * 1024 + 2, SEG_MIN - 1,
 ])

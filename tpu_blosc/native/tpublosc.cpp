@@ -3511,8 +3511,16 @@ static inline int frame_segments(int64_t n, int codec) {
       codec != kCodecSnappy && codec != kCodecZstd && codec != kCodecZlib &&
       codec != kCodecBlosclz)
     return 1;
-  if (n < kFrameSegMin) return 1;  // small-frame fused path gates in
-                                   // tpb_compress_frame (needs ts/mode)
+  if (n < kFrameSegMin) {
+    // zlib's per-segment work (~140 us at a 25 KiB slice) dwarfs both
+    // the dispatch overhead and the vCPU stall floor, so the small-frame
+    // window segments for zlib in BOTH shuffle modes (imbalance between
+    // slices is a few % of a slice, unlike the byte-oriented codecs —
+    // see the fused-gate note in tpb_compress_frame); everything else
+    // gates on the fused small-frame path there (needs ts/mode)
+    if (codec == kCodecZlib && n >= kSmallFrameMin) return 4;
+    return 1;
+  }
   // zlib's per-segment work (~0.6 ms at 256 KiB) sits far above the
   // ~5-9 us vCPU stall floor, so finer slices only help: 8 segments from
   // 1 MiB up lets the 4-lane pool rebalance around stalls (measured
@@ -3902,7 +3910,20 @@ static int64_t frame_compress_parallel(const uint8_t *src, int64_t n, int ts,
     int nb = 0;
     for (int t = 0; t < nseg; t++) {
       if (sizes[t] <= 0) continue;
-      const int64_t lo = (int64_t)t * seg, hi = std::min(n, lo + seg);
+      // per-segment bounds must mirror frame_encode_slice: fused slices
+      // are plane-aligned (floor(n/ts), last absorbs the tail), not the
+      // ceil(n/nseg) of the plain path — the mismatch silently forced
+      // ragged fused snappy frames into the memcpy fallback (found via
+      // the ratio-1.00 frame on the 100 KB mixed config, 2026-08-19)
+      int64_t lo, hi;
+      if (fused) {
+        const int64_t pl = n / ts;
+        lo = (int64_t)t * pl;
+        hi = t == nseg - 1 ? n : lo + pl;
+      } else {
+        lo = (int64_t)t * seg;
+        hi = std::min(n, lo + seg);
+      }
       int64_t hdr = 0;
       const uint8_t *s = slots + t * slot;
       if (snappy_preamble(s, sizes[t], &hdr) != hi - lo) return n;
@@ -4365,8 +4386,9 @@ int64_t tpb_compress_frame(const uint8_t *src, int64_t n, int ts,
   int fused = 0;
   static const bool no_par =
       std::getenv("TPU_BLOSC_NO_FRAME_PARALLEL") != nullptr;
-  if (nseg <= 1 && codec == kCodecLz4 && depth <= 1 &&
-      n >= kSmallFrameMin && n < kFrameSegMin && !no_par) {
+  if (nseg <= 1 && n >= kSmallFrameMin && n < kFrameSegMin && !no_par &&
+      (codec == kCodecLz4 || codec == kCodecLz4Hc ||
+       codec == kCodecSnappy || codec == kCodecBlosclz)) {
     // round-4 small-frame FUSED parallel encode (the reference's own
     // 100 KB benchmark shape is exactly this: LZ4-5, byte shuffle, ts=4).
     // Segmentation stays a pure function of (n, codec, ts, mode) — bytes
@@ -4375,15 +4397,20 @@ int64_t tpb_compress_frame(const uint8_t *src, int64_t n, int ts,
     // (frame_fused_slice): plane slices carry near-identical work for ANY
     // data, which is what makes sub-256 KiB parallelism pay here —
     // measured 2026-08-19 at the C level (hot pool, 100 KB, ts=4):
-    // half-random 4.1->6.2 GB/s, i%256 ramp 7.7->15.6, noisy f32
-    // 0.84->0.95.  CONTIGUOUS segments (noshuffle) were also tried and
-    // REJECTED: unbalanced slices (50 KB ramp + 50 KB random) measured
+    // LZ4 half-random 4.1->6.2 GB/s, i%256 ramp 7.7->15.6, noisy f32
+    // 0.84->0.95; Python-level LZ4HC ramp 9.3->16.9 / half 0.20->1.64,
+    // Snappy 7.9->13.1 / 5.7->6.9, BloscLZ 9.7->17.2 / 3.6->5.1 (decode
+    // of the stitched/concat streams measured a wash for all of them).
+    // CONTIGUOUS segments (noshuffle) were also tried and REJECTED:
+    // unbalanced slices (50 KB ramp + 50 KB random) measured
     // 10.0->6.6 GB/s — worker wake latency makes stealing of unequal
     // tails ineffective at this scale, so only the balanced plane
-    // decomposition wins.  Filtered modes that would need a
-    // serially-written sb stay serial: pooled encode after a
-    // caller-serial filter measured SLOWER than all-serial at this size
-    // (2-3 us of cross-core dirty filtered-line pulls).
+    // decomposition wins.  (ZLIB is the exception that segments in both
+    // modes — frame_segments — because its ~100+ us slices dwarf the
+    // imbalance.)  Filtered modes that would need a serially-written sb
+    // stay serial: pooled encode after a caller-serial filter measured
+    // SLOWER than all-serial at this size (2-3 us of cross-core dirty
+    // filtered-line pulls).
     if (shuffle_mode == kByteShuffle && ts == 4 && n >= 64) {
       nseg = 4;
       fused = 1;
