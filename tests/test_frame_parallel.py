@@ -674,13 +674,15 @@ def test_zlib_ld_multiblock_matches_host_and_inflates():
 SMALL_MIN = 48 * 1024  # tpublosc.cpp kSmallFrameMin
 
 
+@pytest.mark.parametrize("ts", [2, 4])  # ts=8 measured+rejected, see gate
 @pytest.mark.parametrize("codec", [1, 2, 3, 0])  # LZ4, LZ4HC, Snappy, BloscLZ
 @pytest.mark.parametrize("n", [SMALL_MIN + 3, 100 * 1024])
-def test_small_frame_fused_all_codecs(n, codec):
+def test_small_frame_fused_all_codecs(n, codec, ts):
     """Every fused-eligible codec (round 4: LZ4/LZ4HC/Snappy/BloscLZ)
-    roundtrips through the plane-aligned parallel encode, tails included."""
+    roundtrips through the plane-aligned parallel encode — ts=4 (four
+    plane slices) and ts=2 (two), tails included."""
     data = bytes(bytearray((i * 11 + i // 503) % 256 for i in range(n)))
-    frame = blosc.compress(data, codec, 5, blosc.SHUFFLE, 4)
+    frame = blosc.compress(data, codec, 5, blosc.SHUFFLE, ts)
     assert blosc.decompress(frame) == data
     # compressible input MUST yield a real compressed frame — a memcpy
     # here means the fused stitch silently rejected its own segments

@@ -3610,11 +3610,13 @@ static void frame_filter_slice(void *p, int t) {
     std::memcpy(c.sb + c.body, c.src + c.body, (size_t)(c.n - c.body));
 }
 
-// dst[k] = src[k*4 + plane]: ONE byte plane of the ts=4 shuffle.  The
-// fused small-frame slices each extract their own plane from the shared
-// read-only src, so no core ever reads another core's freshly written
-// lines (the serial-filter + pooled-encode variant measured 2-3 us of
-// cross-core dirty-line pulls at 100 KB — worse than serial).
+// Byte-plane extractors for the fused small-frame slices: each slice
+// pulls its own plane(s) from the shared READ-ONLY src, so no core ever
+// reads another core's freshly written lines (the serial-filter +
+// pooled-encode variant measured 2-3 us of cross-core dirty-line pulls
+// at 100 KB — worse than serial).
+
+// dst[k] = src[k*4 + plane]: ONE byte plane of the ts=4 shuffle.
 static void extract_plane4(const uint8_t *src, int64_t ne, int plane,
                            uint8_t *dst) {
   int64_t k = 0;
@@ -3641,6 +3643,51 @@ static void extract_plane4(const uint8_t *src, int64_t ne, int plane,
   for (; k < ne; k++) dst[k] = src[k * 4 + plane];
 }
 
+// dst[i] = src[(k0+i)*2 + plane] for i in [0, k1-k0): a SUB-RANGE of one
+// ts=2 plane (the four fused slices each take half a plane).
+static void extract_plane2(const uint8_t *src, int64_t k0, int64_t k1,
+                           int plane, uint8_t *dst) {
+  int64_t i = 0;
+  const int64_t cnt = k1 - k0;
+  const uint8_t *s = src + k0 * 2;
+#if defined(__SSSE3__) || defined(__AVX2__)
+  const __m128i m = _mm_setr_epi8(
+      (char)plane, (char)(2 + plane), (char)(4 + plane), (char)(6 + plane),
+      (char)(8 + plane), (char)(10 + plane), (char)(12 + plane),
+      (char)(14 + plane), (char)0x80, (char)0x80, (char)0x80, (char)0x80,
+      (char)0x80, (char)0x80, (char)0x80, (char)0x80);
+  for (; i + 16 <= cnt; i += 16) {
+    const __m128i a = _mm_shuffle_epi8(
+        _mm_loadu_si128((const __m128i *)(s + i * 2)), m);
+    const __m128i b = _mm_shuffle_epi8(
+        _mm_loadu_si128((const __m128i *)(s + i * 2 + 16)), m);
+    _mm_storeu_si128((__m128i *)(dst + i), _mm_unpacklo_epi64(a, b));
+  }
+#endif
+  for (; i < cnt; i++) dst[i] = s[i * 2 + plane];
+}
+
+// Fused-slice bounds over the SHUFFLED stream, mirrored by the snappy
+// stitcher: whole planes per slice for ts >= nseg (ts=4: one plane,
+// ts=8: two), intra-plane halves for ts=2; the last slice absorbs the
+// n % ts tail.  Must stay a pure function of (n, ts, nseg, t).
+static inline void fused_bounds(int64_t n, int ts, int nseg, int t,
+                                int64_t *lo, int64_t *hi) {
+  const int64_t pl = n / ts;
+  if (ts >= nseg) {
+    const int64_t per = (int64_t)(ts / nseg) * pl;  // bytes per slice
+    *lo = (int64_t)t * per;
+    *hi = t == nseg - 1 ? n : *lo + per;
+  } else {
+    const int div = nseg / ts;  // slices per plane (ts=2: 2)
+    const int p = t / div, h = t % div;
+    const int64_t hb = pl / div;
+    *lo = (int64_t)p * pl + (int64_t)h * hb;
+    *hi = h == div - 1 ? (int64_t)(p + 1) * pl : *lo + hb;
+    if (t == nseg - 1) *hi = n;  // tail rides the last slice
+  }
+}
+
 // fused small-frame slice: extract own plane, then encode own segment
 static void frame_fused_slice(void *p, int t);
 
@@ -3648,9 +3695,7 @@ static void frame_encode_slice(void *p, int t) {
   FrameEncCtx &c = *(FrameEncCtx *)p;
   int64_t lo, hi;
   if (c.fused) {  // plane-aligned bounds; last slice absorbs the tail
-    const int64_t pl = c.n / c.ts;
-    lo = (int64_t)t * pl;
-    hi = t == c.nseg - 1 ? c.n : lo + pl;
+    fused_bounds(c.n, c.ts, c.nseg, t, &lo, &hi);
   } else {
     lo = (int64_t)t * c.seg;
     hi = std::min(c.n, lo + c.seg);
@@ -3691,8 +3736,21 @@ static void frame_encode_slice(void *p, int t) {
 
 static void frame_fused_slice(void *p, int t) {
   FrameEncCtx &c = *(FrameEncCtx *)p;
-  const int64_t ne = c.n / c.ts;  // plane length == segment length
-  extract_plane4(c.src, ne, t, c.sb + (int64_t)t * ne);
+  const int64_t ne = c.n / c.ts;  // plane length
+  switch (c.ts) {
+    case 2: {  // one plane (nseg=2) or sub-plane range per slice
+      int64_t lo, hi;
+      fused_bounds(c.n, 2, c.nseg, t, &lo, &hi);
+      const int64_t body_hi = std::min(hi, c.body);  // tail copied below
+      const int p2 = (int)(lo / ne);
+      extract_plane2(c.src, lo - (int64_t)p2 * ne, body_hi - (int64_t)p2 * ne,
+                     p2, c.sb + lo);
+      break;
+    }
+    case 4:
+      extract_plane4(c.src, ne, t, c.sb + (int64_t)t * ne);
+      break;
+  }
   if (t == c.nseg - 1 && c.body < c.n)
     std::memcpy(c.sb + c.body, c.src + c.body, (size_t)(c.n - c.body));
   frame_encode_slice(p, t);
@@ -3796,10 +3854,18 @@ static int64_t frame_compress_parallel(const uint8_t *src, int64_t n, int ts,
     stream = sb;
   }
   const int64_t seg = (n + nseg - 1) / nseg;
-  // fused slices are plane-aligned; the LAST one carries plane + tail,
-  // so the slot bound must cover it
-  const int64_t slot = codec_bound(
-      codec, fused ? n / ts + (n - (n / ts) * ts) : seg);
+  // fused slices are plane-aligned and unequal (the last carries the
+  // tail); the slot bound must cover the largest
+  int64_t max_slice = seg;
+  if (fused) {
+    max_slice = 0;
+    for (int t = 0; t < nseg; t++) {
+      int64_t lo, hi;
+      fused_bounds(n, ts, nseg, t, &lo, &hi);
+      max_slice = std::max(max_slice, hi - lo);
+    }
+  }
+  const int64_t slot = codec_bound(codec, max_slice);
   uint8_t *slots = scratch.get2((int64_t)nseg * slot);
   if (!slots) return -2;
 
@@ -3911,15 +3977,13 @@ static int64_t frame_compress_parallel(const uint8_t *src, int64_t n, int ts,
     for (int t = 0; t < nseg; t++) {
       if (sizes[t] <= 0) continue;
       // per-segment bounds must mirror frame_encode_slice: fused slices
-      // are plane-aligned (floor(n/ts), last absorbs the tail), not the
-      // ceil(n/nseg) of the plain path — the mismatch silently forced
-      // ragged fused snappy frames into the memcpy fallback (found via
-      // the ratio-1.00 frame on the 100 KB mixed config, 2026-08-19)
+      // are plane-aligned (fused_bounds), not the ceil(n/nseg) of the
+      // plain path — the mismatch silently forced ragged fused snappy
+      // frames into the memcpy fallback (found via the ratio-1.00 frame
+      // on the 100 KB mixed config, 2026-08-19)
       int64_t lo, hi;
       if (fused) {
-        const int64_t pl = n / ts;
-        lo = (int64_t)t * pl;
-        hi = t == nseg - 1 ? n : lo + pl;
+        fused_bounds(n, ts, nseg, t, &lo, &hi);
       } else {
         lo = (int64_t)t * seg;
         hi = std::min(n, lo + seg);
@@ -4411,8 +4475,18 @@ int64_t tpb_compress_frame(const uint8_t *src, int64_t n, int ts,
     // stay serial: pooled encode after a caller-serial filter measured
     // SLOWER than all-serial at this size (2-3 us of cross-core dirty
     // filtered-line pulls).
-    if (shuffle_mode == kByteShuffle && ts == 4 && n >= 64) {
-      nseg = 4;
+    // ts=8 was tried and REJECTED (2026-08-19): plane compressibility is
+    // wildly uneven on real f64 (mantissa planes cost 10x the exponent
+    // planes — 20.3 us of a 30.5 us total in one plane pair), so paired
+    // slices (nseg=4) were an encode WASH; one plane per slice (nseg=8)
+    // recovered 1.2-1.5x encode but its 7 seams cost a consistent
+    // 13-26% on DECODE and +8% size on f64 — a bad trade for
+    // write-once-read-many data.  ts=2 keeps nseg=2 (plane-boundary cut
+    // only): sub-plane cuts (nseg=4) cost up to one data-period of
+    // literals per seam (i16 ramp pin 824 -> 1288 measured) for little
+    // extra encode speed.
+    if (shuffle_mode == kByteShuffle && (ts == 2 || ts == 4) && n >= 64) {
+      nseg = ts == 2 ? 2 : 4;
       fused = 1;
     }
   }
