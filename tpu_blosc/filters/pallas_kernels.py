@@ -215,6 +215,27 @@ def stream_probe(data) -> dict:
 # loads (pl.Slice(t, k, 4)) still crash Mosaic server-side (HTTP 500),
 # so ts8/ts16 — which need phase compaction — stay on the SWAR path;
 # ts2 rides the same elementwise trick in u16 words.
+#
+# ts=8/16 two-pass byte-plane chains: DEAD END (probed 2026-08-19,
+# scratch/pallas_r5_probe.py).  The split decomposes cleanly (ts8 =
+# ts4-extract over u32 words, then lo/hi extract over each plane as
+# u16), but the inter-pass reinterpret is unobtainable: value-level
+# lax.bitcast_convert_type with a width change is NotImplementedError
+# in this Mosaic, and pltpu.bitcast lowers with SUBLANE-INTERLEAVE
+# semantics — u16 (S,512)->u8 gives out[2s+k,l] = byte k of in[s,l],
+# pairing bytes 512 lanes apart, never lane-adjacent.  Every
+# reformulation (u16 truncate-store ladders, compensating write
+# permutations, index-map block remaps, (n,2) minor-dim views,
+# pack/unpack_elementwise — value ops, no density change) reduces to a
+# lane-strided access or a lane-dim-2 materialization, both known
+# walls.  Word-granularity downsampling (the f64 even/odd word split)
+# is intrinsically lane-strided; only within-word byte extraction
+# changes density for free (u8/u16 stores pack in the store unit),
+# which is why ts<=4 works and ts>=8 cannot.  The same argument caps
+# any Pallas bitshuffle at >=3 passes (each pass downsamples <=4x
+# in-word; bitshuffle needs 8*ts) — 6x HBM traffic ~= 110 GB/s ceiling
+# vs SWAR's 98-141: not worth the compile risk.  Do not retry without
+# a Mosaic that lowers lane-strided slices.
 
 _BP_LN = 512  # lanes per kernel row (words)
 
