@@ -709,6 +709,23 @@ def test_small_frame_zlib_segments_roundtrip(mode):
         assert body == bytes(_filtered(data, sh, 4))
 
 
+def test_zlib_ts1_shuffle_matches_noshuffle_size():
+    """ts=1 makes the shuffle a no-op, so the segmented zlib encoder must
+    route by 'did filtering RUN' (it did not), not by the mode flag:
+    unfiltered text through libdeflate measured 2.7x larger (regression
+    test for the frame_encode_slice gate)."""
+    rng = np.random.default_rng(7)
+    words = [
+        bytes(rng.integers(97, 123, rng.integers(3, 9)).astype(np.uint8))
+        for _ in range(500)
+    ]
+    text = b" ".join(words[i % 500] for i in range(40000))[: 200 * 1024]
+    a = blosc.compress(text, blosc.ZLIB, 5, blosc.SHUFFLE, 1)
+    b = blosc.compress(text, blosc.ZLIB, 5, blosc.NOSHUFFLE, 1)
+    assert blosc.decompress(a) == text
+    assert a[16:] == b[16:]  # identical payload, only header flags differ
+
+
 @pytest.mark.parametrize("n", [
     SMALL_MIN, SMALL_MIN + 3, 100 * 1024, 100 * 1024 + 2, SEG_MIN - 1,
 ])
@@ -745,16 +762,40 @@ def test_small_frame_lane_invariance():
     assert blosc.decompress(frames[0]) == data
 
 
-def test_small_frame_below_floor_stays_serial():
-    """Below kSmallFrameMin the serial encoder's bytes are unchanged
-    (reference-config pins for tiny frames stay stable)."""
+def test_small_frame_below_floor_stays_serial(tmp_path):
+    """Below kSmallFrameMin the fused path must NOT engage: bytes equal
+    the forced-serial encoder's (TPU_BLOSC_NO_FRAME_PARALLEL=1, which is
+    read once at library init → subprocess), so reference-config pins for
+    tiny frames stay stable."""
+    import os
+    import subprocess
+    import sys
+
     n = SMALL_MIN - 4096
     data = bytes(bytearray(i % 256 for i in range(n)))
     frame = blosc.compress(data, blosc.LZ4, 5, blosc.SHUFFLE, 4)
-    # serial single-segment stream: the pure-Python ENCODER (same greedy
-    # parameters) produces the identical payload below the parallel floor
-    from tpu_blosc import codecs as _codecs
     assert blosc.decompress(frame) == data
+    src = tmp_path / "in.bin"
+    src.write_bytes(data)
+    out = tmp_path / "serial.frame"
+    code = (
+        "import sys; sys.path.insert(0, %r);"
+        "import tpu_blosc as blosc;"
+        "d = open(%r,'rb').read();"
+        "f = blosc.compress(d, blosc.LZ4, 5, blosc.SHUFFLE, 4);"
+        "open(%r,'wb').write(f)"
+    ) % (
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        str(src), str(out),
+    )
+    env = dict(
+        os.environ, TPU_BLOSC_NO_FRAME_PARALLEL="1", TPU_BLOSC_NO_DEVICE="1"
+    )
+    subprocess.run(
+        [sys.executable, "-c", code], env=env, check=True, timeout=300,
+        capture_output=True,
+    )
+    assert out.read_bytes() == frame  # sub-floor frames ARE the serial bytes
 
 
 def test_small_frame_noshuffle_stays_serial():

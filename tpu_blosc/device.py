@@ -96,22 +96,17 @@ def _device_filter_prep(
         # round-4 Pallas byte-plane kernel: u8 output serves BOTH word
         # consumers (stage1 transfer fetch) and byte-granular ones (the
         # match/rle segment pipelines, which previously paid the 13-15
-        # GB/s u8 prep); 338-660 GB/s measured vs 84-144 SWAR
+        # GB/s u8 prep); 338-660 GB/s measured vs 84-144 SWAR.  Shares
+        # _swar_filter's prep (bitcast + barrier + tail split) so the
+        # barrier-before-reshape fix lives in exactly one place.
         from .filters import pallas_kernels as _pk
 
         wdt = jnp.uint16 if type_size == 2 else jnp.uint32
-        words = jax.lax.bitcast_convert_type(flat, wdt).reshape(-1)
-        wpb = bs // type_size
-        words2d = jax.lax.optimization_barrier(
-            words[: nb * wpb].reshape(nb, wpb)
+        return _swar_filter(
+            lambda w: _pk.byte_plane_split(w, type_size).reshape(nb, bs),
+            wdt,
+            type_size,
         )
-        tail_w = words[nb * wpb :]
-        if tail_w.size:
-            tail = jax.lax.bitcast_convert_type(tail_w, jnp.uint8).reshape(-1)
-        else:
-            tail = jnp.zeros((0,), jnp.uint8)
-        planes = _pk.byte_plane_split(words2d, type_size)
-        return planes.reshape(nb, bs), tail
     if (
         u32_ok
         and mode == int(Shuffle.SHUFFLE)

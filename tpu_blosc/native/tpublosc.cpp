@@ -113,10 +113,16 @@ class SpinPool {
   static constexpr int kWorkers = 3;  // + the calling thread = 4 lanes
 
   // Run fn(arg, i) for i in [0, n); false = caller must loop serially
-  // (pool busy, single-thread config, or n tiny).
+  // (pool busy, single-thread config, re-entry, or n tiny).
   bool run(Fn fn, void *arg, int n) {
     if (n <= 1 || lanes_.load(std::memory_order_relaxed) <= 1) return false;
+    // Re-entry guard: a slice the OWNING thread executes inline may call
+    // run() again (batch slices -> fused small-frame / segmented-zlib
+    // encode), and std::mutex::try_lock by the thread that already holds
+    // the mutex is UB.  Workers' nested try_lock is defined (fails busy).
+    if (owner_) return false;
     if (!job_mtx_.try_lock()) return false;
+    owner_ = true;
     ensure_started();
     // Two-generation publication: PARK the cursor on a fresh generation
     // with an exhausted index BEFORE touching the job fields, so a worker
@@ -142,6 +148,7 @@ class SpinPool {
       done_.fetch_add(1, std::memory_order_release);
     }
     while (done_.load(std::memory_order_acquire) < n) cpu_relax();
+    owner_ = false;
     job_mtx_.unlock();
     return true;
   }
@@ -240,9 +247,12 @@ class SpinPool {
   bool lanes_user_ = false;
   bool atfork_registered_ = false;
   static std::atomic<bool> g_forked;
+  // true while THIS thread holds job_mtx_ (see run()'s re-entry guard)
+  static thread_local bool owner_;
 };
 
 std::atomic<bool> SpinPool::g_forked{false};
+thread_local bool SpinPool::owner_ = false;
 
 static SpinPool &spin_pool() {
   static SpinPool *p = new SpinPool();  // leaked: workers live to exit
@@ -3643,13 +3653,13 @@ static void extract_plane4(const uint8_t *src, int64_t ne, int plane,
   for (; k < ne; k++) dst[k] = src[k * 4 + plane];
 }
 
-// dst[i] = src[(k0+i)*2 + plane] for i in [0, k1-k0): a SUB-RANGE of one
-// ts=2 plane (the four fused slices each take half a plane).
-static void extract_plane2(const uint8_t *src, int64_t k0, int64_t k1,
-                           int plane, uint8_t *dst) {
+// dst[i] = src[i*2 + plane] for i in [0, cnt): ONE byte plane of the
+// ts=2 shuffle (fused mode cuts on plane boundaries only — sub-plane
+// cuts were measured +56% size on the i16 ramp pin and rejected).
+static void extract_plane2(const uint8_t *src, int64_t cnt, int plane,
+                           uint8_t *dst) {
   int64_t i = 0;
-  const int64_t cnt = k1 - k0;
-  const uint8_t *s = src + k0 * 2;
+  const uint8_t *s = src;
 #if defined(__SSSE3__) || defined(__AVX2__)
   const __m128i m = _mm_setr_epi8(
       (char)plane, (char)(2 + plane), (char)(4 + plane), (char)(6 + plane),
@@ -3668,24 +3678,16 @@ static void extract_plane2(const uint8_t *src, int64_t k0, int64_t k1,
 }
 
 // Fused-slice bounds over the SHUFFLED stream, mirrored by the snappy
-// stitcher: whole planes per slice for ts >= nseg (ts=4: one plane,
-// ts=8: two), intra-plane halves for ts=2; the last slice absorbs the
-// n % ts tail.  Must stay a pure function of (n, ts, nseg, t).
+// stitcher: whole planes per slice (fused mode only ever sets nseg <= ts
+// — ts=2:2, ts=4:4 — sub-plane cuts were measured and rejected, see
+// tpb_compress_frame); the last slice absorbs the n % ts tail.  Must
+// stay a pure function of (n, ts, nseg, t).
 static inline void fused_bounds(int64_t n, int ts, int nseg, int t,
                                 int64_t *lo, int64_t *hi) {
   const int64_t pl = n / ts;
-  if (ts >= nseg) {
-    const int64_t per = (int64_t)(ts / nseg) * pl;  // bytes per slice
-    *lo = (int64_t)t * per;
-    *hi = t == nseg - 1 ? n : *lo + per;
-  } else {
-    const int div = nseg / ts;  // slices per plane (ts=2: 2)
-    const int p = t / div, h = t % div;
-    const int64_t hb = pl / div;
-    *lo = (int64_t)p * pl + (int64_t)h * hb;
-    *hi = h == div - 1 ? (int64_t)(p + 1) * pl : *lo + hb;
-    if (t == nseg - 1) *hi = n;  // tail rides the last slice
-  }
+  const int64_t per = (int64_t)(ts / nseg) * pl;  // bytes per slice
+  *lo = (int64_t)t * per;
+  *hi = t == nseg - 1 ? n : *lo + per;
 }
 
 // fused small-frame slice: extract own plane, then encode own segment
@@ -3705,12 +3707,15 @@ static void frame_encode_slice(void *p, int t) {
     return;
   }
   if (c.codec == kCodecZlib) {
-    // shuffled payloads ride libdeflate (faster AND smaller at level >= 4,
+    // FILTERED payloads ride libdeflate (faster AND smaller at level >= 4,
     // see the LibDeflate header note); the walker patches non-final
     // segments to the Z_SYNC_FLUSH layout so mixed libdeflate/libz
-    // segments still concatenate into one standard stream
+    // segments still concatenate into one standard stream.  The gate is
+    // "did filtering actually run" (sb set), NOT the mode flag: ts=1
+    // makes shuffle a no-op, and unfiltered text through libdeflate
+    // measured 2.7x LARGER — mirror the serial path's to_compress != src
     int64_t w = -2;
-    if (c.shuffle_mode != kNoShuffle)
+    if (c.sb != nullptr)
       w = zlib_ld_segment(c.stream + lo, hi - lo, c.slots + t * c.slot,
                           c.slot, c.depth, t == c.nseg - 1);
     if (w < 0)
@@ -3738,13 +3743,11 @@ static void frame_fused_slice(void *p, int t) {
   FrameEncCtx &c = *(FrameEncCtx *)p;
   const int64_t ne = c.n / c.ts;  // plane length
   switch (c.ts) {
-    case 2: {  // one plane (nseg=2) or sub-plane range per slice
+    case 2: {  // one whole plane per slice (nseg=2)
       int64_t lo, hi;
       fused_bounds(c.n, 2, c.nseg, t, &lo, &hi);
       const int64_t body_hi = std::min(hi, c.body);  // tail copied below
-      const int p2 = (int)(lo / ne);
-      extract_plane2(c.src, lo - (int64_t)p2 * ne, body_hi - (int64_t)p2 * ne,
-                     p2, c.sb + lo);
+      extract_plane2(c.src, body_hi - lo, t, c.sb + lo);
       break;
     }
     case 4:
