@@ -709,6 +709,53 @@ def test_small_frame_zlib_segments_roundtrip(mode):
         assert body == bytes(_filtered(data, sh, 4))
 
 
+def test_fused_big_frames_byte_identical_to_two_stage(tmp_path):
+    """>= 256 KiB byte-shuffled frames take the FUSED extract+encode path
+    when n % max(ts, nseg) == 0; its bounds coincide with the plain
+    segment cuts, so bytes must equal the two-stage filter+encode path
+    (TPU_BLOSC_NO_FUSED_BIG=1, static env -> subprocess)."""
+    import os
+    import subprocess
+    import sys
+
+    cases = []
+    for n in (256 * 1024, 512 * 1024, 2 * 1024 * 1024):
+        data = np.arange(n // 4, dtype=np.float32).tobytes()
+        for ts in (2, 4):
+            for codec in (blosc.LZ4, blosc.SNAPPY):
+                cases.append((data, codec, ts))
+    fused = [
+        blosc.compress(d, c, 5, blosc.SHUFFLE, ts) for d, c, ts in cases
+    ]
+    for f, (d, _, _) in zip(fused, cases):
+        assert blosc.decompress(f) == d
+    blob = tmp_path / "frames.bin"
+    import pickle
+    blob.write_bytes(pickle.dumps([bytes(f) for f in fused]))
+    code = (
+        "import sys, pickle; sys.path.insert(0, %r);"
+        "import numpy as np; import tpu_blosc as blosc;"
+        "fused = pickle.loads(open(%r,'rb').read());"
+        "cases = [];"
+        "ns = (256*1024, 512*1024, 2*1024*1024);"
+        "[cases.append((np.arange(n//4, dtype=np.float32).tobytes(), c, ts))"
+        " for n in ns for ts in (2, 4)"
+        " for c in (blosc.LZ4, blosc.SNAPPY)];"
+        "assert all(bytes(blosc.compress(d, c, 5, blosc.SHUFFLE, ts)) == f"
+        "           for (d, c, ts), f in zip(cases, fused))"
+    ) % (
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        str(blob),
+    )
+    env = dict(
+        os.environ, TPU_BLOSC_NO_FUSED_BIG="1", TPU_BLOSC_NO_DEVICE="1"
+    )
+    subprocess.run(
+        [sys.executable, "-c", code], env=env, check=True, timeout=300,
+        capture_output=True,
+    )
+
+
 def test_zlib_ts1_shuffle_matches_noshuffle_size():
     """ts=1 makes the shuffle a no-op, so the segmented zlib encoder must
     route by 'did filtering RUN' (it did not), not by the mode flag:

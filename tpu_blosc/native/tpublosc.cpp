@@ -3626,9 +3626,12 @@ static void frame_filter_slice(void *p, int t) {
 // pooled-encode variant measured 2-3 us of cross-core dirty-line pulls
 // at 100 KB — worse than serial).
 
-// dst[k] = src[k*4 + plane]: ONE byte plane of the ts=4 shuffle.
-static void extract_plane4(const uint8_t *src, int64_t ne, int plane,
-                           uint8_t *dst) {
+// dst[i] = src[(k0+i)*4 + plane] for i in [0, k1-k0): a sub-range of one
+// byte plane of the ts=4 shuffle (whole plane: k0=0, k1=ne).
+static void extract_plane4(const uint8_t *src, int64_t k0, int64_t k1,
+                           int plane, uint8_t *dst) {
+  const int64_t ne = k1 - k0;
+  src += k0 * 4;
   int64_t k = 0;
 #if defined(__SSSE3__) || defined(__AVX2__)
   const __m128i m = _mm_setr_epi8(
@@ -3653,13 +3656,16 @@ static void extract_plane4(const uint8_t *src, int64_t ne, int plane,
   for (; k < ne; k++) dst[k] = src[k * 4 + plane];
 }
 
-// dst[i] = src[i*2 + plane] for i in [0, cnt): ONE byte plane of the
-// ts=2 shuffle (fused mode cuts on plane boundaries only — sub-plane
-// cuts were measured +56% size on the i16 ramp pin and rejected).
-static void extract_plane2(const uint8_t *src, int64_t cnt, int plane,
-                           uint8_t *dst) {
+// dst[i] = src[(k0+i)*2 + plane] for i in [0, k1-k0): a sub-range of one
+// ts=2 byte plane.  Small fused frames cut on plane boundaries only
+// (sub-plane cuts measured +56% size on the i16 ramp pin there); the
+// >= 256 KiB fused path reuses the plain segmentation's sub-plane cuts,
+// which already exist in the two-stage path at identical boundaries.
+static void extract_plane2(const uint8_t *src, int64_t k0, int64_t k1,
+                           int plane, uint8_t *dst) {
   int64_t i = 0;
-  const uint8_t *s = src;
+  const int64_t cnt = k1 - k0;
+  const uint8_t *s = src + k0 * 2;
 #if defined(__SSSE3__) || defined(__AVX2__)
   const __m128i m = _mm_setr_epi8(
       (char)plane, (char)(2 + plane), (char)(4 + plane), (char)(6 + plane),
@@ -3678,16 +3684,29 @@ static void extract_plane2(const uint8_t *src, int64_t cnt, int plane,
 }
 
 // Fused-slice bounds over the SHUFFLED stream, mirrored by the snappy
-// stitcher: whole planes per slice (fused mode only ever sets nseg <= ts
-// — ts=2:2, ts=4:4 — sub-plane cuts were measured and rejected, see
-// tpb_compress_frame); the last slice absorbs the n % ts tail.  Must
-// stay a pure function of (n, ts, nseg, t).
+// stitcher: whole planes per slice when nseg == ts (the small-frame
+// configs: ts=2:2, ts=4:4 — SUB-plane cuts there were measured +56%
+// size and rejected, see tpb_compress_frame), equal sub-plane pieces
+// when nseg > ts (the >= 256 KiB configs, where these bounds coincide
+// with the plain t*ceil(n/nseg) cuts — the big-path fused gate requires
+// n % max(ts, nseg) == 0 precisely so the BYTES stay identical to the
+// two-stage filter+encode path).  The last slice absorbs the n % ts
+// tail.  Must stay a pure function of (n, ts, nseg, t).
 static inline void fused_bounds(int64_t n, int ts, int nseg, int t,
                                 int64_t *lo, int64_t *hi) {
   const int64_t pl = n / ts;
-  const int64_t per = (int64_t)(ts / nseg) * pl;  // bytes per slice
-  *lo = (int64_t)t * per;
-  *hi = t == nseg - 1 ? n : *lo + per;
+  if (ts >= nseg) {
+    const int64_t per = (int64_t)(ts / nseg) * pl;  // bytes per slice
+    *lo = (int64_t)t * per;
+    *hi = t == nseg - 1 ? n : *lo + per;
+  } else {
+    const int div = nseg / ts;  // slices per plane
+    const int p = t / div, h = t % div;
+    const int64_t hb = pl / div;
+    *lo = (int64_t)p * pl + (int64_t)h * hb;
+    *hi = h == div - 1 ? (int64_t)(p + 1) * pl : *lo + hb;
+    if (t == nseg - 1) *hi = n;  // tail rides the last slice
+  }
 }
 
 // fused small-frame slice: extract own plane, then encode own segment
@@ -3741,19 +3760,18 @@ static void frame_encode_slice(void *p, int t) {
 
 static void frame_fused_slice(void *p, int t) {
   FrameEncCtx &c = *(FrameEncCtx *)p;
-  const int64_t ne = c.n / c.ts;  // plane length
-  switch (c.ts) {
-    case 2: {  // one whole plane per slice (nseg=2)
-      int64_t lo, hi;
-      fused_bounds(c.n, 2, c.nseg, t, &lo, &hi);
-      const int64_t body_hi = std::min(hi, c.body);  // tail copied below
-      extract_plane2(c.src, body_hi - lo, t, c.sb + lo);
-      break;
-    }
-    case 4:
-      extract_plane4(c.src, ne, t, c.sb + (int64_t)t * ne);
-      break;
-  }
+  const int64_t pl = c.n / c.ts;  // plane length
+  int64_t lo, hi;
+  fused_bounds(c.n, c.ts, c.nseg, t, &lo, &hi);
+  // every fused slice lies within ONE plane (nseg >= ts for all engaged
+  // configs); the n % ts tail past body is copied verbatim below
+  const int64_t body_hi = std::min(hi, c.body);
+  const int pn = (int)(lo / pl);
+  const int64_t k0 = lo - (int64_t)pn * pl, k1 = body_hi - (int64_t)pn * pl;
+  if (c.ts == 2)
+    extract_plane2(c.src, k0, k1, pn, c.sb + lo);
+  else
+    extract_plane4(c.src, k0, k1, pn, c.sb + lo);
   if (t == c.nseg - 1 && c.body < c.n)
     std::memcpy(c.sb + c.body, c.src + c.body, (size_t)(c.n - c.body));
   frame_encode_slice(p, t);
@@ -4493,6 +4511,34 @@ int64_t tpb_compress_frame(const uint8_t *src, int64_t n, int ts,
       fused = 1;
     }
   }
+  // Round-4 session-2: the SAME fusion applies to the >= 256 KiB
+  // segment-parallel path.  The two-stage filter+encode makes every
+  // encode slice read a plane 3/4-written by OTHER cores (the filter
+  // slices write plane-strided), so the encode stage starts with a
+  // cross-core dirty-line pull of most of its input.  When
+  // n % max(ts, nseg) == 0 the fused plane/sub-plane bounds coincide
+  // exactly with the plain t*ceil(n/nseg) cuts, so each slice can
+  // extract its own piece from the read-only src and encode it locally
+  // with BYTE-IDENTICAL output (tests pin this via TPU_BLOSC_NO_FUSED_BIG
+  // A/B).  The trade: fused extraction re-reads src once PER PLANE, so
+  // it wins only while that redundancy stays cache-resident — measured
+  // (interleaved A/B, best-of, this host): ts=2 wins everywhere
+  // (256K 8.4-9.1 -> 18-22, 512K 11.6-13.2 -> 25-27.6, 1M 13.4-17.8 ->
+  // 22-26, 4M wash-to-win GB/s; only 2x src reads), ts=4 wins +7-30%
+  // up to 512 KiB and LOSES at >= 768 KiB (4x src reads stream from
+  // memory; 4M two-stage 17-21 vs fused 14.8-15.8) — hence the ts=4
+  // size cap.  zlib is excluded: its libz segments prime a 32 KiB
+  // dictionary from the PREVIOUS segment's filtered bytes, which a
+  // fused slice has not written yet.
+  static const bool no_fused_big =
+      std::getenv("TPU_BLOSC_NO_FUSED_BIG") != nullptr;
+  if (nseg > 1 && !fused && !no_fused_big &&
+      shuffle_mode == kByteShuffle &&
+      (ts == 2 || (ts == 4 && n <= (512 << 10))) &&
+      n % (nseg > ts ? (int64_t)nseg : (int64_t)ts) == 0 &&
+      (codec == kCodecLz4 || codec == kCodecLz4Hc ||
+       codec == kCodecSnappy || codec == kCodecBlosclz))
+    fused = 1;
   if (nseg > 1 && codec != kCodecZstd) {
     // segment-concatenated parallel encode (see frame_compress_parallel).
     // ZSTD is decode-gated only: segmenting its encode costs up to tens
