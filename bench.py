@@ -109,6 +109,17 @@ def bench_host_pipeline() -> dict:
     t1d, o1 = _best(lambda: blosc.decompress(c1), reps=12)
     assert o1 == d1, "single-block roundtrip failed"
 
+    # ts=2 single-block 1 MiB — guards the round-4 fused plane extraction
+    # for >= 256 KiB frames (byte-identical to the two-stage path; ts=2
+    # roughly doubled: 13-18 -> 22-26 GB/s measured)
+    d2 = (np.arange(n1 // 2, dtype=np.int16) % 3000).tobytes()
+    c2 = blosc.compress(d2, blosc.LZ4, 5, blosc.SHUFFLE, 2)
+    t2c, c2 = _best(
+        lambda: blosc.compress(d2, blosc.LZ4, 5, blosc.SHUFFLE, 2), reps=12
+    )
+    t2d, o2 = _best(lambda: blosc.decompress(c2), reps=12)
+    assert o2 == d2, "ts=2 single-block roundtrip failed"
+
     # BloscLZ (codec 0, our extension) on the same single-block shape —
     # guards the sixth codec's native + parallel paths
     cb = blosc.compress(d1, blosc.BLOSCLZ)
@@ -152,6 +163,8 @@ def bench_host_pipeline() -> dict:
         "ratio": N / len(comp),
         "single_block_1mib_compress_gbps": n1 / t1c / 1e9,
         "single_block_1mib_decompress_gbps": n1 / t1d / 1e9,
+        "single_block_1mib_ts2_compress_gbps": n1 / t2c / 1e9,
+        "single_block_1mib_ts2_decompress_gbps": n1 / t2d / 1e9,
         "blosclz_1mib_compress_gbps": n1 / tbc / 1e9,
         "blosclz_1mib_decompress_gbps": n1 / tbd / 1e9,
         "zlib_1mib_compress_gbps": n1 / tzc / 1e9,
@@ -572,6 +585,12 @@ def main() -> None:
         ),
         "single_block_1mib_decompress_gbps": round(
             host["single_block_1mib_decompress_gbps"], 3
+        ),
+        "single_block_1mib_ts2_compress_gbps": round(
+            host["single_block_1mib_ts2_compress_gbps"], 3
+        ),
+        "single_block_1mib_ts2_decompress_gbps": round(
+            host["single_block_1mib_ts2_decompress_gbps"], 3
         ),
         "blosclz_1mib_compress_gbps": round(
             host["blosclz_1mib_compress_gbps"], 3

@@ -28,6 +28,10 @@ FLOORS = {
     # a collapse to the serial path reads ~9 / ~7
     "single_block_1mib_compress_gbps": 3.0,
     "single_block_1mib_decompress_gbps": 3.0,
+    # ts=2 single-block (round-4 fused plane extraction): typical 22-27
+    # compress; a collapse to the two-stage path reads ~12-18
+    "single_block_1mib_ts2_compress_gbps": 5.0,
+    "single_block_1mib_ts2_decompress_gbps": 3.0,
     # BloscLZ (codec 0): typical 17-23 / 15-20 on the same shape; the
     # pure-Python oracle fallback reads ~0.01 — this floor catches the
     # native path silently dropping out for the sixth codec
