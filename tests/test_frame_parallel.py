@@ -756,6 +756,83 @@ def test_fused_big_frames_byte_identical_to_two_stage(tmp_path):
     )
 
 
+@pytest.mark.parametrize("n", [48 * 1024, 64 * 1024, 100 * 1024, 127 * 1024])
+@pytest.mark.parametrize("level", [1, 3, 5, 9])
+@pytest.mark.parametrize("mode", ["noshuffle", "shuffle"])
+def test_zlib_small_segment_dictionary_clamp(n, level, mode):
+    """48-127 KiB zlib frames have segments under 32 KiB; the libz
+    dictionary priming must clamp to the bytes that actually precede the
+    segment.  The unclamped form primed from BEFORE the buffer (heap
+    OOB read) and emitted invalid-distance streams that CPython zlib
+    rejected (round-4 session-2 regression; ASan-confirmed)."""
+    import zlib as _z
+
+    sh = blosc.SHUFFLE if mode == "shuffle" else blosc.NOSHUFFLE
+    ts = 4 if mode == "shuffle" else 1
+    data = bytes(bytearray(((i * 7 + i // 997) & 0xFF) for i in range(n)))
+    frame = blosc.compress(data, blosc.ZLIB, level, sh, ts)
+    assert blosc.decompress(frame) == data
+    h = blosc.get_info(frame)
+    if not (h.flags & 0x2):
+        body = _z.decompress(bytes(frame[16 : h.nbytes_comp]))
+        assert body == bytes(_filtered(data, sh, ts))
+
+
+def test_zlib_parallel_inflate_roundtrip_and_adversarial():
+    """>= 48 KiB single-block zlib frames decode in parallel when the
+    Z_SYNC_FLUSH seam scan finds exactly nseg-1 markers; validation is
+    per-piece exact sizes + whole-stream adler32, serial fallback
+    otherwise.  Data CONTAINING the 00 00 FF FF marker bytes (stored
+    blocks) must still roundtrip — false candidates reject into the
+    serial decoder, never corrupt."""
+    import zlib as _z
+
+    # big parallel case (nseg=8)
+    n = 1 << 20
+    data = np.arange(n // 4, dtype=np.float32).tobytes()
+    frame = blosc.compress(data, blosc.ZLIB, 5, blosc.SHUFFLE, 4)
+    assert blosc.decompress(frame) == data
+    # adversarial: marker bytes inside stored/compressed data
+    evil = (b"\x00\x00\xff\xff" * 300 + bytes(1000)) * 200
+    for level, sh, ts in ((1, blosc.NOSHUFFLE, 1), (9, blosc.SHUFFLE, 4)):
+        f = blosc.compress(evil, blosc.ZLIB, level, sh, ts)
+        assert blosc.decompress(f) == evil
+    # foreign serial stream under our header: must take the serial path
+    from tpu_blosc.format import FORMAT_VERSION, HEADER_SIZE, Header
+
+    stream = _z.compress(data, 6)
+    h = Header(
+        version=FORMAT_VERSION, version_lz=4, flags=0, type_size=1,
+        nbytes_orig=n, block_size=n, nbytes_comp=HEADER_SIZE + len(stream),
+    )
+    assert blosc.decompress(h.to_bytes() + stream) == data
+    # corruption parity vs the CPython-zlib ORACLE: the parallel path
+    # validates hard (exact piece sizes + adler) or rejects into the
+    # serial decoder — it must never accept what a standard inflate
+    # rejects, nor produce different bytes when both accept
+    for pos in (20, len(frame) // 2, len(frame) - 6):
+        bad = bytearray(frame)
+        bad[pos] ^= 0x40
+        payload = bytes(bad[16 : blosc.get_info(frame).nbytes_comp])
+        try:
+            want = _z.decompress(payload)
+            if len(want) != n:
+                want = None
+        except _z.error:
+            want = None
+        try:
+            got = blosc.decompress(bytes(bad))
+        except blosc.BloscError:
+            got = None
+        if want is None:
+            assert got is None or got == data  # redundant-bit hits only
+        else:
+            assert got == bytes(
+                np.frombuffer(want, np.uint8)
+                .reshape(4, -1).T.reshape(-1)
+            ) or got == want or got is None
+
+
 def test_zlib_ts1_shuffle_matches_noshuffle_size():
     """ts=1 makes the shuffle a no-op, so the segmented zlib encoder must
     route by 'did filtering RUN' (it did not), not by the mode flag:

@@ -2957,6 +2957,11 @@ struct LibDeflate {
   // stream are tolerated exactly like libz's uncompress()
   int (*decompress_ex)(void *, const void *, size_t, void *, size_t,
                        size_t *, size_t *) = nullptr;
+  // raw-deflate _ex decode: the parallel pigz-seam inflate feeds it one
+  // terminated piece per thread (zlib_decompress_parallel)
+  int (*decompress_raw_ex)(void *, const void *, size_t, void *, size_t,
+                           size_t *, size_t *) = nullptr;
+  bool raw_ok = false;
   // encode side (round 4): raw-deflate compressor for SHUFFLED payloads,
   // where libdeflate measured both faster AND smaller than libz at every
   // level >= 4 (scratch/zlib_sweep.py; on unshuffled text it loses size,
@@ -2976,6 +2981,10 @@ struct LibDeflate {
         (int (*)(void *, const void *, size_t, void *, size_t, size_t *,
                  size_t *))dlsym(h, "libdeflate_zlib_decompress_ex");
     ok = alloc_d && decompress_ex;
+    decompress_raw_ex =
+        (int (*)(void *, const void *, size_t, void *, size_t, size_t *,
+                 size_t *))dlsym(h, "libdeflate_deflate_decompress_ex");
+    raw_ok = alloc_d && decompress_raw_ex;
     alloc_c = (void *(*)(int))dlsym(h, "libdeflate_alloc_compressor");
     compress_raw = (size_t (*)(void *, const void *, size_t, void *,
                                size_t))dlsym(h, "libdeflate_deflate_compress");
@@ -3470,6 +3479,122 @@ static BlockScratch &frame_scratch() {
 }
 
 // ---------------------------------------------------------------------------
+// parallel inflate for OUR pigz-layout zlib streams (round-4 session 2).
+//
+// The segment-parallel encoder ends every non-final segment with the
+// Z_SYNC_FLUSH empty stored block (… 00 00 FF FF, byte-aligned), so the
+// seams are byte positions.  They are data-dependent — the stream cannot
+// carry them — so the decoder SCANS for the 4-byte marker and accepts the
+// parallel path only when the candidate count is EXACTLY nseg-1 (the
+// encoder's deterministic segment count for this n).  Each piece then
+// becomes a complete raw-deflate stream by appending 01 00 00 FF FF (an
+// empty stored block with BFINAL=1) and inflates independently at full
+// libdeflate speed.  Validation is strict: per-piece exact input
+// consumption and exact output size, then whole-stream adler32 against
+// the trailer (per-piece adlers, adler32_combine).  ANY mismatch — a
+// false marker inside compressed data, a window-primed libz segment
+// whose matches reach back across the seam (raw inflate fails with
+// distance-too-far), a foreign stream — rejects into the sequential
+// decoder, so correctness never depends on the producer.  Primed
+// segments whose matches happen NOT to reach back decode correctly
+// independently (priming only matters when referenced).
+// ---------------------------------------------------------------------------
+
+struct ZlibDecCtx {
+  const uint8_t *pieces[kMaxDecodeSegments];  // staged (terminated) input
+  int64_t plen[kMaxDecodeSegments];           // staged length
+  int64_t in_expect[kMaxDecodeSegments];      // exact consumption required
+  uint8_t *dst;
+  int64_t lo[kMaxDecodeSegments], sz[kMaxDecodeSegments];
+  unsigned long adler[kMaxDecodeSegments];
+  uint8_t ok[kMaxDecodeSegments];
+};
+
+static void zlib_decode_piece_slice(void *p, int t) {
+  ZlibDecCtx &c = *(ZlibDecCtx *)p;
+  LibDeflate &ld = libdeflate();
+  static thread_local void *dec = nullptr;
+  if (!dec) dec = ld.alloc_d();
+  if (!dec) {
+    c.ok[t] = 0;
+    return;
+  }
+  size_t in_used = 0, out_used = 0;
+  int rc = ld.decompress_raw_ex(dec, c.pieces[t], (size_t)c.plen[t],
+                                c.dst + c.lo[t], (size_t)c.sz[t], &in_used,
+                                &out_used);
+  c.ok[t] = rc == 0 && (int64_t)in_used == c.in_expect[t] &&
+            (int64_t)out_used == c.sz[t];
+  if (c.ok[t])
+    c.adler[t] = adler32(adler32(0L, Z_NULL, 0), c.dst + c.lo[t],
+                         (uInt)c.sz[t]);
+}
+
+static int64_t zlib_decompress_parallel(const uint8_t *payload, int64_t ps,
+                                        uint8_t *dst, int64_t n, int nseg,
+                                        BlockScratch &scratch) {
+  LibDeflate &ld = libdeflate();
+  if (!ld.raw_ok || nseg < 2 || nseg > kMaxDecodeSegments || ps < 11 ||
+      (payload[0] & 0x0F) != 8 || (payload[0] & 0xF0) > 0x70 ||
+      (((unsigned)payload[0] << 8) | payload[1]) % 31 != 0 ||
+      (payload[1] & 0x20))  // FDICT streams are not ours
+    return kSplitReject;
+  // seam scan: cut positions AFTER each 00 00 FF FF in the deflate body
+  const int64_t body0 = 2, body1 = ps - 4;  // [header) … (adler trailer]
+  int64_t cuts[kMaxDecodeSegments];
+  int ncut = 0;
+  for (int64_t i = body0; i + 4 <= body1; i++) {
+    if (payload[i] == 0x00 && payload[i + 1] == 0x00 &&
+        payload[i + 2] == 0xFF && payload[i + 3] == 0xFF) {
+      if (ncut >= nseg - 1) return kSplitReject;  // too many: not ours
+      cuts[ncut++] = i + 4;
+      i += 3;  // markers cannot overlap themselves
+    }
+  }
+  if (ncut != nseg - 1 || cuts[ncut - 1] >= body1) return kSplitReject;
+  // stage the non-final pieces with the 5-byte BFINAL terminator; the
+  // final piece already ends with BFINAL=1 and reads in place
+  uint8_t *stage = scratch.get2(ps + 5 * (int64_t)nseg);
+  if (!stage) return kSplitReject;
+  static const uint8_t kFin[5] = {0x01, 0x00, 0x00, 0xFF, 0xFF};
+  const int64_t seg = (n + nseg - 1) / nseg;
+  ZlibDecCtx ctx{};
+  ctx.dst = dst;
+  int64_t sp = 0;
+  for (int t = 0; t < nseg; t++) {
+    const int64_t a = t == 0 ? body0 : cuts[t - 1];
+    const int64_t b = t == nseg - 1 ? body1 : cuts[t];
+    ctx.lo[t] = (int64_t)t * seg;
+    ctx.sz[t] = std::min(n, ctx.lo[t] + seg) - ctx.lo[t];
+    if (b <= a || ctx.sz[t] <= 0) return kSplitReject;
+    if (t == nseg - 1) {
+      ctx.pieces[t] = payload + a;
+      ctx.plen[t] = ctx.in_expect[t] = b - a;
+    } else {
+      std::memcpy(stage + sp, payload + a, (size_t)(b - a));
+      std::memcpy(stage + sp + (b - a), kFin, 5);
+      ctx.pieces[t] = stage + sp;
+      ctx.plen[t] = ctx.in_expect[t] = (b - a) + 5;
+      sp += (b - a) + 5;
+    }
+  }
+  if (!spin_pool().run(zlib_decode_piece_slice, &ctx, nseg))
+    for (int t = 0; t < nseg; t++) zlib_decode_piece_slice(&ctx, t);
+  unsigned long adler = adler32(0L, Z_NULL, 0);
+  for (int t = 0; t < nseg; t++) {
+    if (!ctx.ok[t]) return kSplitReject;
+    adler = adler32_combine(adler, ctx.adler[t], (z_off_t)ctx.sz[t]);
+  }
+  const unsigned long want = ((unsigned long)payload[ps - 4] << 24) |
+                             ((unsigned long)payload[ps - 3] << 16) |
+                             ((unsigned long)payload[ps - 2] << 8) |
+                             (unsigned long)payload[ps - 1];
+  if (adler != want) return kSplitReject;
+  return n;
+}
+
+
+// ---------------------------------------------------------------------------
 // parallel single-stream LZ4 frame body
 //
 // LZ4 block streams CONCATENATE: a sequence ends at a byte boundary and
@@ -3740,7 +3865,14 @@ static void frame_encode_slice(void *p, int t) {
     if (w < 0)
       w = zlib_deflate_segment(
           c.stream + lo, hi - lo, c.slots + t * c.slot, c.slot, c.depth,
-          lo > 0 ? c.stream + lo - 32768 : nullptr, lo > 0 ? 32768 : 0,
+          // dictionary = the window preceding this segment, CLAMPED to
+          // what exists: segments under 32 KiB (the 48-255 KiB small-
+          // frame zlib window has ~12 KiB slices) would otherwise prime
+          // from before the buffer — out-of-bounds garbage that emitted
+          // invalid-distance streams (caught by the round-4 session-2
+          // parallel-inflate sweep; CPython zlib rejected them too)
+          lo > 0 ? c.stream + lo - std::min<int64_t>(lo, 32768) : nullptr,
+          std::min<int64_t>(lo, 32768),
           t == c.nseg - 1);
     c.sizes[t] = w;
     c.adlers[t] =
@@ -4616,13 +4748,18 @@ int64_t tpb_decompress_block_into(const uint8_t *frame, int64_t payload_off,
   // pooled unfilter at that size was a clear LOSS (5.6 vs 3.5 us), so
   // small fused frames DECODE serially even though they encode fused.
   const int nseg = frame_segments(n, codec);
-  if (nseg > 1 && codec != kCodecZlib) {  // inflate has no parallel form
+  if (nseg > 1) {
     if (codec == kCodecSnappy)
       got = snappy_decompress_parallel(payload, psize, dec, n, nseg);
     else if (codec == kCodecZstd)
       got = zstd_decompress_parallel(payload, psize, dec, n);
     else if (codec == kCodecBlosclz)
       got = blosclz_decompress_parallel(payload, psize, dec, n, nseg);
+    else if (codec == kCodecZlib)
+      // general inflate has no parallel form, but OUR pigz-layout streams
+      // expose byte-aligned seams — scan, validate hard, fall back serial
+      got = zlib_decompress_parallel(payload, psize, dec, n, nseg,
+                                     frame_scratch());
     else
       got = lz4_decompress_parallel(payload, psize, dec, n, nseg);
   }
