@@ -3508,15 +3508,23 @@ struct ZlibDecCtx {
   int64_t lo[kMaxDecodeSegments], sz[kMaxDecodeSegments];
   unsigned long adler[kMaxDecodeSegments];
   uint8_t ok[kMaxDecodeSegments];
+  // one failed piece dooms the whole attempt (serial fallback), so
+  // siblings stop claiming work as soon as any slice fails
+  std::atomic<int> abort{0};
 };
 
 static void zlib_decode_piece_slice(void *p, int t) {
   ZlibDecCtx &c = *(ZlibDecCtx *)p;
+  if (c.abort.load(std::memory_order_relaxed)) {
+    c.ok[t] = 0;
+    return;
+  }
   LibDeflate &ld = libdeflate();
   static thread_local void *dec = nullptr;
   if (!dec) dec = ld.alloc_d();
   if (!dec) {
     c.ok[t] = 0;
+    c.abort.store(1, std::memory_order_relaxed);
     return;
   }
   size_t in_used = 0, out_used = 0;
@@ -3528,6 +3536,8 @@ static void zlib_decode_piece_slice(void *p, int t) {
   if (c.ok[t])
     c.adler[t] = adler32(adler32(0L, Z_NULL, 0), c.dst + c.lo[t],
                          (uInt)c.sz[t]);
+  else
+    c.abort.store(1, std::memory_order_relaxed);
 }
 
 static int64_t zlib_decompress_parallel(const uint8_t *payload, int64_t ps,
@@ -3539,16 +3549,25 @@ static int64_t zlib_decompress_parallel(const uint8_t *payload, int64_t ps,
       (((unsigned)payload[0] << 8) | payload[1]) % 31 != 0 ||
       (payload[1] & 0x20))  // FDICT streams are not ours
     return kSplitReject;
-  // seam scan: cut positions AFTER each 00 00 FF FF in the deflate body
+  // seam scan: cut positions AFTER each 00 00 FF FF in the deflate body.
+  // memchr-hop to each 0x00 candidate: deflate bytes are near-uniform, so
+  // this skips ~256 bytes per probe instead of walking one byte at a time
+  // (the scan runs on EVERY eligible decode, including foreign streams
+  // that reject right here)
   const int64_t body0 = 2, body1 = ps - 4;  // [header) … (adler trailer]
   int64_t cuts[kMaxDecodeSegments];
   int ncut = 0;
-  for (int64_t i = body0; i + 4 <= body1; i++) {
-    if (payload[i] == 0x00 && payload[i + 1] == 0x00 &&
-        payload[i + 2] == 0xFF && payload[i + 3] == 0xFF) {
+  for (int64_t i = body0; i + 4 <= body1;) {
+    const void *z = std::memchr(payload + i, 0x00, (size_t)(body1 - 3 - i));
+    if (!z) break;
+    i = (const uint8_t *)z - payload;
+    if (payload[i + 1] == 0x00 && payload[i + 2] == 0xFF &&
+        payload[i + 3] == 0xFF) {
       if (ncut >= nseg - 1) return kSplitReject;  // too many: not ours
       cuts[ncut++] = i + 4;
-      i += 3;  // markers cannot overlap themselves
+      i += 4;  // markers cannot overlap themselves
+    } else {
+      i += payload[i + 1] == 0x00 ? 1 : 2;  // keep a 00 00 prefix live
     }
   }
   if (ncut != nseg - 1 || cuts[ncut - 1] >= body1) return kSplitReject;
@@ -4755,9 +4774,14 @@ int64_t tpb_decompress_block_into(const uint8_t *frame, int64_t payload_off,
       got = zstd_decompress_parallel(payload, psize, dec, n);
     else if (codec == kCodecBlosclz)
       got = blosclz_decompress_parallel(payload, psize, dec, n, nseg);
-    else if (codec == kCodecZlib)
+    else if (codec == kCodecZlib && filtered)
       // general inflate has no parallel form, but OUR pigz-layout streams
-      // expose byte-aligned seams — scan, validate hard, fall back serial
+      // expose byte-aligned seams — scan, validate hard, fall back serial.
+      // Gated on `filtered`: the encoder emits dictionary-FREE libdeflate
+      // segments only for filtered payloads (level >= 4); noshuffle
+      // frames always carry window-primed libz segments whose cross-seam
+      // matches doom the raw per-piece inflate, so attempting them would
+      // be deterministic wasted work on every decode
       got = zlib_decompress_parallel(payload, psize, dec, n, nseg,
                                      frame_scratch());
     else
