@@ -132,14 +132,18 @@ static void concurrent_frames() {
   for (int t = 0; t < 8; t++) {
     ts.emplace_back([t]() {
       const int64_t n = (t & 1) ? (512 << 10) + t * 1337 : 100000 + t * 1337;
-      const int codec = (t % 3 == 2) ? BLOSCLZ : LZ4;
+      // rotate LZ4 / BloscLZ / ZLIB: the even-t 100 KB zlib frames cover
+      // the 48-255 KiB segment window (the round-4 dictionary-clamp
+      // class) and the odd-t >=512 KiB ones the parallel seam inflate
+      const int codec = (t % 4 == 2) ? BLOSCLZ : (t % 4 == 3) ? ZLIB : LZ4;
+      const int depth = codec == ZLIB ? 5 : 1;
       std::vector<uint8_t> src(n);
       fill_pattern(src, t % 4);
       std::vector<uint8_t> frame(16 + tpb_compress_bound(n, codec));
       std::vector<uint8_t> out(n);
       for (int r = 0; r < 20; r++) {
         int64_t fsz = tpb_compress_frame(src.data(), n, 4, 1, codec, codec,
-                                         1, frame.data());
+                                         depth, frame.data());
         CHECK(fsz > 16);
         if (frame[2] & 0x2) {  // memcpy frame: payload IS the data
           CHECK(fsz == 16 + n);
