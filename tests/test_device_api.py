@@ -263,6 +263,59 @@ def test_compress_array_match_strategy_roundtrip():
         pos += bs
 
 
+def test_delta_encode_positions_roundtrip():
+    """u16 position deltas + device cumsum must visit exactly the real
+    positions (dummy split entries marked by keep), including gaps over
+    65535 and a first position past 65535."""
+    from tpu_blosc import device as dev
+
+    rng = np.random.default_rng(4)
+    pos = np.unique(
+        np.concatenate([
+            rng.integers(0, 1 << 22, 5000),
+            np.array([0, 70000, 70001, (1 << 22) - 1]),
+            np.array([200000 + 3 * 65535 + 17]),  # forces multi-split gaps
+        ])
+    ).astype(np.int32)
+    du, keep = dev._delta_encode_positions(pos)
+    walked = np.cumsum(du.astype(np.int64))
+    assert np.array_equal(walked[keep], pos)
+    assert keep.sum() == pos.size
+    assert du.max() <= 65535
+    # the device body reproduces the same gather as the int32 form
+    total = 1 << 22
+    segs = jnp.asarray(
+        rng.integers(0, 256, total, dtype=np.uint8).reshape(64, -1)
+    )
+    got = np.asarray(dev._device_gather_vals_delta(segs, jnp.asarray(du)))[
+        keep
+    ]
+    want = np.asarray(
+        dev._device_gather_vals(segs, jnp.asarray(pos.astype(np.int32)))
+    )
+    assert np.array_equal(got, want)
+    # empty input
+    du0, keep0 = dev._delta_encode_positions(np.empty(0, np.int32))
+    assert du0.size == 0 and keep0.size == 0
+
+
+def test_match_frames_identical_with_and_without_delta_pos(monkeypatch):
+    """TPU_BLOSC_NO_DELTA_POS (read per call) must not change frame
+    bytes — position transport is invisible to the emitted streams."""
+    import os
+
+    data = _tiled_pattern(2 * 1024 * 1024)
+    a = blosc.compress_array(
+        data, Options(block_size=1024 * 1024), strategy="match"
+    )
+    monkeypatch.setitem(os.environ, "TPU_BLOSC_NO_DELTA_POS", "1")
+    b = blosc.compress_array(
+        data, Options(block_size=1024 * 1024), strategy="match"
+    )
+    assert a == b
+    assert blosc.decompress(a) == data.tobytes()
+
+
 def test_compress_array_match_beats_transfer_on_link_bytes():
     """The point of the strategy: record rows ship O(literals), not bytes.
     Assert the frame is materially smaller than the raw bytes AND that the

@@ -467,6 +467,48 @@ def _device_gather_vals(segs, pos):
     return segs.reshape(-1)[_jax.numpy.minimum(pos, total - 1)]
 
 
+@_jax.jit
+def _device_gather_vals_delta(segs, du16):
+    """_device_gather_vals with the positions shipped as uint16 DELTAS
+    and reconstructed by a device cumsum.
+
+    The position upload is the match strategy's transport wall: the
+    tunnel's uplink runs ~30-50 MB/s while downloads run 600-900 (the
+    24 MB int32 upload was ~0.5-0.8 s of the 1.95 s match stage,
+    measured 2026-08-20).  u16 deltas halve it; gaps > 65535 are split
+    by the host into 65535-steps whose intermediate (dummy) entries
+    gather a throwaway byte the host discards (_delta_encode_positions).
+    Pad deltas are 0 (re-gather the last position) — always in range."""
+    import jax.numpy as jnp
+
+    total = segs.shape[0] * segs.shape[1]
+    pos = jnp.cumsum(du16.astype(jnp.int32))
+    return segs.reshape(-1)[jnp.minimum(pos, total - 1)]
+
+
+def _delta_encode_positions(pos: np.ndarray):
+    """(du16, keep) for _device_gather_vals_delta: the device cumsum of
+    du16 visits every position in turn; ``keep`` marks the real entries.
+
+    First step = pos[0], later steps = consecutive diffs; any step over
+    65535 splits into 65535-chunks whose intermediate (dummy) entries
+    land between the two real positions — valid gather indices whose
+    fetched byte the caller discards via ``keep``."""
+    k = pos.size
+    d = np.empty(k, np.int64)
+    if k:
+        d[0] = pos[0]
+        np.subtract(pos[1:], pos[:-1], out=d[1:])
+    reps = np.maximum((d + 65534) // 65535, 1).astype(np.int64)
+    total = int(reps.sum())
+    du = np.full(total, 65535, np.uint16)
+    last = np.cumsum(reps) - 1
+    du[last] = (d - 65535 * (reps - 1)).astype(np.uint16)
+    keep = np.zeros(total, bool)
+    keep[last] = True
+    return du, keep
+
+
 def _open_mask(eq, T: int):
     """Literal mask from a per-row equality mask: a position is a match
     only inside an equality run of length >= T (morphological opening),
@@ -787,12 +829,29 @@ def _compress_array_match(x, opts: Options, nb_full: int, block_size: int):
     if pos is None or pos.size != n_real:  # mask disagreement: bail safely
         return None
     # pad positions to a bucketed cap so the gather program's shape is
-    # stable without paying pow2's up-to-2x padded-entry cost
-    cap = _cap_bucket(max(n_real, 4096))
-    pos_p = np.full(cap, nseg * seg, dtype=np.int32)
-    pos_p[:n_real] = pos
-    vals_d = _device_gather_vals(segs_d, _jax.device_put(pos_p))
-    vals = np.asarray(vals_d[:n_real])  # slice on device, fetch n_real only
+    # stable without paying pow2's up-to-2x padded-entry cost.  Positions
+    # upload as u16 DELTAS by default (the uplink is the stage's wall —
+    # see _device_gather_vals_delta); TPU_BLOSC_NO_DELTA_POS=1 or a
+    # pathological split blowup (>1.5x entries) restores the int32 form.
+    import os as _os
+
+    du, dkeep = _delta_encode_positions(pos)
+    if (
+        du.size <= n_real + n_real // 2
+        and not _os.environ.get("TPU_BLOSC_NO_DELTA_POS")
+    ):
+        cap = _cap_bucket(max(du.size, 4096))
+        du_p = np.zeros(cap, np.uint16)  # pad: re-gather the last position
+        du_p[: du.size] = du
+        vals_d = _device_gather_vals_delta(segs_d, _jax.device_put(du_p))
+        fetched = np.asarray(vals_d[: du.size])
+        vals = fetched[dkeep]  # drop the dummy split entries
+    else:
+        cap = _cap_bucket(max(n_real, 4096))
+        pos_p = np.full(cap, nseg * seg, dtype=np.int32)
+        pos_p[:n_real] = pos
+        vals_d = _device_gather_vals(segs_d, _jax.device_put(pos_p))
+        vals = np.asarray(vals_d[:n_real])  # device slice: fetch n_real
     # keys must match pos's int32 dtype: int64 keys make numpy promote
     # (copy) the whole position array — measured 0.47 s at 256 MiB vs
     # sub-ms for the same search with int32 keys.  Values fit: the match
