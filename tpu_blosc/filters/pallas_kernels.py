@@ -236,6 +236,18 @@ def stream_probe(data) -> dict:
 # in-word; bitshuffle needs 8*ts) — 6x HBM traffic ~= 110 GB/s ceiling
 # vs SWAR's 98-141: not worth the compile risk.  Do not retry without
 # a Mosaic that lowers lane-strided slices.
+#
+# ts=8/16 via OUTSIDE-the-kernel XLA deinterleave: DEAD END too (probed
+# 2026-08-20, scratch/r5_deint_probe.py, 256 MiB pair-chained slope).
+# The even/odd word split at the XLA level (strided slice or
+# reshape+barrier+minor-pick) feeding 2-/4-input plane kernels is
+# oracle-correct but the deint pass ALONE (deint+reint identity pair:
+# 108 GB/s per-op) costs more than the whole SWAR ts8 shuffle pair
+# (146.5 GB/s per-op today; ts16 154.8).  Composition end-to-end: 77
+# (ts8) / 87 (ts16) GB/s — a 1.7-1.9x loss.  XLA's strided u32 lane
+# slice materializes at ~108 GB/s, nowhere near the HBM wall, and
+# pallas operands cannot absorb the fusion.  SWAR stays production for
+# ts>=8.
 
 _BP_LN = 512  # lanes per kernel row (words)
 
