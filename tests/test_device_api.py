@@ -316,6 +316,60 @@ def test_match_frames_identical_with_and_without_delta_pos(monkeypatch):
     assert blosc.decompress(a) == data.tobytes()
 
 
+def test_match_frames_identical_with_overlapped_fetch(monkeypatch):
+    """The chunked-overlap record fetch (round 5) must produce frames
+    byte-identical to the monolithic flow, including when chunks land on
+    zero-literal row groups and dense rows (zeroed mask bytes)."""
+    import os
+
+    data = _tiled_pattern(2 * 1024 * 1024)  # 8 MiB -> 32 mask rows
+    base = blosc.compress_array(
+        data, Options(block_size=1024 * 1024), strategy="match"
+    )
+    # force the overlap plan with tiny chunks (2 rows each -> 16 chunks)
+    monkeypatch.setitem(os.environ, "TPU_BLOSC_OVERLAP_FETCH_MIN", "0")
+    monkeypatch.setitem(
+        os.environ, "TPU_BLOSC_OVERLAP_CHUNK_BYTES", str(2 * (256 * 1024 // 8))
+    )
+    overlapped = blosc.compress_array(
+        data, Options(block_size=1024 * 1024), strategy="match"
+    )
+    assert overlapped == base
+    assert blosc.decompress(overlapped) == data.tobytes()
+    # escape hatch restores the monolithic plan
+    monkeypatch.setitem(os.environ, "TPU_BLOSC_NO_OVERLAP_FETCH", "1")
+    mono = blosc.compress_array(
+        data, Options(block_size=1024 * 1024), strategy="match"
+    )
+    assert mono == base
+
+
+def test_match_overlapped_fetch_mixed_rows(monkeypatch):
+    """Overlap plan with dense rows present: per-chunk counts must skip
+    the zeroed dense-row mask bytes."""
+    import os
+
+    rng = np.random.default_rng(6)
+    n = 2 * 1024 * 1024
+    pattern = np.tile(rng.integers(0, 256, 128, np.uint8), n // 128)
+    noise = rng.integers(0, 256, n, np.uint8)
+    data = (pattern.astype(np.int16) | (noise.astype(np.int16) << 8)).astype(
+        np.int16
+    )
+    base = blosc.compress_array(
+        data, Options(type_size=2, block_size=512 * 1024), strategy="match"
+    )
+    monkeypatch.setitem(os.environ, "TPU_BLOSC_OVERLAP_FETCH_MIN", "0")
+    monkeypatch.setitem(
+        os.environ, "TPU_BLOSC_OVERLAP_CHUNK_BYTES", str(3 * (256 * 1024 // 8))
+    )
+    overlapped = blosc.compress_array(
+        data, Options(type_size=2, block_size=512 * 1024), strategy="match"
+    )
+    assert overlapped == base
+    assert blosc.decompress(overlapped) == data.tobytes()
+
+
 def test_compress_array_match_beats_transfer_on_link_bytes():
     """The point of the strategy: record rows ship O(literals), not bytes.
     Assert the frame is materially smaller than the raw bytes AND that the

@@ -486,6 +486,142 @@ def _device_gather_vals_delta(segs, du16):
     return segs.reshape(-1)[jnp.minimum(pos, total - 1)]
 
 
+@_jax.jit
+def _device_gather_vals_delta_base(segs, du16, base):
+    """_device_gather_vals_delta with a scalar flat-position base added —
+    the per-chunk form used by _fetch_match_records: each row-group
+    chunk's deltas are encoded chunk-relative (small first delta) and the
+    chunk's global offset arrives as ``base`` (a 0-d int32, traced so one
+    compile serves every chunk)."""
+    import jax.numpy as jnp
+
+    total = segs.shape[0] * segs.shape[1]
+    pos = base + jnp.cumsum(du16.astype(jnp.int32))
+    return segs.reshape(-1)[jnp.minimum(pos, total - 1)]
+
+
+def _overlap_chunk_rows(mask_row_bytes: int) -> int:
+    """Rows per overlap chunk: ~12 MiB of packed mask each (override via
+    TPU_BLOSC_OVERLAP_CHUNK_BYTES; tests force tiny chunks).
+
+    Measured on the 256 MiB bench shape (2026-08-20): 4 MiB chunks are a
+    WASH — each extra chunk costs ~3 extra tunnel round-trip floors
+    (~30 ms each: slice-fetch, delta upload, gather, value fetch) which
+    cancel the overlap gain; 12 MiB chunks (3 per mask) win 1.14-1.26x
+    over the monolithic plan in every interleaved rep (1.44-1.65 s vs
+    1.64-2.07 s end-to-end)."""
+    chunk_bytes = int(
+        os.environ.get("TPU_BLOSC_OVERLAP_CHUNK_BYTES", 12 << 20)
+    )
+    return max(1, chunk_bytes // max(mask_row_bytes, 1))
+
+
+def _fetch_match_records(segs_d, packed_d, lit_counts, seg: int, n_real: int):
+    """Stage C-E of the match pipeline: packed mask -> (global positions,
+    literal bytes), or None on mask disagreement (caller bails to the
+    transfer strategy).
+
+    Two execution plans, byte-identical outputs:
+
+    * monolithic (small masks, or TPU_BLOSC_NO_OVERLAP_FETCH /
+      TPU_BLOSC_NO_DELTA_POS set): one mask fetch, one position scan, one
+      gather — the round-4 flow.
+    * chunked-overlap: the tunnel SERIALIZES transfers (up and down never
+      overlap, measured 2026-08-20, scratch/link_probe_r5b.py) but device
+      programs and host work DO overlap them — so the mask is fetched in
+      ~4 MiB row-group chunks on a background thread while the main
+      thread runs the ctz position scan, delta-encodes, uploads, and
+      dispatches the per-chunk value gathers.  The link stays busy end to
+      end and the ~0.35 s of host+device stage time disappears into it
+      (256 MiB profile: scratch/match_profile_r5.py, BASELINE.md table).
+
+    ``lit_counts`` must already be zeroed for non-sparse rows (their mask
+    bytes are zeroed on device), so per-chunk expected counts are plain
+    range sums.
+    """
+    nseg = packed_d.shape[0]
+    row_bytes = packed_d.shape[1]
+    chunk_rows = _overlap_chunk_rows(row_bytes)
+    min_bytes = int(
+        os.environ.get("TPU_BLOSC_OVERLAP_FETCH_MIN", 8 << 20)
+    )
+    use_overlap = (
+        not os.environ.get("TPU_BLOSC_NO_OVERLAP_FETCH")
+        and not os.environ.get("TPU_BLOSC_NO_DELTA_POS")
+        and nseg * row_bytes >= min_bytes
+        and nseg > chunk_rows
+    )
+    if not use_overlap:
+        packed = np.asarray(packed_d)
+        pos = _nb_mask_positions(packed.reshape(-1), n_real)
+        if pos is None or pos.size != n_real:
+            return None
+        du, dkeep = _delta_encode_positions(pos)
+        if du.size <= n_real + n_real // 2 and not os.environ.get(
+            "TPU_BLOSC_NO_DELTA_POS"
+        ):
+            cap = _cap_bucket(max(du.size, 4096))
+            du_p = np.zeros(cap, np.uint16)
+            du_p[: du.size] = du
+            vals_d = _device_gather_vals_delta(segs_d, _jax.device_put(du_p))
+            vals = np.asarray(vals_d[: du.size])[dkeep]
+        else:
+            cap = _cap_bucket(max(n_real, 4096))
+            pos_p = np.full(cap, nseg * seg, dtype=np.int32)
+            pos_p[:n_real] = pos
+            vals_d = _device_gather_vals(segs_d, _jax.device_put(pos_p))
+            vals = np.asarray(vals_d[:n_real])
+        return pos, vals
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    bounds = [
+        (r0, min(r0 + chunk_rows, nseg)) for r0 in range(0, nseg, chunk_rows)
+    ]
+    counts = np.add.reduceat(
+        lit_counts, [r0 for r0, _ in bounds]
+    )  # per-chunk expected literal counts (dense rows are zeroed on device)
+    pos_parts: list[np.ndarray] = []
+    pending = []  # (vals_dev, du_size, dkeep)
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        futs = [
+            ex.submit(lambda a=packed_d[r0:r1]: np.asarray(a))
+            for r0, r1 in bounds
+        ]
+        for (r0, r1), fut, n_c in zip(bounds, futs, counts):
+            mask = fut.result()
+            n_c = int(n_c)
+            if n_c == 0:
+                continue
+            pos_c = _nb_mask_positions(mask.reshape(-1), n_c)
+            if pos_c is None or pos_c.size != n_c:
+                for f in futs:
+                    f.cancel()
+                return None
+            du, dkeep = _delta_encode_positions(pos_c)
+            cap = _cap_bucket(max(du.size, 4096))
+            du_p = np.zeros(cap, np.uint16)
+            du_p[: du.size] = du
+            vals_d = _device_gather_vals_delta_base(
+                segs_d, _jax.device_put(du_p), np.int32(r0 * seg)
+            )
+            pos_parts.append(pos_c.astype(np.int32) + np.int32(r0 * seg))
+            pending.append((vals_d, du.size, dkeep))
+    if not pos_parts:
+        return np.empty(0, np.int32), np.empty(0, np.uint8)
+    pos = np.concatenate(pos_parts)
+    vals = np.concatenate(
+        [np.asarray(v[:k])[keep] for v, k, keep in pending]
+    )
+    return pos, vals
+
+
+def _nb_mask_positions(packed_flat: np.ndarray, n: int):
+    from .native import backend as _nb
+
+    return _nb.mask_positions(packed_flat, n)
+
+
 def _delta_encode_positions(pos: np.ndarray):
     """(du16, keep) for _device_gather_vals_delta: the device cumsum of
     du16 visits every position in turn; ``keep`` marks the real entries.
@@ -817,41 +953,16 @@ def _compress_array_match(x, opts: Options, nb_full: int, block_size: int):
 
     depth = hc_depth_for_level(opts.level) if opts.codec == Codec.LZ4HC else 1
 
-    # --- literal records for sparse rows: fetch the packed mask (n/8
-    # bytes), positions on host, then one small gather for the bytes ---
-    k = sparse_idx.size
+    # --- literal records for sparse rows: packed mask (n/8 bytes) ->
+    # positions -> one value gather, with the fetch/scan/upload/gather
+    # stages overlapped on big masks (see _fetch_match_records) ---
     n_real = int(lit_counts[sparse_idx].sum())
-    packed = np.asarray(packed_d)  # (nseg, seg//8)
-    # global flat positions via the native ctz word scan (dense rows are
-    # zeroed on device, so the full-mask popcount == n_real exactly);
-    # _unpack_positions stays as the NumPy oracle for tests
-    pos = _nb.mask_positions(packed.reshape(-1), n_real)
-    if pos is None or pos.size != n_real:  # mask disagreement: bail safely
+    fetched = _fetch_match_records(
+        segs_d, packed_d, np.where(sparse, lit_counts, 0), seg, n_real
+    )
+    if fetched is None:  # mask disagreement: bail safely
         return None
-    # pad positions to a bucketed cap so the gather program's shape is
-    # stable without paying pow2's up-to-2x padded-entry cost.  Positions
-    # upload as u16 DELTAS by default (the uplink is the stage's wall —
-    # see _device_gather_vals_delta); TPU_BLOSC_NO_DELTA_POS=1 or a
-    # pathological split blowup (>1.5x entries) restores the int32 form.
-    import os as _os
-
-    du, dkeep = _delta_encode_positions(pos)
-    if (
-        du.size <= n_real + n_real // 2
-        and not _os.environ.get("TPU_BLOSC_NO_DELTA_POS")
-    ):
-        cap = _cap_bucket(max(du.size, 4096))
-        du_p = np.zeros(cap, np.uint16)  # pad: re-gather the last position
-        du_p[: du.size] = du
-        vals_d = _device_gather_vals_delta(segs_d, _jax.device_put(du_p))
-        fetched = np.asarray(vals_d[: du.size])
-        vals = fetched[dkeep]  # drop the dummy split entries
-    else:
-        cap = _cap_bucket(max(n_real, 4096))
-        pos_p = np.full(cap, nseg * seg, dtype=np.int32)
-        pos_p[:n_real] = pos
-        vals_d = _device_gather_vals(segs_d, _jax.device_put(pos_p))
-        vals = np.asarray(vals_d[:n_real])  # device slice: fetch n_real
+    pos, vals = fetched
     # keys must match pos's int32 dtype: int64 keys make numpy promote
     # (copy) the whole position array — measured 0.47 s at 256 MiB vs
     # sub-ms for the same search with int32 keys.  Values fit: the match
