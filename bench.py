@@ -134,6 +134,36 @@ def bench_host_pipeline() -> dict:
     tzd, oz = _best(lambda: blosc.decompress(cz), reps=12)
     assert oz == d1, "zlib roundtrip failed"
 
+    # Snappy / ZSTD / LZ4HC on the 1 MiB single-block shape — round-5
+    # VERDICT item: every codec the registry ships gets a guarded floor
+    # (a silent collapse of the Snappy parallel path or the ZSTD tier
+    # cache passed CI before this)
+    cs = blosc.compress(d1, blosc.SNAPPY)
+    tsc, cs = _best(lambda: blosc.compress(d1, blosc.SNAPPY), reps=12)
+    tsd, osn = _best(lambda: blosc.decompress(cs), reps=12)
+    assert osn == d1, "snappy roundtrip failed"
+    czs = blosc.compress(d1, blosc.ZSTD)
+    tzsc, czs = _best(lambda: blosc.compress(d1, blosc.ZSTD), reps=12)
+    tzsd, ozs = _best(lambda: blosc.decompress(czs), reps=12)
+    assert ozs == d1, "zstd roundtrip failed"
+    ch = blosc.compress(d1, blosc.LZ4HC)
+    thc, ch = _best(lambda: blosc.compress(d1, blosc.LZ4HC), reps=12)
+    thd, oh = _best(lambda: blosc.decompress(ch), reps=12)
+    assert oh == d1, "lz4hc roundtrip failed"
+
+    # 16 MiB f32 bitshuffle (BASELINE config 4's amber row): guards the
+    # fixed-offset scan encoder + word-walk emitter and the SWAR bit
+    # filters end-to-end
+    nbs = 16 << 20
+    dbs = np.linspace(0, 1, nbs // 4, dtype=np.float32).tobytes()
+    obs = Options(shuffle=blosc.BITSHUFFLE, type_size=4)
+    cbs = blosc.compress_with_options(dbs, obs)
+    tbsc, cbs = _best(
+        lambda: blosc.compress_with_options(dbs, obs), reps=5
+    )
+    tbsd, obsd = _best(lambda: blosc.decompress(cbs), reps=5)
+    assert obsd == dbs, "bitshuffle roundtrip failed"
+
     # batch API on the reference's own 100 KB config: 64 frames per call,
     # whole small frames scheduled across the SpinPool (per-frame
     # parallelism stays impossible below 256 KiB on this host — see
@@ -169,6 +199,14 @@ def bench_host_pipeline() -> dict:
         "blosclz_1mib_decompress_gbps": n1 / tbd / 1e9,
         "zlib_1mib_compress_gbps": n1 / tzc / 1e9,
         "zlib_1mib_decompress_gbps": n1 / tzd / 1e9,
+        "snappy_1mib_compress_gbps": n1 / tsc / 1e9,
+        "snappy_1mib_decompress_gbps": n1 / tsd / 1e9,
+        "zstd_1mib_compress_gbps": n1 / tzsc / 1e9,
+        "zstd_1mib_decompress_gbps": n1 / tzsd / 1e9,
+        "lz4hc_1mib_compress_gbps": n1 / thc / 1e9,
+        "lz4hc_1mib_decompress_gbps": n1 / thd / 1e9,
+        "bitshuffle_16mib_f32_compress_gbps": nbs / tbsc / 1e9,
+        "bitshuffle_16mib_f32_decompress_gbps": nbs / tbsd / 1e9,
         "batch_100kb_compress_gbps": nb_total / tbat_c / 1e9,
         "batch_100kb_decompress_gbps": nb_total / tbat_d / 1e9,
         "scalar_100kb_compress_gbps": len(db) / t100c / 1e9,
@@ -575,49 +613,18 @@ def main() -> None:
     _enable_compile_cache()
     host = bench_host_pipeline()
     value = round(host["compress_gbps"], 3)
+    # every numeric host metric flows into the JSON line (additive schema
+    # — bench_guard floors a growing subset); value/vs_baseline stay the
+    # headline keys
     _RECORD.update({
         "value": value,
         "vs_baseline": round(value / BASELINE_LZ4_COMPRESS_GBPS, 3),
-        "decompress_gbps": round(host["decompress_gbps"], 3),
-        "ratio": round(host["ratio"], 1),
-        "single_block_1mib_compress_gbps": round(
-            host["single_block_1mib_compress_gbps"], 3
-        ),
-        "single_block_1mib_decompress_gbps": round(
-            host["single_block_1mib_decompress_gbps"], 3
-        ),
-        "single_block_1mib_ts2_compress_gbps": round(
-            host["single_block_1mib_ts2_compress_gbps"], 3
-        ),
-        "single_block_1mib_ts2_decompress_gbps": round(
-            host["single_block_1mib_ts2_decompress_gbps"], 3
-        ),
-        "blosclz_1mib_compress_gbps": round(
-            host["blosclz_1mib_compress_gbps"], 3
-        ),
-        "blosclz_1mib_decompress_gbps": round(
-            host["blosclz_1mib_decompress_gbps"], 3
-        ),
-        "zlib_1mib_compress_gbps": round(
-            host["zlib_1mib_compress_gbps"], 3
-        ),
-        "zlib_1mib_decompress_gbps": round(
-            host["zlib_1mib_decompress_gbps"], 3
-        ),
-        "batch_100kb_compress_gbps": round(
-            host["batch_100kb_compress_gbps"], 3
-        ),
-        "batch_100kb_decompress_gbps": round(
-            host["batch_100kb_decompress_gbps"], 3
-        ),
-        "scalar_100kb_compress_gbps": round(
-            host["scalar_100kb_compress_gbps"], 3
-        ),
-        "scalar_100kb_decompress_gbps": round(
-            host["scalar_100kb_decompress_gbps"], 3
-        ),
         "backend": host["backend"],
     })
+    for key, v in host.items():
+        if key in ("compress_gbps", "backend"):
+            continue
+        _RECORD[key] = round(v, 1 if key == "ratio" else 3)
     _RECORD["watchdog"] = "fired during device benches (host numbers valid)"
 
     device_present = _probe_device_present()

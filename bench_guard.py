@@ -39,6 +39,20 @@ FLOORS = {
     "blosclz_1mib_decompress_gbps": 3.0,
     "zlib_1mib_compress_gbps": 0.7,    # typical 1.1-1.25 (round-4 ld path)
     "zlib_1mib_decompress_gbps": 1.5,  # typical 3+ (libdeflate inflate)
+    # round 5: every registry codec gets a guarded metric (VERDICT r4
+    # missing #3 — a Snappy/ZSTD path collapse passed CI before this)
+    "snappy_1mib_compress_gbps": 3.0,   # typical 14-17 (segment-parallel)
+    "snappy_1mib_decompress_gbps": 2.5,  # typical 9-13 (parallel body scan)
+    "zstd_1mib_compress_gbps": 0.25,    # typical 0.75-1 (serial; see
+                                        # BASELINE ZSTD margin note)
+    "zstd_1mib_decompress_gbps": 1.5,   # typical 4.5-5
+    "lz4hc_1mib_compress_gbps": 2.5,    # typical 12-14 on the ramp shape
+    "lz4hc_1mib_decompress_gbps": 3.0,  # typical 11-12
+    # 16 MiB f32 bitshuffle (BASELINE config 4): typical 7.5-11.3 / 12-13
+    # via the fixed-offset scan encoder; a collapse to greedy-only reads
+    # ~2.9 compress
+    "bitshuffle_16mib_f32_compress_gbps": 3.0,
+    "bitshuffle_16mib_f32_decompress_gbps": 3.0,
     # batch API over 64x100 KB frames (round 3): whole-frame SpinPool
     # slices read ~25-31 / 18-24; a collapse to the scalar loop reads
     # ~7-10 both ways

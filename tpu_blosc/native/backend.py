@@ -40,28 +40,45 @@ _p = ctypes.c_void_p
 
 
 def _build() -> bool:
+    """Compile the shared library, degrading FLAGS before giving up.
+
+    Stock Apple clang (the macos-arm64 `g++` alias) rejects both
+    `-march=native` and `-fopenmp`; neither is required for a working
+    backend — every AVX2/SSE intrinsic and every OpenMP call in the
+    source is #ifdef-gated, so dropping the flags yields portable scalar
+    kernels + the SpinPool (which needs no OpenMP) instead of a failed
+    build (the reference ships NEON kernels for this slot,
+    shuffle_arm64.s:65-224; our portability contract is the boolean
+    fallback chain staying NATIVE on non-x86 hosts).  Homebrew include/
+    lib paths are added on darwin — Apple clang does not search
+    /opt/homebrew by default, and zlib/zstd live there on arm64 runners.
+    """
     if not os.path.exists(_SRC):
         return False
-    cmd = [
-        "g++",
-        "-O3",
-        "-march=native",
-        "-funroll-loops",
-        "-fopenmp",
-        "-shared",
-        "-fPIC",
-        "-std=c++17",
-        _SRC,
-        "-o",
-        _LIB_PATH,
-        "-lz",
-        "-lzstd",
-    ]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=180)
-        return True
-    except Exception:
-        return False
+    import sys
+
+    extra: list[str] = []
+    if sys.platform == "darwin":
+        for pre in ("/opt/homebrew", "/usr/local"):
+            if os.path.isdir(pre + "/include"):
+                extra += ["-I" + pre + "/include", "-L" + pre + "/lib"]
+    base = ["-O3", "-funroll-loops", "-shared", "-fPIC", "-std=c++17"]
+    for flags in (
+        ["-march=native", "-fopenmp"],
+        ["-fopenmp"],
+        ["-march=native"],
+        [],
+    ):
+        cmd = (
+            ["g++"] + base + flags + extra
+            + [_SRC, "-o", _LIB_PATH, "-lz", "-lzstd"]
+        )
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+            return True
+        except Exception:
+            continue
+    return False
 
 
 def _load() -> None:
