@@ -98,6 +98,30 @@ def _build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _warn_bitshuffle_trap(data: bytes, type_size: int) -> None:
+    """Steer users away from the known bitshuffle entropy floor.
+
+    Bitshuffled float mantissas cap LZ match lengths at ~14 bytes, an
+    entropy-structure floor ~2x slower than byte shuffle on typical f32
+    data (measured profile: BASELINE.md "16 MiB f32 bitshuffle").  When
+    the user forces --shuffle bit but the probe says byte shuffle has at
+    least as much run structure, print a one-line stderr hint (the frame
+    is still produced exactly as requested)."""
+    try:
+        rec = suggest_options(data, type_size=type_size)
+    except BloscError:
+        return
+    if rec.shuffle != Shuffle.BITSHUFFLE:
+        name = "byte shuffle" if rec.shuffle == Shuffle.SHUFFLE else "no shuffle"
+        print(
+            f"hint: the probe prefers {name} over bitshuffle for this data "
+            "(bitshuffle caps LZ match lengths on float-like streams; see "
+            "README 'Choosing a filter'); pass --auto to use the probe's "
+            "choice",
+            file=sys.stderr,
+        )
+
+
 def main(argv: list[str] | None = None) -> int:
     args = _build_parser().parse_args(argv)
     try:
@@ -139,6 +163,8 @@ def _run(args) -> int:
                 shuffle=_SHUFFLES[args.shuffle], type_size=args.typesize,
                 block_size=args.block,
             )
+            if args.shuffle == "bit":
+                _warn_bitshuffle_trap(datas[0], args.typesize)
             # one native crossing; small files parallelize across cores
             frames = compress_batch_with_options(datas, opts)
         dt = time.perf_counter() - t0
