@@ -950,3 +950,45 @@ def test_small_frame_batch_scalar_byte_identity():
     scalar = blosc.compress(db)
     assert all(f == scalar for f in fb)
     assert blosc.decompress_batch(fb) == items
+
+
+def test_fused_small_frame_decode_matches_serial(monkeypatch):
+    """Round-5 fused decode+unshuffle (one pool dispatch for LZ4 chunk
+    decode AND unshuffle, tpublosc.cpp fused_dec_slice) must produce
+    exactly the serial path's output across its engagement range,
+    including verbatim tails (n % ts != 0), both ts values, and LZ4HC."""
+    import os
+
+    cases = [
+        (blosc.LZ4, 4, 100 * 1024),
+        (blosc.LZ4, 4, 100 * 1024 + 3),   # tail rides the last slice
+        (blosc.LZ4, 2, 64 * 1024),
+        (blosc.LZ4, 2, 49 * 1024 + 1),
+        (blosc.LZ4, 4, 255 * 1024),       # top of the small-frame window
+        (blosc.LZ4HC, 4, 100 * 1024),
+    ]
+    for codec, ts, n in cases:
+        data = bytes(bytearray((i * 7 + (i >> 3)) % 256 for i in range(n)))
+        frame = blosc.compress(data, codec, 5, blosc.SHUFFLE, ts)
+        out_fused = blosc.decompress(frame)
+        monkeypatch.setitem(os.environ, "TPU_BLOSC_NO_FUSED_DECODE", "1")
+        out_serial = blosc.decompress(frame)
+        monkeypatch.delitem(os.environ, "TPU_BLOSC_NO_FUSED_DECODE")
+        assert out_fused == out_serial == data, (codec, ts, n)
+
+
+def test_fused_decode_rejects_foreign_serial_stream():
+    """A serially-encoded (non-seam) stream in the fused window must fall
+    back to the serial decoder via the scan reject — exercised with a
+    pure-Python reference encoding wrapped in a hand-built header."""
+    import struct
+
+    n = 100 * 1024
+    data = bytes(bytearray((i * 13) % 251 for i in range(n)))
+    shuffled = filters.shuffle_bytes(data, 4).tobytes()
+    payload = bytes(lz4_ref.compress_block(shuffled))
+    assert len(payload) < n
+    header = struct.pack(
+        "<BBBBIII", 2, 1, 0x1, 4, n, n, 16 + len(payload)
+    )
+    assert blosc.decompress(header + payload) == data
