@@ -58,11 +58,13 @@ FLOORS = {
     # ~7-10 both ways
     "batch_100kb_compress_gbps": 5.0,
     "batch_100kb_decompress_gbps": 5.0,
-    # scalar 100 KB (the reference's own benchmark point, round 4):
-    # typical 14-15 / 10-11 via the fused plane-parallel encode + the
-    # compress() fast lane; a collapse to the serial path reads ~7-10
+    # scalar 100 KB (the reference's own benchmark point): compress
+    # typical 14-22 via the fused plane-parallel encode + the compress()
+    # fast lane; decompress typical 13-17 via the round-5 fused
+    # decode+unshuffle dispatch (floor raised from 4.0 per the r4
+    # verdict); a collapse to the serial paths reads ~7-10 both ways
     "scalar_100kb_compress_gbps": 5.0,
-    "scalar_100kb_decompress_gbps": 4.0,
+    "scalar_100kb_decompress_gbps": 6.0,
 }
 
 # enforced only when the bench ran with a real accelerator attached

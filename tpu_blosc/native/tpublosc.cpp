@@ -1314,13 +1314,28 @@ static int64_t lz4_decompress(const uint8_t *src, int64_t n, uint8_t *dst,
 // ``cuts`` holds the nseg+1 decoded-stream boundaries (cuts[0]=0,
 // cuts[nseg]=n): uniform ceil(n/nseg) pieces for the big-frame layout,
 // plane-aligned fused_bounds pieces for the small fused frames (round 5).
+// ``tok_cnt`` (optional) collects per-chunk token counts and ``min_off``
+// the smallest match offset — the fused small-frame decode's engagement
+// heuristics read them (see lz4_fused_decode_unshuffle).
 static bool lz4_split_scan(const uint8_t *src, int64_t ns, int64_t n,
                            int nseg, const int64_t *cuts, int64_t *tok_ip,
-                           int64_t *lit_skip) {
+                           int64_t *lit_skip, int64_t *tok_cnt = nullptr,
+                           int64_t *min_off = nullptr) {
   int64_t si = 0, di = 0;
   int next = 1;
   tok_ip[0] = 0;
   lit_skip[0] = 0;
+  if (tok_cnt)
+    for (int k = 0; k < nseg; k++) tok_cnt[k] = 0;
+  if (min_off) *min_off = INT64_MAX;
+  // Early imbalance abort (only when stats are requested, i.e. the fused
+  // small-frame path): once at least one chunk is complete, a chunk
+  // whose token count blows past the completed average is the f32-ramp
+  // class (one mantissa plane carrying ~all tokens) — the caller would
+  // reject anyway, so stop paying the scan (~3 us on 880-token streams,
+  // a pure 14% loss otherwise).  Chunk 0 has no completed peers and is
+  // never aborted; a heavy FIRST chunk costs one chunk's scan, not all.
+  int64_t early_cap = INT64_MAX, completed_toks = 0;
   while (si < ns) {
     const int64_t tok_pos = si;
     uint8_t token = src[si++];
@@ -1337,8 +1352,13 @@ static bool lz4_split_scan(const uint8_t *src, int64_t ns, int64_t n,
     while (next < nseg && cuts[next] <= di + lit) {
       tok_ip[next] = tok_pos;
       lit_skip[next] = cuts[next] - di;
+      if (tok_cnt) {
+        completed_toks += tok_cnt[next - 1];
+        early_cap = 8 + 2 * (completed_toks / next);
+      }
       next++;
     }
+    if (tok_cnt && ++tok_cnt[next - 1] > early_cap) return false;
     si += lit;
     di += lit;
     if (si >= ns) break;  // closing literals-only token
@@ -1346,6 +1366,7 @@ static bool lz4_split_scan(const uint8_t *src, int64_t ns, int64_t n,
     const int64_t offset = src[si] | ((int64_t)src[si + 1] << 8);
     si += 2;
     if (offset == 0 || offset > di) return false;
+    if (min_off && offset < *min_off) *min_off = offset;
     int64_t mlen = (token & 0xF) + kMinMatch;
     if ((token & 0xF) == 15) {
       uint8_t b;
@@ -1928,9 +1949,15 @@ static int64_t zstd_decompress_parallel(const uint8_t *src, int64_t ns,
   } ctx{src, dst, frames, {}};
   auto fn = [](void *p, int k) {
     ZstdDecCtx &c = *(ZstdDecCtx *)p;
+    static thread_local ZSTD_DCtx *dctx = ZSTD_createDCtx();
     const size_t w =
-        ZSTD_decompress(c.dst + c.frames[k].dofs, (size_t)c.frames[k].ds,
-                        c.src + c.frames[k].so, (size_t)c.frames[k].cs);
+        dctx ? ZSTD_decompressDCtx(dctx, c.dst + c.frames[k].dofs,
+                                   (size_t)c.frames[k].ds,
+                                   c.src + c.frames[k].so,
+                                   (size_t)c.frames[k].cs)
+             : ZSTD_decompress(c.dst + c.frames[k].dofs,
+                               (size_t)c.frames[k].ds, c.src + c.frames[k].so,
+                               (size_t)c.frames[k].cs);
     c.ok[k] = !ZSTD_isError(w) && (int64_t)w == c.frames[k].ds;
   };
   if (!spin_pool().run(fn, &ctx, nf))
@@ -3353,8 +3380,17 @@ static int64_t codec_compress(int codec, int level_or_depth,
       return rc == Z_OK ? (int64_t)out_len : -100 - rc;
     }
     case kCodecZstd: {
-      size_t w = ZSTD_compress(dst, (size_t)cap, src, (size_t)n,
-                               level_or_depth);
+      // Reused per-thread context: ZSTD_compress creates and frees a
+      // CCtx + multi-MB workspace on EVERY call, which on this VM's
+      // ~50 us page faults costs more than small blocks' actual
+      // compression (≙ the reference's persistent shared encoders,
+      // codec.go:177-198).  The context reuses its workspace across
+      // blocks; zstd resizes it internally when level/srcSize demand.
+      static thread_local ZSTD_CCtx *cctx = ZSTD_createCCtx();
+      size_t w = cctx ? ZSTD_compressCCtx(cctx, dst, (size_t)cap, src,
+                                          (size_t)n, level_or_depth)
+                      : ZSTD_compress(dst, (size_t)cap, src, (size_t)n,
+                                      level_or_depth);
       return ZSTD_isError(w) ? -200 : (int64_t)w;
     }
     default: {
@@ -3381,7 +3417,11 @@ static int64_t codec_decompress(int codec, const uint8_t *src, int64_t n,
     case kCodecZlib:
       return zlib_decompress_fast(src, n, dst, cap);
     case kCodecZstd: {
-      size_t w = ZSTD_decompress(dst, (size_t)cap, src, (size_t)n);
+      // per-thread DCtx reuse — see the CCtx note in codec_compress
+      static thread_local ZSTD_DCtx *dctx = ZSTD_createDCtx();
+      size_t w = dctx ? ZSTD_decompressDCtx(dctx, dst, (size_t)cap, src,
+                                            (size_t)n)
+                      : ZSTD_decompress(dst, (size_t)cap, src, (size_t)n);
       return ZSTD_isError(w) ? -200 : (int64_t)w;
     }
     default:
@@ -4775,6 +4815,12 @@ int64_t tpb_compress_frame(const uint8_t *src, int64_t n, int ts,
 // lane keeps making progress (the straggler-tolerance VERDICT shape (a)
 // asked for, without the data race re-execution would create).
 // ---------------------------------------------------------------------------
+// Decode slices carry ~3x less work per byte than encode slices, so the
+// fused-decode floor sits higher than the encoder's 48 KiB: mixed
+// ramp+noise data measured 0.78-0.84x at 48-64 KiB (dispatch+sync
+// dominates the ~1 us chunks) but 1.09-1.34x from ~100 KiB up.
+constexpr int64_t kFusedDecodeMin = 96 << 10;
+
 struct FusedDecCtx {
   const uint8_t *src;
   uint8_t *dec, *out;
@@ -4827,8 +4873,36 @@ static int64_t lz4_fused_decode_unshuffle(const uint8_t *src, int64_t ns,
     cuts[t + 1] = hi;
   }
   int64_t tok_ip[kMaxDecodeSegments], lit_skip[kMaxDecodeSegments];
-  if (!lz4_split_scan(src, ns, n, nseg, cuts, tok_ip, lit_skip))
+  int64_t tok_cnt[kMaxDecodeSegments], min_off = 0;
+  if (!lz4_split_scan(src, ns, n, nseg, cuts, tok_ip, lit_skip, tok_cnt,
+                      &min_off))
     return kSplitReject;
+  // Engagement heuristics (measured 2026-08-20, sweep in BASELINE.md):
+  // parallel decode pays only when per-chunk work is BALANCED and
+  // latency-bound.  (a) Token imbalance (f32-ramp planes: 865 vs ~2
+  // tokens — one mantissa plane carries the whole decode) leaves max
+  // chunk time ~= serial time, so dispatch+sync is pure loss (0.86x).
+  // (b) Near-token-free chunks with LONG offsets are single giant
+  // wild-copy cascades running at cache-store bandwidth — four cores
+  // share that bandwidth, so parallel gains nothing (periodic data with
+  // offset 512: 0.93-0.95x); SHORT offsets (<256) make the cascade a
+  // dependency chain (latency-bound) where parallelism wins 1.10-1.21x.
+  int64_t total_toks = 0, max_toks = 0;
+  for (int k = 0; k < nseg; k++) {
+    total_toks += tok_cnt[k];
+    max_toks = std::max(max_toks, tok_cnt[k]);
+  }
+  const bool imbalanced = max_toks * nseg > 2 * total_toks + 8 * nseg;
+  const bool bw_bound = total_toks <= 4 * nseg && min_off >= 256;
+  if (std::getenv("TPU_BLOSC_DEBUG_FUSED"))
+    fprintf(stderr,
+            "fused-decode n=%lld toks=[%lld,%lld,%lld,%lld] min_off=%lld "
+            "imbalanced=%d bw=%d\n",
+            (long long)n, (long long)tok_cnt[0], (long long)tok_cnt[1],
+            (long long)(nseg > 2 ? tok_cnt[2] : -1),
+            (long long)(nseg > 3 ? tok_cnt[3] : -1), (long long)min_off,
+            (int)imbalanced, (int)bw_bound);
+  if (imbalanced || bw_bound) return kSplitReject;
   FusedDecCtx ctx;
   ctx.src = src;
   ctx.dec = dec;
@@ -4891,7 +4965,7 @@ int64_t tpb_decompress_block_into(const uint8_t *frame, int64_t payload_off,
     else
       got = lz4_decompress_parallel(payload, psize, dec, n, nseg);
   } else if (filtered && shuffle_mode == kByteShuffle &&
-             (ts == 2 || ts == 4) && n >= kSmallFrameMin &&
+             (ts == 2 || ts == 4) && n >= kFusedDecodeMin &&
              (codec == kCodecLz4 || codec == kCodecLz4Hc) &&
              !std::getenv("TPU_BLOSC_NO_FUSED_DECODE")) {
     // round 5: the fused small-frame DECODE mirror of the fused encoder
