@@ -962,8 +962,9 @@ def test_fused_small_frame_decode_matches_serial(monkeypatch):
     cases = [
         (blosc.LZ4, 4, 100 * 1024),
         (blosc.LZ4, 4, 100 * 1024 + 3),   # tail rides the last slice
-        (blosc.LZ4, 2, 64 * 1024),
-        (blosc.LZ4, 2, 49 * 1024 + 1),
+        (blosc.LZ4, 2, 128 * 1024),       # ts=2 above the 96 KiB floor
+        (blosc.LZ4, 2, 128 * 1024 + 1),   # ts=2 with a verbatim tail
+        (blosc.LZ4, 2, 49 * 1024 + 1),    # below the floor: serial both
         (blosc.LZ4, 4, 255 * 1024),       # top of the small-frame window
         (blosc.LZ4HC, 4, 100 * 1024),
     ]

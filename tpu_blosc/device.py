@@ -529,11 +529,15 @@ def _fetch_match_records(segs_d, packed_d, lit_counts, seg: int, n_real: int):
     * chunked-overlap: the tunnel SERIALIZES transfers (up and down never
       overlap, measured 2026-08-20, scratch/link_probe_r5b.py) but device
       programs and host work DO overlap them — so the mask is fetched in
-      ~4 MiB row-group chunks on a background thread while the main
-      thread runs the ctz position scan, delta-encodes, uploads, and
-      dispatches the per-chunk value gathers.  The link stays busy end to
-      end and the ~0.35 s of host+device stage time disappears into it
-      (256 MiB profile: scratch/match_profile_r5.py, BASELINE.md table).
+      ~12 MiB row-group chunks (_overlap_chunk_rows) on a background
+      thread while the main thread runs the ctz position scan,
+      delta-encodes, uploads, and dispatches the per-chunk value
+      gathers.  The link stays busy end to end and the ~0.35 s of
+      host+device stage time disappears into it (256 MiB profile:
+      scratch/match_profile_r5.py, BASELINE.md table).  Per-chunk deltas
+      never hit the monolithic path's u16 split blowup: within-chunk
+      gaps sum to at most the chunk's bit-span, bounding dummy entries
+      at ~1.5k per chunk.
 
     ``lit_counts`` must already be zeroed for non-sparse rows (their mask
     bytes are zeroed on device), so per-chunk expected counts are plain
