@@ -967,6 +967,10 @@ def test_fused_small_frame_decode_matches_serial(monkeypatch):
         (blosc.LZ4, 2, 49 * 1024 + 1),    # below the floor: serial both
         (blosc.LZ4, 4, 255 * 1024),       # top of the small-frame window
         (blosc.LZ4HC, 4, 100 * 1024),
+        (blosc.SNAPPY, 4, 100 * 1024),    # concat-body codec
+        (blosc.SNAPPY, 2, 128 * 1024),
+        (blosc.BLOSCLZ, 4, 100 * 1024),   # plain-concat codec
+        (blosc.BLOSCLZ, 2, 128 * 1024 + 3),
     ]
     for codec, ts, n in cases:
         data = bytes(bytearray((i * 7 + (i >> 3)) % 256 for i in range(n)))

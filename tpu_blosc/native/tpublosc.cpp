@@ -1756,21 +1756,32 @@ static int64_t snappy_decompress(const uint8_t *src, int64_t n, uint8_t *dst,
 static int64_t snappy_preamble(const uint8_t *src, int64_t n, int64_t *hdr);
 
 static bool snappy_split_scan(const uint8_t *src, int64_t ns, int64_t n,
-                              int nseg, int64_t seg, int64_t *elem_ip,
-                              int64_t *lit_skip) {
+                              int nseg, const int64_t *cuts,
+                              int64_t *elem_ip, int64_t *lit_skip,
+                              int64_t *tok_cnt = nullptr,
+                              int64_t *min_off = nullptr) {
   int64_t hdr = 0;
   if (snappy_preamble(src, ns, &hdr) != n) return false;
   int64_t pos = hdr, di = 0;
   int next = 1;
   elem_ip[0] = hdr;
   lit_skip[0] = 0;
+  if (tok_cnt)
+    for (int k = 0; k < nseg; k++) tok_cnt[k] = 0;
+  if (min_off) *min_off = INT64_MAX;
+  int64_t early_cap = INT64_MAX, completed_toks = 0;
   while (pos < ns) {
     const int64_t epos = pos;
-    while (next < nseg && (int64_t)next * seg == di) {
+    while (next < nseg && cuts[next] == di) {
       elem_ip[next] = epos;  // cut exactly at this element's start
       lit_skip[next] = 0;
+      if (tok_cnt) {
+        completed_toks += tok_cnt[next - 1];
+        early_cap = 8 + 2 * (completed_toks / next);
+      }
       next++;
     }
+    if (tok_cnt && ++tok_cnt[next - 1] > early_cap) return false;
     uint8_t tag = src[pos++];
     const int kind = tag & 0x03;
     if (kind == 0x00) {
@@ -1785,9 +1796,13 @@ static bool snappy_split_scan(const uint8_t *src, int64_t ns, int64_t n,
       }
       len += 1;
       if (pos + len > ns || di + len > n) return false;
-      while (next < nseg && (int64_t)next * seg < di + len) {
+      while (next < nseg && cuts[next] < di + len) {
         elem_ip[next] = epos;  // cut inside this literal: skip a prefix
-        lit_skip[next] = (int64_t)next * seg - di;
+        lit_skip[next] = cuts[next] - di;
+        if (tok_cnt) {
+          completed_toks += tok_cnt[next - 1];
+          early_cap = 8 + 2 * (completed_toks / next);
+        }
         next++;
       }
       pos += len;
@@ -1811,10 +1826,11 @@ static bool snappy_split_scan(const uint8_t *src, int64_t ns, int64_t n,
       pos += 4;
     }
     if (offset == 0 || offset > di || di + length > n) return false;
+    if (min_off && offset < *min_off) *min_off = offset;
     // a cut strictly inside a copy ⇒ not our segment layout
-    if (next < nseg && (int64_t)next * seg < di + length) return false;
+    if (next < nseg && cuts[next] < di + length) return false;
     // independence: the source must stay inside the current chunk
-    if (di - offset < (int64_t)(next - 1) * seg) return false;
+    if (di - offset < cuts[next - 1]) return false;
     di += length;
   }
   return di == n && next == nseg;
@@ -1881,25 +1897,29 @@ struct SnappyDecCtx {
   uint8_t *dst;
   const int64_t *elem_ip;
   const int64_t *lit_skip;
-  int64_t ns, n, seg;
+  const int64_t *cuts;
+  int64_t ns, n;
   uint8_t ok[kMaxDecodeSegments];
 };
 
 static void snappy_decode_chunk_slice(void *p, int k) {
   SnappyDecCtx &c = *(SnappyDecCtx *)p;
-  const int64_t c0 = (int64_t)k * c.seg, c1 = std::min(c.n, c0 + c.seg);
+  const int64_t c0 = c.cuts[k], c1 = c.cuts[k + 1];
   c.ok[k] = snappy_decompress_chunk(c.src, c.ns, c.elem_ip[k], c.lit_skip[k],
                                     c.dst, c0, c1) == c1 - c0;
 }
 
+static void uniform_cuts(int64_t n, int nseg, int64_t *cuts);
+
 static int64_t snappy_decompress_parallel(const uint8_t *src, int64_t ns,
                                           uint8_t *dst, int64_t n, int nseg) {
-  const int64_t seg = (n + nseg - 1) / nseg;
+  int64_t cuts[kMaxDecodeSegments + 1];
   int64_t elem_ip[kMaxDecodeSegments], lit_skip[kMaxDecodeSegments];
-  if (nseg < 2 || nseg > kMaxDecodeSegments ||
-      !snappy_split_scan(src, ns, n, nseg, seg, elem_ip, lit_skip))
+  if (nseg < 2 || nseg > kMaxDecodeSegments) return kSplitReject;
+  uniform_cuts(n, nseg, cuts);
+  if (!snappy_split_scan(src, ns, n, nseg, cuts, elem_ip, lit_skip))
     return kSplitReject;
-  SnappyDecCtx ctx{src, dst, elem_ip, lit_skip, ns, n, seg, {}};
+  SnappyDecCtx ctx{src, dst, elem_ip, lit_skip, cuts, ns, n, {}};
   if (!spin_pool().run(snappy_decode_chunk_slice, &ctx, nseg))
     for (int k = 0; k < nseg; k++) snappy_decode_chunk_slice(&ctx, k);
   for (int k = 0; k < nseg; k++)
@@ -2815,16 +2835,27 @@ static int64_t blosclz_decompress(const uint8_t *src, int64_t n, uint8_t *dst,
 // ---------------------------------------------------------------------------
 
 static bool blosclz_split_scan(const uint8_t *src, int64_t ns, int64_t n,
-                               int nseg, int64_t seg, int64_t *tok_ip) {
+                               int nseg, const int64_t *cuts,
+                               int64_t *tok_ip, int64_t *tok_cnt = nullptr,
+                               int64_t *min_off = nullptr) {
   int64_t si = 0, di = 0, chunk_start = 0;
   int next = 1;
   tok_ip[0] = 0;
+  if (tok_cnt)
+    for (int k = 0; k < nseg; k++) tok_cnt[k] = 0;
+  if (min_off) *min_off = INT64_MAX;
+  int64_t early_cap = INT64_MAX, completed_toks = 0;
   while (si < ns) {
-    if (next < nseg && di == (int64_t)next * seg) {
+    if (next < nseg && di == cuts[next]) {
       tok_ip[next] = si;
       chunk_start = di;
+      if (tok_cnt) {
+        completed_toks += tok_cnt[next - 1];
+        early_cap = 8 + 2 * (completed_toks / next);
+      }
       next++;
     }
+    if (tok_cnt && ++tok_cnt[next - 1] > early_cap) return false;
     const uint8_t ctrl = src[si++];
     if (ctrl < 0x20) {
       const int64_t run = ctrl + 1;
@@ -2858,6 +2889,7 @@ static bool blosclz_split_scan(const uint8_t *src, int64_t ns, int64_t n,
       dist = (int64_t)raw + 1;
     }
     if (dist > di - chunk_start) return false;  // cross-cut or invalid
+    if (min_off && dist < *min_off) *min_off = dist;
     di += len;
     if (di > n) return false;
   }
@@ -2933,25 +2965,27 @@ struct BlosclzDecCtx {
   const uint8_t *src;
   uint8_t *dst;
   const int64_t *tok_ip;
-  int64_t ns, n, seg;
+  const int64_t *cuts;
+  int64_t ns, n;
   uint8_t ok[kMaxDecodeSegments];
 };
 
 static void blosclz_decode_chunk_slice(void *p, int k) {
   BlosclzDecCtx &c = *(BlosclzDecCtx *)p;
-  const int64_t c0 = (int64_t)k * c.seg, c1 = std::min(c.n, c0 + c.seg);
+  const int64_t c0 = c.cuts[k], c1 = c.cuts[k + 1];
   c.ok[k] = blosclz_decompress_chunk(c.src, c.ns, c.tok_ip[k], c.dst, c0, c1);
 }
 
 static int64_t blosclz_decompress_parallel(const uint8_t *src, int64_t ns,
                                            uint8_t *dst, int64_t n,
                                            int nseg) {
-  const int64_t seg = (n + nseg - 1) / nseg;
+  int64_t cuts[kMaxDecodeSegments + 1];
   int64_t tok_ip[kMaxDecodeSegments];
-  if (nseg < 2 || nseg > kMaxDecodeSegments ||
-      !blosclz_split_scan(src, ns, n, nseg, seg, tok_ip))
+  if (nseg < 2 || nseg > kMaxDecodeSegments) return kSplitReject;
+  uniform_cuts(n, nseg, cuts);
+  if (!blosclz_split_scan(src, ns, n, nseg, cuts, tok_ip))
     return kSplitReject;
-  BlosclzDecCtx ctx{src, dst, tok_ip, ns, n, seg, {}};
+  BlosclzDecCtx ctx{src, dst, tok_ip, cuts, ns, n, {}};
   if (!spin_pool().run(blosclz_decode_chunk_slice, &ctx, nseg))
     for (int k = 0; k < nseg; k++) blosclz_decode_chunk_slice(&ctx, k);
   for (int k = 0; k < nseg; k++)
@@ -4826,7 +4860,7 @@ struct FusedDecCtx {
   uint8_t *dec, *out;
   const int64_t *tok_ip, *lit_skip, *cuts;
   int64_t ns, n;
-  int ts, nseg;
+  int ts, nseg, codec;
   std::atomic<uint32_t> claim{0};
   std::atomic<int> done1{0};
   std::atomic<int> fail{0};
@@ -4839,9 +4873,16 @@ static void fused_dec_slice(void *p, int t) {
     const uint32_t bit = 1u << u;
     if (c.claim.fetch_or(bit, std::memory_order_acq_rel) & bit) continue;
     const int64_t c0 = c.cuts[u], c1 = c.cuts[u + 1];
-    if (lz4_decompress_chunk(c.src, c.ns, c.tok_ip[u], c.lit_skip[u],
-                             c.dec, c0, c1) != c1 - c0)
-      c.fail.fetch_add(1, std::memory_order_relaxed);
+    bool ok;
+    if (c.codec == kCodecSnappy)
+      ok = snappy_decompress_chunk(c.src, c.ns, c.tok_ip[u], c.lit_skip[u],
+                                   c.dec, c0, c1) == c1 - c0;
+    else if (c.codec == kCodecBlosclz)
+      ok = blosclz_decompress_chunk(c.src, c.ns, c.tok_ip[u], c.dec, c0, c1);
+    else
+      ok = lz4_decompress_chunk(c.src, c.ns, c.tok_ip[u], c.lit_skip[u],
+                                c.dec, c0, c1) == c1 - c0;
+    if (!ok) c.fail.fetch_add(1, std::memory_order_relaxed);
     c.done1.fetch_add(1, std::memory_order_release);
   }
   while (c.done1.load(std::memory_order_acquire) < c.nseg) cpu_relax();
@@ -4855,15 +4896,16 @@ static void fused_dec_slice(void *p, int t) {
                 (size_t)(c.n - ne * c.ts));
 }
 
-// Fused decode+unshuffle for byte-shuffled LZ4/LZ4HC small frames
-// (48-256 KiB, ts 2/4 — exactly the fused ENCODER's engagement range).
+// Fused decode+unshuffle for byte-shuffled LZ4/LZ4HC/Snappy/BloscLZ
+// small frames (96-256 KiB, ts 2/4 — the fused ENCODER's codecs).
 // Returns n with ``out`` fully written (decoded AND unshuffled), or
 // kSplitReject when the stream is not our plane-cut seam layout / the
-// pool is busy (caller runs the serial decode + unfilter, which also
-// owns canonical error codes).
-static int64_t lz4_fused_decode_unshuffle(const uint8_t *src, int64_t ns,
-                                          uint8_t *dec, uint8_t *out,
-                                          int64_t n, int ts) {
+// engagement heuristics say parallel cannot win / the pool is busy
+// (caller runs the serial decode + unfilter, which also owns canonical
+// error codes).
+static int64_t fused_decode_unshuffle(const uint8_t *src, int64_t ns,
+                                      uint8_t *dec, uint8_t *out,
+                                      int64_t n, int ts, int codec) {
   const int nseg = ts;  // plane-boundary cuts only (see fused_bounds)
   int64_t cuts[kMaxDecodeSegments + 1];
   cuts[0] = 0;
@@ -4874,9 +4916,18 @@ static int64_t lz4_fused_decode_unshuffle(const uint8_t *src, int64_t ns,
   }
   int64_t tok_ip[kMaxDecodeSegments], lit_skip[kMaxDecodeSegments];
   int64_t tok_cnt[kMaxDecodeSegments], min_off = 0;
-  if (!lz4_split_scan(src, ns, n, nseg, cuts, tok_ip, lit_skip, tok_cnt,
-                      &min_off))
-    return kSplitReject;
+  bool scanned;
+  if (codec == kCodecSnappy)
+    scanned = snappy_split_scan(src, ns, n, nseg, cuts, tok_ip, lit_skip,
+                                tok_cnt, &min_off);
+  else if (codec == kCodecBlosclz) {
+    for (int k = 0; k < nseg; k++) lit_skip[k] = 0;
+    scanned = blosclz_split_scan(src, ns, n, nseg, cuts, tok_ip, tok_cnt,
+                                 &min_off);
+  } else
+    scanned = lz4_split_scan(src, ns, n, nseg, cuts, tok_ip, lit_skip,
+                             tok_cnt, &min_off);
+  if (!scanned) return kSplitReject;
   // Engagement heuristics (measured 2026-08-20, sweep in BASELINE.md):
   // parallel decode pays only when per-chunk work is BALANCED and
   // latency-bound.  (a) Token imbalance (f32-ramp planes: 865 vs ~2
@@ -4914,6 +4965,7 @@ static int64_t lz4_fused_decode_unshuffle(const uint8_t *src, int64_t ns,
   ctx.n = n;
   ctx.ts = ts;
   ctx.nseg = nseg;
+  ctx.codec = codec;
   if (!spin_pool().run(fused_dec_slice, &ctx, nseg)) return kSplitReject;
   if (ctx.fail.load(std::memory_order_relaxed)) return kSplitReject;
   return n;
@@ -4966,13 +5018,18 @@ int64_t tpb_decompress_block_into(const uint8_t *frame, int64_t payload_off,
       got = lz4_decompress_parallel(payload, psize, dec, n, nseg);
   } else if (filtered && shuffle_mode == kByteShuffle &&
              (ts == 2 || ts == 4) && n >= kFusedDecodeMin &&
-             (codec == kCodecLz4 || codec == kCodecLz4Hc) &&
+             (codec == kCodecLz4 || codec == kCodecLz4Hc ||
+              codec == kCodecBlosclz) &&
+             // Snappy measured a clear LOSS here (0.58-0.79x, every
+             // pattern/size): its clamped chunk decoder runs far below
+             // the AVX2 serial decoder, and 4-way parallelism cannot
+             // make that back at <256 KiB (2026-08-20 sweep)
              !std::getenv("TPU_BLOSC_NO_FUSED_DECODE")) {
     // round 5: the fused small-frame DECODE mirror of the fused encoder
     // (one dispatch for chunk decode + unshuffle; see fused_dec_slice).
-    // Rejects (foreign seam layout, busy pool) fall through to the
-    // serial path below.
-    got = lz4_fused_decode_unshuffle(payload, psize, dec, out, n, ts);
+    // Rejects (foreign seam layout, gated-out data class, busy pool)
+    // fall through to the serial path below.
+    got = fused_decode_unshuffle(payload, psize, dec, out, n, ts, codec);
     if (got == n) return n;  // out is already decoded AND unshuffled
     got = kSplitReject;
   }
