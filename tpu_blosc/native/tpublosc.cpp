@@ -4855,6 +4855,47 @@ int64_t tpb_compress_frame(const uint8_t *src, int64_t n, int ts,
 // dominates the ~1 us chunks) but 1.09-1.34x from ~100 KiB up.
 constexpr int64_t kFusedDecodeMin = 96 << 10;
 
+// ---------------------------------------------------------------------------
+// Adaptive fused-vs-serial decode dispatch.  The fused path's win is
+// WINDOW-dependent on this shared host (measured 2026-08-20: 1.10-1.21x
+// in one hour's scheduler window, 0.70-0.77x in another, on identical
+// code and data — worker vCPUs sometimes carry quasi-persistent stall
+// lotteries the static gates cannot see).  Both paths produce identical
+// bytes, so the dispatcher simply samples each path periodically
+// (slots 0/1 of every 32 calls) and routes the rest to whichever
+// ns-per-MiB EWMA is currently lower, with 5% hysteresis toward fused.
+// All state is relaxed-atomic and per-process; TPU_BLOSC_NO_ADAPTIVE_DECODE
+// pins the dispatcher to always-try-fused (perf measurement),
+// TPU_BLOSC_NO_FUSED_DECODE disables the fused path outright.
+// ---------------------------------------------------------------------------
+struct AdaptiveDecode {
+  std::atomic<uint32_t> count{0};
+  std::atomic<int64_t> fused_npm{-1};   // EWMA ns per MiB, -1 = no sample
+  std::atomic<int64_t> serial_npm{-1};
+
+  static void ewma(std::atomic<int64_t> &slot, int64_t sample) {
+    const int64_t cur = slot.load(std::memory_order_relaxed);
+    slot.store(cur < 0 ? sample : cur - cur / 8 + sample / 8,
+               std::memory_order_relaxed);
+  }
+  // 0 = run serial sample, 1 = run fused sample, 2 = run preferred
+  int slot() { return std::min(count.fetch_add(1, std::memory_order_relaxed) & 31u, 2u); }
+  bool prefer_fused() const {
+    const int64_t f = fused_npm.load(std::memory_order_relaxed);
+    const int64_t se = serial_npm.load(std::memory_order_relaxed);
+    if (f < 0) return true;          // unsampled: try it
+    if (se < 0) return f >= 0;       // no serial sample yet: keep fused
+    return f <= se + se / 20;        // 5% hysteresis toward fused
+  }
+};
+static AdaptiveDecode g_adaptive_decode;
+
+static inline int64_t now_ns() {
+  struct timespec t;
+  clock_gettime(CLOCK_MONOTONIC, &t);
+  return (int64_t)t.tv_sec * 1000000000 + t.tv_nsec;
+}
+
 struct FusedDecCtx {
   const uint8_t *src;
   uint8_t *dec, *out;
@@ -5026,12 +5067,35 @@ int64_t tpb_decompress_block_into(const uint8_t *frame, int64_t payload_off,
              // make that back at <256 KiB (2026-08-20 sweep)
              !std::getenv("TPU_BLOSC_NO_FUSED_DECODE")) {
     // round 5: the fused small-frame DECODE mirror of the fused encoder
-    // (one dispatch for chunk decode + unshuffle; see fused_dec_slice).
+    // (one dispatch for chunk decode + unshuffle; see fused_dec_slice),
+    // behind the adaptive window-tracking dispatcher (AdaptiveDecode).
     // Rejects (foreign seam layout, gated-out data class, busy pool)
     // fall through to the serial path below.
-    got = fused_decode_unshuffle(payload, psize, dec, out, n, ts, codec);
-    if (got == n) return n;  // out is already decoded AND unshuffled
-    got = kSplitReject;
+    static const bool pinned =
+        std::getenv("TPU_BLOSC_NO_ADAPTIVE_DECODE") != nullptr;
+    const int slot = pinned ? 1 : g_adaptive_decode.slot();
+    const bool try_fused =
+        slot == 1 || (slot == 2 && g_adaptive_decode.prefer_fused());
+    if (try_fused) {
+      const int64_t t0 = now_ns();
+      got = fused_decode_unshuffle(payload, psize, dec, out, n, ts, codec);
+      if (got == n) {
+        if (!pinned)
+          AdaptiveDecode::ewma(g_adaptive_decode.fused_npm,
+                               (now_ns() - t0) * (1 << 20) / n);
+        return n;  // out is already decoded AND unshuffled
+      }
+      got = kSplitReject;
+    } else {
+      const int64_t t0 = now_ns();
+      got = codec_decompress(codec, payload, psize, dec, n);
+      if (got == n) {
+        filter_buffer_pool(dec, out, n, ts, shuffle_mode, true);
+        AdaptiveDecode::ewma(g_adaptive_decode.serial_npm,
+                             (now_ns() - t0) * (1 << 20) / n);
+        return n;
+      }
+    }
   }
   if (got == kSplitReject)
     got = codec_decompress(codec, payload, psize, dec, n);
