@@ -151,3 +151,55 @@ def test_compress_frame_arbitrary_inputs(n_bytes, ts, mode, seed):
     import tpu_blosc as blosc
 
     assert blosc.decompress(frame) == data
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    kb=st.integers(96, 255),
+    extra=st.integers(0, 7),
+    ts=st.sampled_from([2, 4]),
+    codec_name=st.sampled_from(["lz4", "lz4hc", "blosclz"]),
+    pattern=st.sampled_from(["ramp", "period", "noise", "float"]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_fused_decode_window_property(kb, extra, ts, codec_name, pattern,
+                                      seed):
+    """Round-5 fused decode+unshuffle engagement window [96 KiB, 256 KiB):
+    any data/size/ts/codec combination must decode bit-exact and agree
+    with the serial path (the adaptive dispatcher and every scan gate
+    route between byte-identical implementations)."""
+    import os
+
+    import tpu_blosc as blosc
+
+    n = kb * 1024 + extra
+    rng = np.random.default_rng(seed)
+    if pattern == "ramp":
+        data = bytes(bytearray(i % 256 for i in range(n)))
+    elif pattern == "period":
+        p = int(rng.integers(3, 600))
+        data = np.tile(rng.integers(0, 256, p, np.uint8), n // p + 1)[
+            :n
+        ].tobytes()
+    elif pattern == "noise":
+        base = np.frombuffer(
+            bytes(bytearray(i % 256 for i in range(n))), np.uint8
+        ).copy()
+        hit = rng.integers(0, n, n // 40)
+        base[hit] = rng.integers(0, 256, hit.size)
+        data = base.tobytes()
+    else:
+        data = (
+            np.linspace(0, 1, n // 4 + 1, dtype=np.float32)
+            .tobytes()[:n]
+        )
+    codec = {"lz4": blosc.LZ4, "lz4hc": blosc.LZ4HC,
+             "blosclz": blosc.BLOSCLZ}[codec_name]
+    frame = blosc.compress(data, codec, 5, blosc.SHUFFLE, ts)
+    out_default = blosc.decompress(frame)
+    os.environ["TPU_BLOSC_NO_FUSED_DECODE"] = "1"
+    try:
+        out_serial = blosc.decompress(frame)
+    finally:
+        del os.environ["TPU_BLOSC_NO_FUSED_DECODE"]
+    assert out_default == out_serial == data
