@@ -115,9 +115,9 @@ def _warn_bitshuffle_trap(data: bytes, type_size: int) -> None:
         name = "byte shuffle" if rec.shuffle == Shuffle.SHUFFLE else "no shuffle"
         print(
             f"hint: the probe prefers {name} over bitshuffle for this data "
-            "(bitshuffle caps LZ match lengths on float-like streams; see "
-            "README 'Choosing a filter'); pass --auto to use the probe's "
-            "choice",
+            "(first input probed; bitshuffle caps LZ match lengths on "
+            "float-like streams — see README 'Choosing a filter'); pass "
+            "--auto to use the probe's choice",
             file=sys.stderr,
         )
 
@@ -145,6 +145,10 @@ def _run(args) -> int:
         for path in args.input:
             with open(path, "rb") as f:
                 datas.append(f.read())
+        if not args.auto and args.shuffle == "bit":
+            # probe OUTSIDE the timed region (it costs filter passes of
+            # its own); first input only — the hint says so
+            _warn_bitshuffle_trap(datas[0], args.typesize)
         t0 = time.perf_counter()
         if args.auto:
             # the probe picks codec+filter per file; level/block always
@@ -163,8 +167,6 @@ def _run(args) -> int:
                 shuffle=_SHUFFLES[args.shuffle], type_size=args.typesize,
                 block_size=args.block,
             )
-            if args.shuffle == "bit":
-                _warn_bitshuffle_trap(datas[0], args.typesize)
             # one native crossing; small files parallelize across cores
             frames = compress_batch_with_options(datas, opts)
         dt = time.perf_counter() - t0

@@ -596,6 +596,14 @@ def _fetch_match_records(segs_d, packed_d, lit_counts, seg: int, n_real: int):
             mask = fut.result()
             n_c = int(n_c)
             if n_c == 0:
+                # the mask-disagreement guard must hold chunk-wise: a
+                # zero-count chunk whose mask carries set bits means the
+                # device and host disagree — bail to transfer exactly
+                # like the monolithic whole-mask popcount would
+                if mask.any():
+                    for f in futs:
+                        f.cancel()
+                    return None
                 continue
             pos_c = _nb_mask_positions(mask.reshape(-1), n_c)
             if pos_c is None or pos_c.size != n_c:

@@ -123,6 +123,7 @@ class SpinPool {
     if (owner_) return false;
     if (!job_mtx_.try_lock()) return false;
     owner_ = true;
+    job_active_.store(true, std::memory_order_relaxed);
     ensure_started();
     // Two-generation publication: PARK the cursor on a fresh generation
     // with an exhausted index BEFORE touching the job fields, so a worker
@@ -148,9 +149,19 @@ class SpinPool {
       done_.fetch_add(1, std::memory_order_release);
     }
     while (done_.load(std::memory_order_acquire) < n) cpu_relax();
+    job_active_.store(false, std::memory_order_relaxed);
     owner_ = false;
     job_mtx_.unlock();
     return true;
+  }
+
+  // Cheap advisory: is a job running right now (so a nested run() from a
+  // worker/owner would certainly return false)?  Callers use it to skip
+  // work that only pays off if the pool engages — e.g. the fused-decode
+  // split scan from inside a batch slice (a few us per small frame,
+  // measured wasted on every decompress_batch item before this hint).
+  bool busy_hint() const {
+    return owner_ || job_active_.load(std::memory_order_relaxed);
   }
 
   void set_lanes(int n) {
@@ -236,6 +247,7 @@ class SpinPool {
   }
 
   std::mutex job_mtx_;          // one task at a time; try_lock => serial
+  std::atomic<bool> job_active_{false};    // advisory, see busy_hint()
   std::atomic<uint64_t> cursor_{0xFFFFF};  // (gen << 20) | next index
   std::atomic<int> done_{0};
   std::atomic<int> lanes_{1 + kWorkers};
@@ -1329,13 +1341,14 @@ static bool lz4_split_scan(const uint8_t *src, int64_t ns, int64_t n,
     for (int k = 0; k < nseg; k++) tok_cnt[k] = 0;
   if (min_off) *min_off = INT64_MAX;
   // Early imbalance abort (only when stats are requested, i.e. the fused
-  // small-frame path): once at least one chunk is complete, a chunk
-  // whose token count blows past the completed average is the f32-ramp
-  // class (one mantissa plane carrying ~all tokens) — the caller would
-  // reject anyway, so stop paying the scan (~3 us on 880-token streams,
-  // a pure 14% loss otherwise).  Chunk 0 has no completed peers and is
-  // never aborted; a heavy FIRST chunk costs one chunk's scan, not all.
-  int64_t early_cap = INT64_MAX, completed_toks = 0;
+  // small-frame path): a chunk whose token count blows 4x past the
+  // heaviest COMPLETED chunk is the f32-ramp class (one mantissa plane
+  // carrying ~all tokens) — the caller's balance gate would reject
+  // anyway, so stop paying the scan (~3 us on 880-token streams, a pure
+  // 14% loss otherwise).  Armed only once TWO chunks completed and
+  // keyed to the completed MAX, so a light FIRST plane (constant-LSB
+  // data) before balanced heavy ones never false-aborts (review r5).
+  int64_t early_cap = INT64_MAX, completed_max = 0;
   while (si < ns) {
     const int64_t tok_pos = si;
     uint8_t token = src[si++];
@@ -1353,8 +1366,8 @@ static bool lz4_split_scan(const uint8_t *src, int64_t ns, int64_t n,
       tok_ip[next] = tok_pos;
       lit_skip[next] = cuts[next] - di;
       if (tok_cnt) {
-        completed_toks += tok_cnt[next - 1];
-        early_cap = 8 + 2 * (completed_toks / next);
+        completed_max = std::max(completed_max, tok_cnt[next - 1]);
+        if (next >= 2) early_cap = 8 + 4 * completed_max;
       }
       next++;
     }
@@ -1769,15 +1782,15 @@ static bool snappy_split_scan(const uint8_t *src, int64_t ns, int64_t n,
   if (tok_cnt)
     for (int k = 0; k < nseg; k++) tok_cnt[k] = 0;
   if (min_off) *min_off = INT64_MAX;
-  int64_t early_cap = INT64_MAX, completed_toks = 0;
+  int64_t early_cap = INT64_MAX, completed_max = 0;
   while (pos < ns) {
     const int64_t epos = pos;
     while (next < nseg && cuts[next] == di) {
       elem_ip[next] = epos;  // cut exactly at this element's start
       lit_skip[next] = 0;
       if (tok_cnt) {
-        completed_toks += tok_cnt[next - 1];
-        early_cap = 8 + 2 * (completed_toks / next);
+        completed_max = std::max(completed_max, tok_cnt[next - 1]);
+        if (next >= 2) early_cap = 8 + 4 * completed_max;
       }
       next++;
     }
@@ -1800,8 +1813,8 @@ static bool snappy_split_scan(const uint8_t *src, int64_t ns, int64_t n,
         elem_ip[next] = epos;  // cut inside this literal: skip a prefix
         lit_skip[next] = cuts[next] - di;
         if (tok_cnt) {
-          completed_toks += tok_cnt[next - 1];
-          early_cap = 8 + 2 * (completed_toks / next);
+          completed_max = std::max(completed_max, tok_cnt[next - 1]);
+          if (next >= 2) early_cap = 8 + 4 * completed_max;
         }
         next++;
       }
@@ -1935,6 +1948,18 @@ static int64_t snappy_decompress_parallel(const uint8_t *src, int64_t ns,
 // path.
 // ---------------------------------------------------------------------------
 
+// RAII thread-local ZSTD context holders: raw thread_local pointers
+// would leak a multi-MB workspace per exiting thread (short-lived caller
+// threads churn them); destructors free at thread exit, zero hot cost.
+struct ZstdCctxTL {
+  ZSTD_CCtx *p = ZSTD_createCCtx();
+  ~ZstdCctxTL() { ZSTD_freeCCtx(p); }
+};
+struct ZstdDctxTL {
+  ZSTD_DCtx *p = ZSTD_createDCtx();
+  ~ZstdDctxTL() { ZSTD_freeDCtx(p); }
+};
+
 static int64_t zstd_decompress_parallel(const uint8_t *src, int64_t ns,
                                         uint8_t *dst, int64_t n) {
   struct Fr {
@@ -1969,7 +1994,8 @@ static int64_t zstd_decompress_parallel(const uint8_t *src, int64_t ns,
   } ctx{src, dst, frames, {}};
   auto fn = [](void *p, int k) {
     ZstdDecCtx &c = *(ZstdDecCtx *)p;
-    static thread_local ZSTD_DCtx *dctx = ZSTD_createDCtx();
+    static thread_local ZstdDctxTL tl;
+    ZSTD_DCtx *dctx = tl.p;
     const size_t w =
         dctx ? ZSTD_decompressDCtx(dctx, c.dst + c.frames[k].dofs,
                                    (size_t)c.frames[k].ds,
@@ -2844,14 +2870,14 @@ static bool blosclz_split_scan(const uint8_t *src, int64_t ns, int64_t n,
   if (tok_cnt)
     for (int k = 0; k < nseg; k++) tok_cnt[k] = 0;
   if (min_off) *min_off = INT64_MAX;
-  int64_t early_cap = INT64_MAX, completed_toks = 0;
+  int64_t early_cap = INT64_MAX, completed_max = 0;
   while (si < ns) {
     if (next < nseg && di == cuts[next]) {
       tok_ip[next] = si;
       chunk_start = di;
       if (tok_cnt) {
-        completed_toks += tok_cnt[next - 1];
-        early_cap = 8 + 2 * (completed_toks / next);
+        completed_max = std::max(completed_max, tok_cnt[next - 1]);
+        if (next >= 2) early_cap = 8 + 4 * completed_max;
       }
       next++;
     }
@@ -3420,7 +3446,8 @@ static int64_t codec_compress(int codec, int level_or_depth,
       // compression (≙ the reference's persistent shared encoders,
       // codec.go:177-198).  The context reuses its workspace across
       // blocks; zstd resizes it internally when level/srcSize demand.
-      static thread_local ZSTD_CCtx *cctx = ZSTD_createCCtx();
+      static thread_local ZstdCctxTL tl;
+      ZSTD_CCtx *cctx = tl.p;
       size_t w = cctx ? ZSTD_compressCCtx(cctx, dst, (size_t)cap, src,
                                           (size_t)n, level_or_depth)
                       : ZSTD_compress(dst, (size_t)cap, src, (size_t)n,
@@ -3452,7 +3479,8 @@ static int64_t codec_decompress(int codec, const uint8_t *src, int64_t n,
       return zlib_decompress_fast(src, n, dst, cap);
     case kCodecZstd: {
       // per-thread DCtx reuse — see the CCtx note in codec_compress
-      static thread_local ZSTD_DCtx *dctx = ZSTD_createDCtx();
+      static thread_local ZstdDctxTL tl;
+      ZSTD_DCtx *dctx = tl.p;
       size_t w = dctx ? ZSTD_decompressDCtx(dctx, dst, (size_t)cap, src,
                                             (size_t)n)
                       : ZSTD_decompress(dst, (size_t)cap, src, (size_t)n);
@@ -5065,7 +5093,10 @@ int64_t tpb_decompress_block_into(const uint8_t *frame, int64_t payload_off,
              // pattern/size): its clamped chunk decoder runs far below
              // the AVX2 serial decoder, and 4-way parallelism cannot
              // make that back at <256 KiB (2026-08-20 sweep)
-             !std::getenv("TPU_BLOSC_NO_FUSED_DECODE")) {
+             !std::getenv("TPU_BLOSC_NO_FUSED_DECODE") &&
+             // batch slices run ON pool workers: the nested run() can
+             // never engage, so don't pay the split scan (busy_hint)
+             !spin_pool().busy_hint()) {
     // round 5: the fused small-frame DECODE mirror of the fused encoder
     // (one dispatch for chunk decode + unshuffle; see fused_dec_slice),
     // behind the adaptive window-tracking dispatcher (AdaptiveDecode).
@@ -5134,9 +5165,10 @@ int64_t tpb_gather(const uint8_t *slots, const int64_t *sizes, int64_t nb,
 // is a ~10 us unit of work, comfortably above the stall noise, so a batch
 // of small frames scales across all lanes even though each frame alone
 // would stay serial.  Frames BELOW kFrameSegMin therefore run as
-// whole-frame SpinPool slices (at that size they never touch the pool
-// internally — frame_segments()==1 and the filter pool floor is the same
-// constant — so worker recursion is impossible); frames at/above it run
+// whole-frame SpinPool slices (at that size a nested pool use can never
+// engage: frame_segments()==1 for encode, and the fused-decode branch
+// skips itself via busy_hint() while a batch job is active — nested
+// run() would fail its try_lock anyway); frames at/above it run
 // on the calling thread through the normal segment-parallel path, outside
 // the pool job.  Either way every frame takes exactly the code path the
 // scalar entry points would take, so batch output bytes are IDENTICAL to
