@@ -3068,6 +3068,8 @@ struct LibDeflate {
   void *(*alloc_c)(int) = nullptr;
   size_t (*compress_raw)(void *, const void *, size_t, void *,
                          size_t) = nullptr;
+  void (*free_c)(void *) = nullptr;
+  void (*free_d)(void *) = nullptr;
   bool ok = false;
   bool enc_ok = false;
   LibDeflate() {
@@ -3089,6 +3091,8 @@ struct LibDeflate {
                                size_t))dlsym(h, "libdeflate_deflate_compress");
     enc_ok = alloc_c && compress_raw &&
              !std::getenv("TPU_BLOSC_NO_LIBDEFLATE_ENC");
+    free_c = (void (*)(void *))dlsym(h, "libdeflate_free_compressor");
+    free_d = (void (*)(void *))dlsym(h, "libdeflate_free_decompressor");
   }
 };
 
@@ -3096,6 +3100,27 @@ static LibDeflate &libdeflate() {
   static LibDeflate ld;
   return ld;
 }
+
+// RAII thread-local libdeflate context holders (review r5: raw
+// thread_local pointers leaked one workspace per exiting thread; the
+// dlopened library outlives every thread, so freeing in the destructor
+// is safe).
+struct LdCompTL {
+  void *comps[10] = {};
+  ~LdCompTL() {
+    LibDeflate &ld = libdeflate();
+    if (ld.free_c)
+      for (void *c : comps)
+        if (c) ld.free_c(c);
+  }
+};
+struct LdDecTL {
+  void *dec = nullptr;
+  ~LdDecTL() {
+    LibDeflate &ld = libdeflate();
+    if (dec && ld.free_d) ld.free_d(dec);
+  }
+};
 
 // ---------------------------------------------------------------------------
 // Deflate block walker (round 4): find the BFINAL header bit and the end
@@ -3333,8 +3358,8 @@ static int64_t zlib_ld_segment(const uint8_t *src, int64_t len, uint8_t *dst,
   LibDeflate &ld = libdeflate();
   if (!ld.enc_ok || level < 4 || cap <= 8) return -2;
   if (level > 9) level = 9;
-  thread_local void *comps[10] = {};
-  void *&comp = comps[level];
+  static thread_local LdCompTL tl;
+  void *&comp = tl.comps[level];
   if (!comp) comp = ld.alloc_c(level);
   if (!comp) return -2;
   const size_t sz =
@@ -3370,8 +3395,8 @@ static int64_t zlib_ld_whole(const uint8_t *src, int64_t n, uint8_t *dst,
   // floor is negligible and the byte-identity is worth more
   if (!ld.enc_ok || level < 4 || cap < 8 || n < (64 << 10)) return -2;
   const int lv = level > 9 ? 9 : level;
-  thread_local void *comps[10] = {};
-  void *&comp = comps[lv];
+  static thread_local LdCompTL tl;
+  void *&comp = tl.comps[lv];
   if (!comp) comp = ld.alloc_c(lv);
   if (!comp) return -2;
   const size_t sz =
@@ -3398,7 +3423,8 @@ static int64_t zlib_decompress_fast(const uint8_t *src, int64_t n,
                                     uint8_t *dst, int64_t cap) {
   LibDeflate &ld = libdeflate();
   if (ld.ok) {
-    static thread_local void *dec = nullptr;
+    static thread_local LdDecTL tl;
+    void *&dec = tl.dec;
     if (!dec) dec = ld.alloc_d();
     if (dec) {
       size_t actual_in = 0, actual_out = 0;
@@ -3634,7 +3660,8 @@ static void zlib_decode_piece_slice(void *p, int t) {
     return;
   }
   LibDeflate &ld = libdeflate();
-  static thread_local void *dec = nullptr;
+  static thread_local LdDecTL tl;
+  void *&dec = tl.dec;
   if (!dec) dec = ld.alloc_d();
   if (!dec) {
     c.ok[t] = 0;
