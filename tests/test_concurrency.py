@@ -60,3 +60,25 @@ def test_concurrent_streams_distinct_files(tmp_path):
 
     with ThreadPoolExecutor(max_workers=8) as ex:
         assert all(ex.map(work, range(32)))
+
+
+def test_concurrent_fused_window_decodes():
+    """Round-5 fused decode + adaptive dispatcher under thread contention:
+    concurrent callers race the SpinPool (nested run() declines via
+    try_lock/busy_hint, the loser decodes serially) and the adaptive
+    EWMA state is shared — every result must stay bit-exact, whichever
+    path each call takes."""
+    frames = []
+    for k, n in [(3, 100 * 1024), (7, 128 * 1024), (11, 200 * 1024)]:
+        data = bytes(bytearray((i * k + (i >> 3)) % 256 for i in range(n)))
+        frames.append((blosc.compress(data), data))
+
+    def work(i):
+        frame, data = frames[i % len(frames)]
+        for _ in range(40):
+            if blosc.decompress(frame) != data:
+                return False
+        return True
+
+    with ThreadPoolExecutor(max_workers=6) as ex:
+        assert all(ex.map(work, range(18)))
