@@ -720,8 +720,8 @@ static int64_t lz4_scan_emit(const uint8_t *src, int64_t n, uint8_t *dst,
       if (src[j] == src[j - d]) mask[j >> 6] |= 1ull << (j & 63);
     // full words from head_end
     int64_t w = head_words;
-    const int64_t full = n >> 6;
 #if defined(__AVX2__)
+    const int64_t full = n >> 6;
     for (; w < full; w++) {
       const int64_t p = w << 6;
       __m256i a0 = _mm256_loadu_si256((const __m256i *)(src + p));
