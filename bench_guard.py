@@ -91,8 +91,11 @@ DEVICE_FLOORS = {
     # with 3x swings) — floors guard orders-of-magnitude breakage only
     "checkpoint_device_save_gbps": 0.008,    # typical 0.036
     "checkpoint_device_load_gbps": 0.015,    # typical 0.11
-    "checkpoint_device_save_speedup": 0.7,   # typical ~1.0 (host stage ~2%)
-    "checkpoint_device_load_speedup": 0.7,
+    # speedups swing 0.6-1.6 with multi-second tunnel stalls (one stall
+    # poisons a whole arm; bench retries once) — the floor guards only
+    # "pipeline catastrophically slower than serial"
+    "checkpoint_device_save_speedup": 0.5,   # typical ~1.0 (host stage ~2%)
+    "checkpoint_device_load_speedup": 0.5,
     "checkpoint_device_save_match_gbps": 0.008,    # typical 0.04
     "checkpoint_device_load_records_gbps": 0.02,   # typical 0.15
 }
