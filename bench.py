@@ -505,13 +505,23 @@ def stage_device_checkpoint() -> dict:
         retry_budget_ok = (
             t_save + t_load + t_save_ser + t_load_ser < 60
         )  # a stalling link already ate the budget: keep the first pass
+
+        def _stalled(ratio):
+            # the pipeline's structural range is ~0.9-1.3 (host stage is
+            # a few % of a link-bound wall); either side outside that is
+            # one arm eating a multi-second tunnel stall (observed 1.59
+            # and 0.61 in back-to-back runs of identical code)
+            return ratio < 0.8 or ratio > 1.4
+
         if retry_budget_ok and (
-            t_load_ser / t_load < 0.8 or t_save_ser / t_save < 0.8
+            _stalled(t_load_ser / t_load) or _stalled(t_save_ser / t_save)
         ):
-            # same tunnel-stall hazard as stage_device_match: one
-            # multi-second link stall poisons a whole arm (observed
-            # load_speedup 1.59 -> 0.61 between back-to-back runs).
-            # One remeasure of both arms; keep the better ratios.
+            # one remeasure of all arms; keep whichever measurement's
+            # ratio is CLOSER TO 1 (the unbiased choice under a ~1.0-1.1
+            # truth prior — keeping the 'better' ratio would trend the
+            # reported speedup upward on stall-prone links, and a truly
+            # broken pipeline yields two low ratios so the floor still
+            # trips)
             t_save2, _ = _best(save, reps=2)
             t_load2, _ = _best(load, reps=2)
             os.environ["TPU_BLOSC_NO_CKPT_PIPELINE"] = "1"
@@ -520,9 +530,9 @@ def stage_device_checkpoint() -> dict:
                 t_load_ser2, _ = _best(load, reps=2)
             finally:
                 del os.environ["TPU_BLOSC_NO_CKPT_PIPELINE"]
-            if t_save_ser2 / t_save2 > t_save_ser / t_save:
+            if abs(t_save_ser2 / t_save2 - 1) < abs(t_save_ser / t_save - 1):
                 t_save, t_save_ser = t_save2, t_save_ser2
-            if t_load_ser2 / t_load2 > t_load_ser / t_load:
+            if abs(t_load_ser2 / t_load2 - 1) < abs(t_load_ser / t_load - 1):
                 t_load, t_load_ser = t_load2, t_load_ser2
         # record-strategy arms: the slow-link lever — O(records) over the
         # link instead of raw bytes (save: device match discovery;

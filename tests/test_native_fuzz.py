@@ -153,7 +153,10 @@ def test_compress_frame_arbitrary_inputs(n_bytes, ts, mode, seed):
     assert blosc.decompress(frame) == data
 
 
-@settings(max_examples=25, deadline=None)
+@settings(
+    max_examples=max(25, int(_os.environ.get("TPU_BLOSC_SOAK", 0)) // 10),
+    deadline=None,
+)
 @given(
     kb=st.integers(96, 255),
     extra=st.integers(0, 7),

@@ -3122,6 +3122,14 @@ struct LdDecTL {
   }
 };
 
+// One per-level compressor cache per thread, shared by BOTH encode call
+// sites (segmented + whole-stream) — two separate caches doubled the
+// per-thread workspace at high levels (review r5b).
+static void *&ld_comp_slot(int level) {
+  static thread_local LdCompTL tl;
+  return tl.comps[level];
+}
+
 // ---------------------------------------------------------------------------
 // Deflate block walker (round 4): find the BFINAL header bit and the end
 // bit of a complete raw-deflate stream WITHOUT reconstructing any output.
@@ -3358,8 +3366,7 @@ static int64_t zlib_ld_segment(const uint8_t *src, int64_t len, uint8_t *dst,
   LibDeflate &ld = libdeflate();
   if (!ld.enc_ok || level < 4 || cap <= 8) return -2;
   if (level > 9) level = 9;
-  static thread_local LdCompTL tl;
-  void *&comp = tl.comps[level];
+  void *&comp = ld_comp_slot(level);
   if (!comp) comp = ld.alloc_c(level);
   if (!comp) return -2;
   const size_t sz =
@@ -3395,8 +3402,7 @@ static int64_t zlib_ld_whole(const uint8_t *src, int64_t n, uint8_t *dst,
   // floor is negligible and the byte-identity is worth more
   if (!ld.enc_ok || level < 4 || cap < 8 || n < (64 << 10)) return -2;
   const int lv = level > 9 ? 9 : level;
-  static thread_local LdCompTL tl;
-  void *&comp = tl.comps[lv];
+  void *&comp = ld_comp_slot(lv);
   if (!comp) comp = ld.alloc_c(lv);
   if (!comp) return -2;
   const size_t sz =
